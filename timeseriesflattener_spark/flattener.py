@@ -1,0 +1,196 @@
+"""``Flattener`` — the reference's main entry point
+(``Flattener.aggregate_timeseries``, ``main.py:92-175``) re-expressed
+as one lazy Catalyst plan.
+
+Differences from the reference (deliberate):
+
+- no multiprocessing Pool / progress bars: the reference parallelises
+  across specs with worker processes (``main.py:109-134``); Spark
+  parallelises across *partitions* within a single plan. ``n_workers``
+  is accepted and ignored for API compatibility.
+- no positional horizontal concat (``utils.py:21-28``): processed spec
+  frames are joined on the prediction-time uuid. All temporal aggs are
+  shuffled by the same key, so the multi-way join is co-partitioned —
+  no extra exchange after the first.
+- ``step_size`` (``processors/temporal.py:244-285``) exists in the
+  reference to bound *memory*; Spark already streams partitions, so the
+  chunked path here is for output parity + the checkpoint/resume story
+  (see ``plans/checkpoint.py``), implemented with the same chunk
+  pre-filter semantics (``processors/temporal.py:174-215``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+from dataclasses import dataclass
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .frames import PredictionTimeFrame, ValueFrame
+from .operators.static import process_static_spec
+from .operators.temporal import max_lookdistance, process_temporal_spec
+from .operators.timedelta import process_timedelta_spec
+from .specs import (
+    BooleanOutcomeSpec,
+    OutcomeSpec,
+    PredictorSpec,
+    StaticSpec,
+    TemporalSpec,
+    TimeDeltaSpec,
+    ValueSpecification,
+    spec_value_col_names,
+)
+
+
+class SpecError(Exception):
+    """Reference ``main.py:31-33`` — conflicting or invalid specs."""
+
+
+def _validate_specs(
+    specs: Sequence[ValueSpecification], predictiontime_frame: PredictionTimeFrame
+) -> None:
+    """Reference ``main.py:37-89``: duplicate output value-column names
+    across specs + required-column presence."""
+    errors: list[str] = []
+    counts = Counter(name for spec in specs for name in spec_value_col_names(spec))
+    for name, n in counts.items():
+        if n > 1:
+            errors.append(
+                f"The value column '{name}' is specified in {n} specs. All value column "
+                "names must be unique to avoid conflicts in the output."
+            )
+    for spec in specs:
+        frame = spec.init_frame if isinstance(spec, TimeDeltaSpec) else spec.value_frame
+        for col in predictiontime_frame.required_columns():
+            if col not in frame.df.columns:
+                errors.append(
+                    f"['{col}'] is missing in the {spec_value_col_names(spec)} specification."
+                )
+    if errors:
+        raise SpecError("Conflicting specs." + "".join(f"  \n - {e}" for e in errors))
+
+
+@dataclass
+class AggregatedFrame:
+    """Final wide frame: pred-time columns + one column per feature."""
+
+    df: DataFrame
+    entity_id_col_name: str
+    prediction_time_uuid_col_name: str
+    timestamp_col_name: str
+
+    def collect(self) -> DataFrame:
+        return self.df
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+
+def _process_one(spec: ValueSpecification, pred: PredictionTimeFrame) -> DataFrame:
+    if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+        return process_temporal_spec(spec, pred)
+    if isinstance(spec, StaticSpec):
+        return process_static_spec(spec, pred)
+    if isinstance(spec, TimeDeltaSpec):
+        return process_timedelta_spec(spec, pred)
+    raise TypeError(f"Unknown spec type {type(spec)}")
+
+
+def _filtered_temporal_spec(spec: TemporalSpec, lo: dt.datetime, hi: dt.datetime) -> TemporalSpec:
+    """Chunk pre-filter on the value frame — reference
+    ``processors/temporal.py:174-215``: lookbehind keeps values in
+    ``[chunk_start - lookdistance, chunk_end)``, lookahead
+    ``[chunk_start, chunk_end + lookdistance)``."""
+    first, last = max_lookdistance(spec)
+    lo_bound = lo + dt.timedelta(microseconds=first)
+    hi_bound = hi + dt.timedelta(microseconds=last)
+    vf = spec.value_frame
+    ts = F.col(vf.value_timestamp_col_name)
+    filtered = vf.df.filter((ts >= F.lit(lo_bound)) & (ts < F.lit(hi_bound)))
+    new_vf = ValueFrame(
+        df=filtered,
+        entity_id_col_name=vf.entity_id_col_name,
+        value_timestamp_col_name=vf.value_timestamp_col_name,
+        order_col_name=vf.order_col_name,
+    )
+    clone = object.__new__(type(spec))
+    clone.__dict__ = {**spec.__dict__, "value_frame": new_vf}
+    return clone
+
+
+@dataclass
+class Flattener:
+    predictiontime_frame: PredictionTimeFrame
+    n_workers: int | None = None  # accepted for reference API compat; Spark ignores it
+
+    def aggregate_timeseries(
+        self, specs: Sequence[ValueSpecification], step_size: dt.timedelta | None = None
+    ) -> AggregatedFrame:
+        _validate_specs(specs, self.predictiontime_frame)
+        pred = self.predictiontime_frame
+
+        if step_size is None:
+            feature_dfs = [_process_one(spec, pred) for spec in specs]
+            out = reduce(
+                lambda acc, f: acc.join(f, on=pred.prediction_time_uuid_col_name, how="left"),
+                feature_dfs,
+                pred.df,
+            )
+        else:
+            out = self._aggregate_stepped(specs, step_size)
+
+        return AggregatedFrame(
+            df=out,
+            entity_id_col_name=pred.entity_id_col_name,
+            prediction_time_uuid_col_name=pred.prediction_time_uuid_col_name,
+            timestamp_col_name=pred.timestamp_col_name,
+        )
+
+    def _aggregate_stepped(
+        self, specs: Sequence[ValueSpecification], step_size: dt.timedelta
+    ) -> DataFrame:
+        """Chunked evaluation with the reference's slicing semantics
+        (``processors/temporal.py:244-285``); output is the vertical
+        union of per-chunk results."""
+        pred = self.predictiontime_frame
+        ts_col = pred.timestamp_col_name
+        bounds = pred.df.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).first()
+        if bounds is None or bounds["lo"] is None:
+            return self.aggregate_timeseries(specs, step_size=None).df
+        start, end = bounds["lo"], bounds["hi"]
+        n = int((end - start) / step_size)
+        edges = [start + step_size * i for i in range(n + 2)]
+
+        chunk_outs: list[DataFrame] = []
+        for i in range(len(edges) - 1):
+            lo, hi = edges[i], edges[i + 1]
+            chunk_pred_df = pred.df.filter(
+                (F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi))
+            )
+            chunk_pred = PredictionTimeFrame(
+                df=chunk_pred_df,
+                entity_id_col_name=pred.entity_id_col_name,
+                timestamp_col_name=ts_col,
+                prediction_time_uuid_col_name=pred.prediction_time_uuid_col_name,
+            )
+            feature_dfs = []
+            for spec in specs:
+                if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+                    spec = _filtered_temporal_spec(spec, lo, hi)
+                feature_dfs.append(_process_one(spec, chunk_pred))
+            chunk_outs.append(
+                reduce(
+                    lambda acc, f: acc.join(
+                        f, on=pred.prediction_time_uuid_col_name, how="left"
+                    ),
+                    feature_dfs,
+                    chunk_pred.df,
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), chunk_outs)

@@ -1,0 +1,5 @@
+from .static import process_static_spec
+from .temporal import process_temporal_spec
+from .timedelta import process_timedelta_spec
+
+__all__ = ["process_static_spec", "process_temporal_spec", "process_timedelta_spec"]
