@@ -1,0 +1,101 @@
+"""Checkpoint-resumable tier materialisation: kill mid-run, resume,
+assert no recompute and identical output (SURVEY.md §5 strategy (e));
+plus retention expiry and the lineage/metrics ledger."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesflattener_spark.plans.tiers import TierStore
+from timeseriesflattener_spark.sources.transcripts import (
+    derive_channels,
+    synthesize_transcripts,
+)
+
+VALUE_COLS = ["text_len", "n_tokens", "tool_call"]
+
+
+@pytest.fixture(scope="module")
+def channels(spark):
+    t = synthesize_transcripts(spark, n_conversations=30, avg_turns=10, seed=13, span_days=3)
+    return derive_channels(t).cache()
+
+
+def _points_map(store, tier):
+    return {
+        (r["conv_id"], r["bucket_start"]): tuple(
+            r[c] for c in [f"{vc}_mean" for vc in VALUE_COLS]
+        )
+        for r in store.read_points(tier).collect()
+    }
+
+
+class Boom(Exception):
+    pass
+
+
+def test_kill_resume_no_recompute(spark, channels, tmp_path):
+    # one-shot reference run
+    ref_store = TierStore(spark, str(tmp_path / "ref"), VALUE_COLS)
+    ref_store.materialize(channels)
+    ref_points = {t: _points_map(ref_store, t) for t in ("1m", "1h", "1d")}
+
+    # killed run: die after 4 completed units
+    seen: list[tuple[str, dt.date]] = []
+
+    def killer(tier, day):
+        if len(seen) >= 4:
+            raise Boom()
+        seen.append((tier, day))
+
+    store = TierStore(spark, str(tmp_path / "resume"), VALUE_COLS, on_unit_start=killer)
+    with pytest.raises(Boom):
+        store.materialize(channels)
+    assert len(store.completed_units()) == 4
+
+    # resume: completed units must NOT be recomputed
+    recomputed: list[tuple[str, dt.date]] = []
+    store.on_unit_start = lambda tier, day: recomputed.append((tier, day))
+    result = store.materialize(channels)
+    assert set(result["skipped"]) == set(seen)
+    assert not (set(recomputed) & set(seen))
+
+    # identical output to the one-shot run
+    for tier in ("1m", "1h", "1d"):
+        assert _points_map(store, tier) == ref_points[tier]
+
+
+def test_ledger_lineage_and_metrics(spark, channels, tmp_path):
+    store = TierStore(spark, str(tmp_path / "ledger"), VALUE_COLS)
+    store.materialize(channels)
+    ledger = store.read_ledger()
+    rows = ledger.collect()
+    assert all(r["state"] == "done" for r in rows)
+    by_tier = {r["tier"]: r for r in rows}
+    assert by_tier["1m"]["source"] == "raw"
+    assert by_tier["1h"]["source"] == "tier:1m"
+    assert by_tier["1d"]["source"] == "tier:1h"
+    assert all(r["output_rows"] > 0 and r["wall_s"] > 0 for r in rows)
+    # coarser tiers shrink
+    sums = (
+        ledger.groupBy("tier").agg(F.sum("output_rows").alias("rows")).collect()
+    )
+    sizes = {r["tier"]: r["rows"] for r in sums}
+    assert sizes["1m"] >= sizes["1h"] >= sizes["1d"]
+
+
+def test_retention_expiry(spark, channels, tmp_path):
+    store = TierStore(spark, str(tmp_path / "retention"), VALUE_COLS)
+    store.materialize(channels)
+    days = sorted({r["day"] for r in store.read_ledger().collect()})
+    now = days[-1] + dt.timedelta(days=1)
+    removed = store.apply_retention({"1m": 1}, now=now)
+    # every 1m partition except the last day(s) within horizon is gone
+    assert removed and all(t == "1m" for t, _ in removed)
+    remaining_1m = {r["bucket_start"] for r in store.read_tier("1m").collect()}
+    assert remaining_1m  # horizon day survives
+    # coarse tiers untouched
+    assert store.read_tier("1d").count() > 0

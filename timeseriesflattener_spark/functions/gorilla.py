@@ -1,0 +1,247 @@
+"""Gorilla-style time-series chunk compression as Arrow-vectorized UDFs.
+
+Per the north rule: delta-of-delta timestamps + XOR float values stored
+as one ``binary`` chunk column per (conv_id, bucket) partition, with
+encode/decode running as pandas/Arrow batch UDFs — **no per-point
+Python**. Inside a chunk every per-point operation is a numpy kernel
+(diff/cumsum for timestamps, ``bitwise_xor.accumulate`` for the XOR
+prefix scan, ``packbits/unpackbits`` for the bitstream).
+
+Codec layout (``GORB`` v1): Facebook Gorilla's per-value variable-length
+control codes (Pelkonen et al., VLDB 2015) make *decoding* inherently
+sequential, which would force a per-point Python loop here. Instead the
+two Gorilla streams are packed in fixed-width **blocks of 128 values**
+(the miniblock idea parquet's DELTA_BINARY_PACKED uses): each block
+stores one width byte = bits needed by its widest value, then the
+values' low ``width`` bits back-to-back. Smooth series still compress
+to a few bits/point (all-equal timestamps deltas -> dod==0 -> width 0
+-> the whole block costs 1 byte) and both directions are vectorizable.
+
+Chunk binary format (little-endian):
+
+    magic   4s  = b"GORB"
+    version u8  = 1
+    n       u32 points
+    first_ts i64 micros
+    first_val u64 (raw IEEE bits; NaN-safe)
+    [ts stream]   first_delta i64, then block-packed zigzag(dod[2:])
+    [val stream]  block-packed xor(v[i], v[i-1]) for i >= 1
+    each stream:  u32 count, u16 n_blocks, widths u8[n_blocks],
+                  u32 payload_len, payload
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.rollup import bucket_expr
+
+MAGIC = b"GORB"
+VERSION = 1
+BLOCK = 128
+
+# ---------------------------------------------------------------- bits
+
+
+def _bit_width(vals: np.ndarray) -> int:
+    """Bits needed for the widest value in a uint64 array."""
+    if len(vals) == 0:
+        return 0
+    m = int(vals.max())
+    return m.bit_length()
+
+
+def _pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Concatenate the low ``width`` bits of each uint64, MSB-first."""
+    if width == 0 or len(vals) == 0:
+        return b""
+    be = vals.astype(">u8").reshape(-1, 1).view(np.uint8)
+    bits = np.unpackbits(be, axis=1)[:, 64 - width:]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width).reshape(n, width)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(width):  # <=64 iterations, each vectorized over n
+        out = (out << np.uint64(1)) | bits[:, j].astype(np.uint64)
+    return out
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    s = v.astype(np.int64)
+    return ((s << np.int64(1)) ^ (s >> np.int64(63))).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)) ^ (-(u & np.uint64(1))).astype(np.uint64)).astype(np.int64)
+
+
+# ------------------------------------------------------------- streams
+
+
+def _encode_stream(vals: np.ndarray) -> bytes:
+    """Block-packed uint64 stream."""
+    n = len(vals)
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    widths = np.zeros(n_blocks, dtype=np.uint8)
+    payloads: list[bytes] = []
+    for b in range(n_blocks):  # per-block loop (n/128), kernels inside
+        blk = vals[b * BLOCK : (b + 1) * BLOCK]
+        w = _bit_width(blk)
+        widths[b] = w
+        payloads.append(_pack_bits(blk, w))
+    payload = b"".join(payloads)
+    return (
+        struct.pack("<IH", n, n_blocks)
+        + widths.tobytes()
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+
+
+def _decode_stream(buf: bytes, offset: int) -> tuple[np.ndarray, int]:
+    n, n_blocks = struct.unpack_from("<IH", buf, offset)
+    offset += 6
+    widths = np.frombuffer(buf, dtype=np.uint8, count=n_blocks, offset=offset)
+    offset += n_blocks
+    (payload_len,) = struct.unpack_from("<I", buf, offset)
+    offset += 4
+    out = np.zeros(n, dtype=np.uint64)
+    pos = offset
+    for b in range(n_blocks):
+        w = int(widths[b])
+        cnt = min(BLOCK, n - b * BLOCK)
+        nbytes = (cnt * w + 7) // 8
+        out[b * BLOCK : b * BLOCK + cnt] = _unpack_bits(buf[pos : pos + nbytes], cnt, w)
+        pos += nbytes
+    assert pos - offset == payload_len
+    return out, pos
+
+
+# -------------------------------------------------------------- codec
+
+
+def encode_series(ts_micros: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode one chunk. ``ts_micros`` must be sorted non-decreasing."""
+    n = len(ts_micros)
+    if n == 0:
+        return struct.pack("<4sBIqQ", MAGIC, VERSION, 0, 0, 0)
+    ts = ts_micros.astype(np.int64)
+    vals = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    head = struct.pack("<4sBIqQ", MAGIC, VERSION, n, int(ts[0]), int(vals[0]))
+    if n == 1:
+        return head
+    deltas = np.diff(ts)
+    dod = np.diff(deltas) if n > 2 else np.zeros(0, dtype=np.int64)
+    ts_stream = struct.pack("<q", int(deltas[0])) + _encode_stream(_zigzag(dod))
+    xor = vals[1:] ^ vals[:-1]
+    val_stream = _encode_stream(xor)
+    return head + ts_stream + val_stream
+
+
+def decode_series(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    magic, version, n, first_ts, first_val = struct.unpack_from("<4sBIqQ", buf, 0)
+    if magic != MAGIC or version != VERSION:
+        raise ValueError("not a GORB v1 chunk")
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    offset = struct.calcsize("<4sBIqQ")
+    if n == 1:
+        return (
+            np.array([first_ts], dtype=np.int64),
+            np.array([first_val], dtype=np.uint64).view(np.float64),
+        )
+    (first_delta,) = struct.unpack_from("<q", buf, offset)
+    offset += 8
+    dod_z, offset = _decode_stream(buf, offset)
+    xor, _ = _decode_stream(buf, offset)
+    dod = _unzigzag(dod_z)
+    deltas = np.concatenate(([first_delta], first_delta + np.cumsum(dod))) if n > 2 else np.array(
+        [first_delta], dtype=np.int64
+    )
+    ts = first_ts + np.concatenate(([0], np.cumsum(deltas)))
+    val_bits = np.concatenate(([np.uint64(first_val)], xor.astype(np.uint64)))
+    vals = np.bitwise_xor.accumulate(val_bits)  # vectorized XOR prefix scan
+    return ts.astype(np.int64), vals.view(np.float64)
+
+
+# ------------------------------------------------------------ spark API
+
+CHUNK_SCHEMA = (
+    "conv_id string, chunk_start long, n_points int, raw_bytes long, chunk binary"
+)
+
+
+def encode_chunks(
+    df: DataFrame,
+    value_col: str,
+    tier: str = "1h",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str | None = "turn_idx",
+) -> DataFrame:
+    """(entity, ts, value) rows -> one Gorilla chunk row per
+    (entity, tier bucket). ``applyInPandas`` over the chunk key; inside,
+    numpy only."""
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    bucketed = df.select(
+        F.col(entity_col).alias("conv_id"),
+        bucket_expr(F.col(ts_col), tier).alias("chunk_start"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_micros"),
+        F.col(value_col).cast("double").alias("__value"),
+        *([F.col(order_col).alias("__ord")] if order_col else []),
+    )
+
+    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        by = ["__ts_micros"] + (["__ord"] if order_col else [])
+        pdf = pdf.sort_values(by)
+        ts = pdf["__ts_micros"].to_numpy(dtype=np.int64)
+        vals = pdf["__value"].to_numpy(dtype=np.float64)
+        blob = encode_series(ts, vals)
+        return pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "chunk_start": [key[1]],
+                "n_points": [len(ts)],
+                "raw_bytes": [len(ts) * 16],
+                "chunk": [blob],
+            }
+        )
+
+    return bucketed.groupBy("conv_id", "chunk_start").applyInPandas(enc, CHUNK_SCHEMA)
+
+
+def decode_chunks(chunks: DataFrame, value_col: str = "value") -> DataFrame:
+    """Chunk rows -> (conv_id, ts, value) points. ``mapInPandas``; the
+    loop is per *chunk* (thousands of points each), numpy per point."""
+    out_schema = f"conv_id string, ts timestamp, {value_col} double"
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for conv_id, blob in zip(pdf["conv_id"], pdf["chunk"]):
+                ts, vals = decode_series(bytes(blob))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": conv_id,
+                            "ts": pd.to_datetime(ts, unit="us"),
+                            value_col: vals,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"conv_id": [], "ts": [], value_col: []}
+            )
+
+    return chunks.mapInPandas(dec, out_schema)

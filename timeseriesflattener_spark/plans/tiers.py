@@ -1,0 +1,213 @@
+"""Materialised continuous-aggregate tiers with a checkpoint ledger,
+retention policy, and per-unit lineage/metrics.
+
+North-rule requirements covered here (BASELINE.json):
+
+- **checkpoint-resumable incremental aggregation**: work is split into
+  (tier, day) units; every completed unit appends a ledger row; a
+  killed job re-runs only units the ledger doesn't mark done. This is
+  the scale-out replacement for the reference's per-feature DiskCache
+  keyed by spec fingerprint + row count
+  (``v1/feature_cache/cache_to_disk.py:74-148``) and its ctime-based
+  "most recent file" lookup (``:52-72``), which cannot survive
+  concurrent writers or partial failures.
+- **per-partition lineage + metrics**: the ledger row records the
+  source (raw vs finer tier), input/output row counts, wall seconds
+  and attempt number — queryable as a table.
+- **retention**: fine tiers age out first (drop whole day partitions),
+  coarse tiers persist — ``apply_retention``.
+
+Storage layout (parquet standing in for Iceberg — no Iceberg runtime
+jar in this sandbox; the layout mirrors an Iceberg table partitioned by
+(tier, day), and writes are partition-atomic):
+
+    {root}/partials/tier={tier}/day={YYYY-MM-DD}/part-*.parquet
+    {root}/ledger/*.parquet        (append-only events; latest wins)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import time
+import uuid as uuidlib
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import rollup as R
+
+LEDGER_SCHEMA = (
+    "tier string, day date, state string, source string, input_rows long, "
+    "output_rows long, wall_s double, attempt int, job_id string, finished_at timestamp"
+)
+
+
+def _day_dir(root: str, tier: str, day: dt.date) -> str:
+    return os.path.join(root, "partials", f"tier={tier}", f"day={day.isoformat()}")
+
+
+@dataclass
+class TierStore:
+    """Manages materialised partial-aggregate tiers under ``root``."""
+
+    spark: SparkSession
+    root: str
+    value_cols: Sequence[str]
+    entity_col: str = "conv_id"
+    ts_col: str = "ts"
+    order_col: str | None = "turn_idx"
+    tiers: Sequence[str] = field(default_factory=lambda: list(R.TIER_ORDER))
+    salt_partitions: int | None = None
+    #: test seam — called before each unit is computed; raising aborts the job
+    on_unit_start: Callable[[str, dt.date], None] | None = None
+
+    @property
+    def ledger_dir(self) -> str:
+        return os.path.join(self.root, "ledger")
+
+    # ---------------- ledger ----------------
+
+    def read_ledger(self) -> DataFrame:
+        """The lineage/metrics table. Empty frame if nothing ran yet."""
+        if not os.path.isdir(self.ledger_dir) or not os.listdir(self.ledger_dir):
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.parquet(self.ledger_dir)
+
+    def completed_units(self) -> set[tuple[str, dt.date]]:
+        ledger = self.read_ledger()
+        if ledger.isEmpty():
+            return set()
+        done = (
+            ledger.groupBy("tier", "day")
+            .agg(F.max(F.struct("finished_at", "state")).alias("last"))
+            .select("tier", "day", F.col("last.state").alias("state"))
+            .filter(F.col("state") == "done")
+            .collect()
+        )
+        return {(r["tier"], r["day"]) for r in done}
+
+    def _append_ledger(self, row: dict) -> None:
+        self.spark.createDataFrame([tuple(row[k] for k in [
+            "tier", "day", "state", "source", "input_rows", "output_rows",
+            "wall_s", "attempt", "job_id", "finished_at",
+        ])], LEDGER_SCHEMA).coalesce(1).write.mode("append").parquet(self.ledger_dir)
+
+    # ---------------- materialisation ----------------
+
+    def _raw_days(self, raw: DataFrame) -> list[dt.date]:
+        rows = raw.select(F.to_date(self.ts_col).alias("d")).distinct().collect()
+        return sorted(r["d"] for r in rows)
+
+    def materialize(self, raw: DataFrame, days: Sequence[dt.date] | None = None) -> dict:
+        """Incrementally materialise all tiers for the given days
+        (default: every day present in ``raw``). Resumable: units already
+        marked done in the ledger are skipped. Returns run metrics."""
+        job_id = uuidlib.uuid4().hex[:12]
+        days = list(days) if days is not None else self._raw_days(raw)
+        done = self.completed_units()
+        computed, skipped = [], []
+
+        for tier_i, tier in enumerate(self.tiers):
+            finer = self.tiers[tier_i - 1] if tier_i > 0 else None
+            for day in days:
+                if (tier, day) in done:
+                    skipped.append((tier, day))
+                    continue
+                if self.on_unit_start is not None:
+                    self.on_unit_start(tier, day)
+                self._materialize_unit(raw, tier, finer, day, job_id)
+                computed.append((tier, day))
+        return {"job_id": job_id, "computed": computed, "skipped": skipped}
+
+    def _materialize_unit(
+        self, raw: DataFrame, tier: str, finer: str | None, day: dt.date, job_id: str
+    ) -> None:
+        t0 = time.time()
+        attempt = 1  # a retry loop would bump this; kept explicit for lineage
+        day_start = dt.datetime.combine(day, dt.time.min)
+        day_end = day_start + dt.timedelta(days=1)
+
+        if finer is None:
+            source = "raw"
+            ts = F.col(self.ts_col)
+            unit_input = raw.filter((ts >= F.lit(day_start)) & (ts < F.lit(day_end)))
+            partials = R.partial_aggregate(
+                unit_input,
+                self.value_cols,
+                entity_col=self.entity_col,
+                ts_col=self.ts_col,
+                order_col=self.order_col,
+                tier=tier,
+                salt_partitions=self.salt_partitions,
+            )
+        else:
+            source = f"tier:{finer}"
+            unit_input = self.read_tier_day(finer, day)
+            partials = R.rollup(
+                unit_input, self.value_cols, to_tier=tier, entity_col=self.entity_col
+            )
+
+        out_dir = _day_dir(self.root, tier, day)
+        tmp_dir = out_dir + f".tmp-{job_id}"
+        partials.write.mode("overwrite").parquet(tmp_dir)
+        output_rows = self.spark.read.parquet(tmp_dir).count()
+        input_rows = unit_input.count()
+        # partition-atomic publish (what an Iceberg commit gives us for real)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp_dir, out_dir)
+
+        self._append_ledger(
+            {
+                "tier": tier,
+                "day": day,
+                "state": "done",
+                "source": source,
+                "input_rows": input_rows,
+                "output_rows": output_rows,
+                "wall_s": time.time() - t0,
+                "attempt": attempt,
+                "job_id": job_id,
+                "finished_at": dt.datetime.now(),
+            }
+        )
+
+    # ---------------- reads ----------------
+
+    def read_tier_day(self, tier: str, day: dt.date) -> DataFrame:
+        return self.spark.read.parquet(_day_dir(self.root, tier, day))
+
+    def read_tier(self, tier: str) -> DataFrame:
+        base = os.path.join(self.root, "partials", f"tier={tier}")
+        days = sorted(d for d in os.listdir(base) if d.startswith("day="))
+        paths = [os.path.join(base, d) for d in days]
+        return self.spark.read.parquet(*paths)
+
+    def read_points(self, tier: str) -> DataFrame:
+        """Finalised rolled-up points for a tier."""
+        return R.finalize(self.read_tier(tier), self.value_cols, entity_col=self.entity_col)
+
+    # ---------------- retention ----------------
+
+    def apply_retention(self, keep_days: dict[str, int], now: dt.date) -> list[tuple[str, str]]:
+        """Drop day partitions older than each tier's horizon. Returns the
+        (tier, day) partitions removed. Typical policy keeps 1m briefly,
+        1h longer, 1d forever: {'1m': 7, '1h': 90}."""
+        removed: list[tuple[str, str]] = []
+        for tier, keep in keep_days.items():
+            cutoff = now - dt.timedelta(days=keep)
+            base = os.path.join(self.root, "partials", f"tier={tier}")
+            if not os.path.isdir(base):
+                continue
+            for entry in sorted(os.listdir(base)):
+                if not entry.startswith("day="):
+                    continue
+                day = dt.date.fromisoformat(entry.split("=", 1)[1])
+                if day < cutoff:
+                    shutil.rmtree(os.path.join(base, entry))
+                    removed.append((tier, entry))
+        return removed
