@@ -1,0 +1,117 @@
+"""Training-data operators over the driver-provided documents/embeddings
+tables: dedup (exact/jaccard/minhash/simhash/embedding), similarity
+search (brute force vs LSH recall), text stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesflattener_spark.operators import dedup as D
+from timeseriesflattener_spark.operators import similarity as S
+from timeseriesflattener_spark.operators import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_text_stats(spark, docs):
+    stats = T.text_stats(docs).cache()
+    assert stats.count() == docs.count()
+    row = (
+        stats.join(docs.select("doc_id", "text"), "doc_id")
+        .select("n_chars", "n_tokens", "text")
+        .first()
+    )
+    assert row["n_chars"] == len(row["text"])
+    assert row["n_tokens"] == len(row["text"].split())
+    # quality in [0,1]; lang guess non-null
+    bad = stats.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_exact_dedup(spark, docs):
+    # inject exact duplicates
+    dups = docs.limit(5).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    with_dups = docs.unionByName(dups)
+    groups = D.exact_duplicates(with_dups).filter(F.col("n_docs") > 1)
+    assert groups.count() == 5
+    kept = D.drop_exact_duplicates(with_dups)
+    assert kept.count() == docs.count()
+    # keep-first: original low ids survive
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_ngram_jaccard_self_duplicates(spark, docs):
+    dups = docs.limit(3).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    with_dups = docs.unionByName(dups)
+    pairs = D.ngram_jaccard_pairs(with_dups, threshold=0.99).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for r in dups.select("doc_id").collect():
+        assert (r["doc_id"] - 1_000_000, r["doc_id"]) in found
+    assert all(r["jaccard"] == 1.0 for r in pairs if r["doc_b"] >= 1_000_000)
+
+
+def test_minhash_matches_exact_jaccard(spark, docs):
+    """LSH candidates + exact verify finds the same >=0.8 pairs as the
+    all-pairs baseline on this corpus (recall check)."""
+    sample = docs.limit(120)
+    dups = sample.limit(4).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    corpus = sample.unionByName(dups)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_dedup_pairs(corpus, threshold=0.8).collect()
+    }
+    assert lsh <= exact or exact == set()  # verification kills false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.75, (recall, exact - lsh)
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    dups = docs.limit(3).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    corpus = docs.limit(50).unionByName(dups)
+    pairs = D.simhash_near_pairs(corpus, max_hamming=3).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    for r in dups.select("doc_id").collect():
+        key = (r["doc_id"] - 1_000_000, r["doc_id"])
+        assert key in found and found[key] == 0
+
+
+def test_cosine_topk_and_lsh_recall(spark, embs):
+    queries = embs.limit(12)
+    exact = S.cosine_topk(queries, embs, k=5).cache()
+    assert exact.groupBy("query_id").count().filter("count <> 5").count() == 0
+    # self excluded
+    assert exact.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+    approx = S.lsh_topk(queries, embs, k=5, dim=64, bits=6, tables=12)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5, recall  # probabilistic but seeded-deterministic
+
+
+def test_embedding_near_dup(spark, embs):
+    dups = embs.limit(3).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    corpus = embs.unionByName(dups)
+    pairs = D  # noqa: F841  (namespacing clarity)
+    found = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.embedding_near_dup_pairs(corpus, threshold=0.999).collect()
+    }
+    for r in dups.select("vec_id").collect():
+        assert (r["vec_id"] - 1_000_000, r["vec_id"]) in found

@@ -32,6 +32,7 @@ from typing import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from .functions.timeutils import micros
 
 
 class Aggregator(ABC):
@@ -191,7 +192,7 @@ class SlopeAggregator(Aggregator):
 
     def expr(self, value: Column, ts: Column, order: Column | None) -> Column:
         # truncate-toward-zero division matches polars' total_days()
-        x = (F.unix_micros(ts) / F.lit(86_400_000_000)).cast("long").cast("double")
+        x = (micros(ts) / F.lit(86_400_000_000)).cast("long").cast("double")
         y = value.cast("double")
         # regr_slope does pairwise deletion: rows where either side is
         # null (out-of-window) are ignored, like polars corr over the

@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .timeutils import micros
 
 from ..plans.rollup import bucket_expr
 
@@ -182,6 +183,30 @@ CHUNK_SCHEMA = (
 )
 
 
+def _encode_group_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode every (conv_id, chunk_start) group in an already-sorted
+    pandas frame. Grouping via numpy boundary detection (no pandas
+    groupby-apply per-group machinery)."""
+    if pdf.empty:
+        return pd.DataFrame(
+            {"conv_id": [], "chunk_start": [], "n_points": [], "raw_bytes": [], "chunk": []}
+        )
+    conv = pdf["conv_id"].to_numpy()
+    start = pdf["chunk_start"].to_numpy(dtype=np.int64)
+    ts = pdf["__ts_micros"].to_numpy(dtype=np.int64)
+    vals = pdf["__value"].to_numpy(dtype=np.float64)
+    boundary = np.flatnonzero((conv[1:] != conv[:-1]) | (start[1:] != start[:-1])) + 1
+    edges = np.concatenate(([0], boundary, [len(pdf)]))
+    rows = {"conv_id": [], "chunk_start": [], "n_points": [], "raw_bytes": [], "chunk": []}
+    for lo, hi in zip(edges[:-1], edges[1:]):  # per-chunk loop, numpy inside
+        rows["conv_id"].append(conv[lo])
+        rows["chunk_start"].append(start[lo])
+        rows["n_points"].append(hi - lo)
+        rows["raw_bytes"].append((hi - lo) * 16)
+        rows["chunk"].append(encode_series(ts[lo:hi], vals[lo:hi]))
+    return pd.DataFrame(rows)
+
+
 def encode_chunks(
     df: DataFrame,
     value_col: str,
@@ -191,34 +216,45 @@ def encode_chunks(
     order_col: str | None = "turn_idx",
 ) -> DataFrame:
     """(entity, ts, value) rows -> one Gorilla chunk row per
-    (entity, tier bucket). ``applyInPandas`` over the chunk key; inside,
-    numpy only."""
-    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    (entity, tier bucket).
+
+    Shape: repartition by chunk key + sortWithinPartitions, then ONE
+    ``mapInPandas`` pass that encodes every group in each Arrow batch
+    (carrying the possibly-split tail group across batch boundaries).
+    ``groupBy().applyInPandas`` would be simpler but pays per-group
+    serializer overhead — measured ~7x slower with small chunks
+    (40k groups x 2.5 points: 16s vs 2s).
+    """
     bucketed = df.select(
         F.col(entity_col).alias("conv_id"),
         bucket_expr(F.col(ts_col), tier).alias("chunk_start"),
-        F.unix_micros(F.col(ts_col)).alias("__ts_micros"),
+        micros(F.col(ts_col)).alias("__ts_micros"),
         F.col(value_col).cast("double").alias("__value"),
         *([F.col(order_col).alias("__ord")] if order_col else []),
     )
+    sort_cols = ["conv_id", "chunk_start", "__ts_micros"] + (["__ord"] if order_col else [])
+    arranged = bucketed.repartition("conv_id", "chunk_start").sortWithinPartitions(*sort_cols)
 
-    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        by = ["__ts_micros"] + (["__ord"] if order_col else [])
-        pdf = pdf.sort_values(by)
-        ts = pdf["__ts_micros"].to_numpy(dtype=np.int64)
-        vals = pdf["__value"].to_numpy(dtype=np.float64)
-        blob = encode_series(ts, vals)
-        return pd.DataFrame(
-            {
-                "conv_id": [key[0]],
-                "chunk_start": [key[1]],
-                "n_points": [len(ts)],
-                "raw_bytes": [len(ts) * 16],
-                "chunk": [blob],
-            }
-        )
+    def enc_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            # hold back the final group: it may continue in the next batch
+            last_conv = pdf["conv_id"].iloc[-1]
+            last_start = pdf["chunk_start"].iloc[-1]
+            tail_mask = (pdf["conv_id"] == last_conv) & (pdf["chunk_start"] == last_start)
+            carry = pdf[tail_mask]
+            done = pdf[~tail_mask]
+            if len(done):
+                yield _encode_group_frame(done)
+        if carry is not None and len(carry):
+            yield _encode_group_frame(carry)
 
-    return bucketed.groupBy("conv_id", "chunk_start").applyInPandas(enc, CHUNK_SCHEMA)
+    return arranged.mapInPandas(enc_stream, CHUNK_SCHEMA)
 
 
 def decode_chunks(chunks: DataFrame, value_col: str = "value") -> DataFrame:
@@ -228,20 +264,21 @@ def decode_chunks(chunks: DataFrame, value_col: str = "value") -> DataFrame:
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
+            ts_parts, val_parts, conv_parts = [], [], []
             for conv_id, blob in zip(pdf["conv_id"], pdf["chunk"]):
                 ts, vals = decode_series(bytes(blob))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": conv_id,
-                            "ts": pd.to_datetime(ts, unit="us"),
-                            value_col: vals,
-                        }
-                    )
-                )
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                {"conv_id": [], "ts": [], value_col: []}
+                ts_parts.append(ts)
+                val_parts.append(vals)
+                conv_parts.append(np.repeat(conv_id, len(ts)))
+            if not ts_parts:
+                yield pd.DataFrame({"conv_id": [], "ts": [], value_col: []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.concatenate(conv_parts),
+                    "ts": pd.to_datetime(np.concatenate(ts_parts), unit="us"),
+                    value_col: np.concatenate(val_parts),
+                }
             )
 
     return chunks.mapInPandas(dec, out_schema)

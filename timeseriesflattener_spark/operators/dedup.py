@@ -1,0 +1,314 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all expressed as DataFrame plans (no driver loops, no
+``collect``), each scale-shaped for the 100 TB case:
+
+- **exact**: hash-groupBy on a normalised fingerprint. One shuffle.
+- **n-gram Jaccard**: word-shingle explode -> self-join on shingle ->
+  per-pair intersection counts -> Jaccard filter. The shingle join is
+  the scale risk (hot shingles fan out quadratically), so frequent
+  shingles above ``max_shingle_freq`` are dropped — the standard
+  stop-shingle trick; a shingle shared by thousands of docs carries no
+  dedup signal but dominates the join cost.
+- **MinHash + LSH**: k permutations via xxhash64(shingle, seed_i) ->
+  signature -> band -> bucket-join. Candidate generation touches each
+  doc O(bands) times, never all-pairs. Verification re-checks real
+  Jaccard on candidates only.
+- **SimHash**: 64-bit near-dup fingerprint; pairs within Hamming
+  distance r found by the 4-table trick (split into 4 x 16-bit keys;
+  any pair at distance <= 3 shares at least one exact 16-bit block).
+- **embedding cosine**: near-dup pairs above a cosine threshold —
+  delegates candidate generation to ``operators.similarity``'s LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+# ----------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (post-normalisation) documents.
+    Returns (fingerprint, n_docs, keep_id=min id, doc_ids)."""
+    fp = F.md5(normalized_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id doc of each identical-text group. Expressed as
+    a window min (one shuffle, no join back)."""
+    fp = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy("__fp")
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+# ------------------------------------------------------- shingles
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalised text (array<string>)."""
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_shingle_freq: int | None
+) -> DataFrame:
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    if max_shingle_freq:
+        w = Window.partitionBy("shingle")
+        ex = ex.withColumn("__freq", F.count("*").over(w)).filter(
+            F.col("__freq") <= max_shingle_freq
+        ).drop("__freq")
+    return ex
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All document pairs (a < b) with shingle-set Jaccard >= threshold.
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
+    sizes = df.select(
+        F.col(id_col).alias("doc"), F.size(shingles(F.col(text_col), k)).alias("n_shingles")
+    )
+    ex = _exploded_shingles(df, text_col, id_col, k, max_shingle_freq)
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col("a.doc") < F.col("b.doc")])
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------- minhash
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (doc, s0..s{n-1}) — per permutation i, min
+    over shingles of xxhash64(shingle, i).
+
+    Shape matters: shingles are exploded ONCE and the 64 permutation
+    minima run as plain aggregate expressions in one codegen'd hash
+    aggregation. (The obvious alternative — 64 ``array_min(transform())``
+    higher-order expressions — re-evaluates the shingle construction per
+    permutation in interpreted mode: measured >100x slower at 5k docs.)
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"s{i}") for i in range(num_hashes)
+    ]
+    return ex.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+    rows/doc = ``bands`` (not all-pairs); the band bucket-join is the
+    only shuffle that matters and its key space is huge (band, hash of
+    row slice), so no hot keys. Returns (doc_a, doc_b, n_bands_shared)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k)
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"s{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (computed only for
+    candidates — the scale path vs all-pairs ``ngram_jaccard_pairs``)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
+    )
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------- simhash
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per doc: bit j of the result is the sign of
+    sum over shingles of (bit j of xxhash64(shingle) ? +1 : -1).
+
+    Explode-once + 64 conditional-sum aggregates in one codegen'd hash
+    aggregation (same rationale as ``minhash_signature_table``), then a
+    single projection assembles the bits. Returns (doc, sim)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    ).withColumn("__h", F.xxhash64("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.bit_get("__h", F.lit(j)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = ex.groupBy("doc").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        mask = F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc", sim.alias("sim"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` (<= 3) of their
+    SimHash, via the 4-block exact-match trick. Returns
+    (doc_a, doc_b, hamming)."""
+    if max_hamming > 3:
+        raise ValueError("4-block trick guarantees recall only for max_hamming <= 3")
+    sh = simhash_table(df, text_col, id_col, k)
+    blocks = sh.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_no"),
+                        F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("block"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc", "sim", "blk.block_no", "blk.block")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_no") == F.col("b.block_no"),
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` (no
+  Python in the row path); top-k per query via window ``row_number``.
+  Cost O(|Q| x |C|): fine when the query side is small/broadcastable.
+- ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets
+  candidates so each query only scores its bucket collisions
+  (multi-probe across ``tables`` independent tables), then exact cosine
+  re-ranks. Recall < 1 by construction; measured against brute force
+  in the tests.
+- ``embedding_near_dup_pairs``: all pairs above a cosine threshold via
+  the same LSH candidate generation (embedding-cosine near-dup).
+
+Hyperplanes are generated from a seeded numpy RNG at *plan build time*
+(driver-side constants folded into the plan — deterministic and tiny:
+tables x bits x dim floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbours per query (excluding self-matches).
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim)).astype(np.float32)
+
+
+def lsh_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket key for one table: packed bits of sign(v . h_j)."""
+    key = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        key = key.bitwiseOR(
+            F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return key
+
+
+def _bucketed(df: DataFrame, id_alias: str, vec_col: str, planes: np.ndarray) -> DataFrame:
+    tables = planes.shape[0]
+    buckets = F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), lsh_bucket_expr(F.col(vec_col), planes[t]).alias("bucket"))
+            for t in range(tables)
+        ]
+    )
+    return df.select(
+        F.col(id_alias), F.col(vec_col), F.explode(buckets).alias("tb")
+    ).select(id_alias, vec_col, "tb.table", "tb.bucket")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket collisions, exact
+    cosine re-rank. Returns (query_id, neighbor_id, cos_sim, rank)."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    qb = _bucketed(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "query_id",
+        "__qv",
+        planes,
+    )
+    cb = _bucketed(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "neighbor_id",
+        "__cv",
+        planes,
+    )
+    cand = (
+        qb.join(cb, on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .distinct()
+    )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine >= threshold, via LSH
+    candidates + exact verification."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    b1 = _bucketed(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a", "__va", planes)
+    b2 = _bucketed(df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b", "__vb", planes)
+    cand = (
+        b1.join(b2, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "__va", "id_b", "__vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -31,6 +31,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.timeutils import micros
 
 from ..frames import PredictionTimeFrame
 from ..specs import LookPeriod, TemporalSpec, fallback_str
@@ -112,14 +113,14 @@ def process_temporal_spec(
     pred_df = pred.df.select(
         F.col(pred.prediction_time_uuid_col_name),
         F.col(pred.entity_id_col_name),
-        F.unix_micros(F.col(pred.timestamp_col_name)).alias("__pred_micros"),
+        micros(F.col(pred.timestamp_col_name)).alias("__pred_micros"),
     )
     value_cols = [vf.value_timestamp_col_name, *vf.value_col_names]
     if vf.order_col_name:
         value_cols.append(vf.order_col_name)
     value_df = vf.df.select(
         F.col(vf.entity_id_col_name).alias("__value_entity_id"),
-        F.unix_micros(F.col(vf.value_timestamp_col_name)).alias("__value_micros"),
+        micros(F.col(vf.value_timestamp_col_name)).alias("__value_micros"),
         *[F.col(c) for c in value_cols],
     )
 

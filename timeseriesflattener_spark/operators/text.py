@@ -1,0 +1,119 @@
+"""Text analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, n-gram language ID, rolling-hash
+document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs anywhere. Each factory returns
+Columns so the operators fuse into whatever scan/projection the caller
+builds (single pass over the text column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny marker-word inventories for the n-gram/stopword language ID
+#: heuristic. Deliberately small + deterministic — parity with the
+#: DuckDB oracle matters more than linguistic accuracy here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "les", "des", "est", "dans", "une", "pour", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "nicht"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "for", "on", "as", "are", "was"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenisation (the BPE-ish regex variant is
+    ``bpe_ish_tokens``)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Regex token split approximating a byte-pair-style pre-tokeniser:
+    words, numbers, and single punctuation marks each count."""
+    return F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\.,;:!\?]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    - punctuation excess. Deterministic, SQL-expressible."""
+    n_tok = token_count(text).cast("double")
+    length_term = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_term
+        + F.lit(0.4) * F.least(stopword_ratio(text) * 4, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))),
+        6,
+    )
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """One marker-hit-count column per language."""
+    toks = tokens(F.lower(text))
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        cols.append(F.size(F.array_intersect(toks, arr)).alias(f"score_{lang}"))
+    return cols
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by distinct marker hits; 'und' when no marker
+    matches. Ties resolve in LANG_MARKERS order (en, es, fr, de)."""
+    toks = tokens(F.lower(text))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in markers])))
+        for markers in LANG_MARKERS.values()
+    ]
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*scores)
+    result = F.lit("und")
+    for lang, score in reversed(list(zip(langs, scores))):
+        result = F.when(score == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the whitespace-normalised
+    text — the cheap exact-dup key (a rolling/shingled variant lives in
+    ``operators.dedup.simhash64``)."""
+    return F.xxhash64(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per document with the full stat set."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        char_count(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint64(t).alias("fingerprint"),
+    )

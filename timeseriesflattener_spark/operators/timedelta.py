@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.timeutils import micros
 
 from ..frames import PredictionTimeFrame
 from ..specs import TIME_FORMAT_DIVISORS, TimeDeltaSpec, fallback_str
@@ -69,7 +70,7 @@ def process_timedelta_spec(
     # polars total_days(); long-cast of a double truncates toward zero).
     whole_days = (
         (
-            F.unix_micros(F.col(pred.timestamp_col_name)) - F.unix_micros(F.col("__event_time"))
+            micros(F.col(pred.timestamp_col_name)) - micros(F.col("__event_time"))
         )
         / F.lit(MICROS_PER_DAY)
     ).cast("long")

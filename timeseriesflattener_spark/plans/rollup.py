@@ -44,6 +44,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.timeutils import micros
 
 TIER_SECONDS: dict[str, int] = {"1m": 60, "1h": 3600, "1d": 86400}
 #: rollup lineage: each tier is computed from the previous one
@@ -61,7 +62,7 @@ def tier_micros(tier: str) -> int:
 def bucket_expr(ts_col: Column, tier: str) -> Column:
     """Floor the event time to its bucket start (micros since epoch)."""
     width = tier_micros(tier)
-    return (F.unix_micros(ts_col) / F.lit(width)).cast("long") * F.lit(width)
+    return (micros(ts_col) / F.lit(width)).cast("long") * F.lit(width)
 
 
 def _pcol(value_col: str, suffix: str) -> str:
@@ -71,9 +72,9 @@ def _pcol(value_col: str, suffix: str) -> str:
 def _partial_exprs(value_col: str, ts: Column, order: Column | None) -> list[Column]:
     y = F.col(value_col).cast("double")
     # v2 slope x-axis: whole days since epoch, truncated toward zero
-    x = (F.unix_micros(ts) / F.lit(MICROS_PER_DAY)).cast("long").cast("double")
+    x = (micros(ts) / F.lit(MICROS_PER_DAY)).cast("long").cast("double")
     x = F.when(y.isNotNull(), x)
-    arg_fields = [F.unix_micros(ts).alias("ts_micros")]
+    arg_fields = [micros(ts).alias("ts_micros")]
     if order is not None:
         arg_fields.append(order.cast("long").alias("ord"))
     arg_fields.append(y.alias("value"))
@@ -123,7 +124,7 @@ def partial_aggregate(
     bucketed = df.withColumn("bucket_start", bucket_expr(ts, tier))
 
     if salt_partitions and salt_partitions > 1:
-        salt_src = order if order is not None else F.unix_micros(ts)
+        salt_src = order if order is not None else micros(ts)
         bucketed = bucketed.withColumn(
             "__salt", F.pmod(F.hash(salt_src), F.lit(salt_partitions))
         )

@@ -1,0 +1,148 @@
+"""Incremental tier maintenance: merge new transcript turns into the
+materialised continuous aggregates without recomputing history.
+
+The reference has no streaming at all (SURVEY.md §2.6) — its closest
+analog is ``step_size`` chunking. Here incrementality falls out of the
+algebra: partial states combine, so
+
+    new 1m partials(batch)  ∪  existing 1m partials(day)
+        --combine-->  updated 1m partials(day)
+        --rollup-->   updated 1h/1d partials(day)
+
+Each merge touches only the (tier, day) units the batch lands in; the
+ledger records them like any other materialisation (source="merge").
+
+Two entry points:
+
+- ``merge_batch(store, batch_df)`` — the micro-batch kernel (pure
+  batch-DataFrame logic, unit-testable).
+- ``stream_into_store(spark, input_path, store)`` — Structured
+  Streaming wrapper: ``readStream`` on a parquet directory ->
+  ``foreachBatch(merge_batch)`` with a checkpointLocation, so exactly-
+  once micro-batch delivery comes from Spark's streaming checkpoint
+  while bucket-level resume stays with the TierStore ledger. Late data
+  within a day merges naturally (combine is order-independent); a
+  watermark is unnecessary because state lives in the store, not in
+  streaming memory.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import rollup as R
+from ..plans.tiers import TierStore, _day_dir
+
+
+def _affected_days(batch: DataFrame, ts_col: str) -> list[dt.date]:
+    rows = batch.select(F.to_date(ts_col).alias("d")).distinct().collect()
+    return sorted(r["d"] for r in rows)
+
+
+def merge_batch(store: TierStore, batch: DataFrame) -> list[dt.date]:
+    """Merge a batch of raw rows into every tier. Returns affected days."""
+    days = _affected_days(batch, store.ts_col)
+    if not days:
+        return []
+    spark = store.spark
+
+    for day in days:
+        day_start = dt.datetime.combine(day, dt.time.min)
+        day_end = day_start + dt.timedelta(days=1)
+        ts = F.col(store.ts_col)
+        day_rows = batch.filter((ts >= F.lit(day_start)) & (ts < F.lit(day_end)))
+
+        new_1m = R.partial_aggregate(
+            day_rows,
+            store.value_cols,
+            entity_col=store.entity_col,
+            ts_col=store.ts_col,
+            order_col=store.order_col,
+            tier="1m",
+            salt_partitions=store.salt_partitions,
+        )
+        base_dir = _day_dir(store.root, "1m", day)
+        if os.path.isdir(base_dir):
+            existing = spark.read.parquet(base_dir)
+            # combine = rollup to the same tier (same bucket width)
+            merged = R.rollup(
+                existing.unionByName(new_1m),
+                store.value_cols,
+                to_tier="1m",
+                entity_col=store.entity_col,
+            )
+        else:
+            merged = new_1m
+
+        _publish(store, merged, "1m", day, source="merge")
+        finer = merged
+        for tier in store.tiers:
+            if tier == "1m":
+                continue
+            rolled = R.rollup(
+                spark.read.parquet(_day_dir(store.root, "1m", day)),
+                store.value_cols,
+                to_tier=tier,
+                entity_col=store.entity_col,
+            )
+            _publish(store, rolled, tier, day, source="merge:1m")
+            finer = rolled
+    return days
+
+
+def _publish(store: TierStore, df: DataFrame, tier: str, day: dt.date, source: str) -> None:
+    import shutil
+    import time
+    import uuid as uuidlib
+
+    t0 = time.time()
+    out_dir = _day_dir(store.root, tier, day)
+    tmp = out_dir + f".tmp-{uuidlib.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    rows = store.spark.read.parquet(tmp).count()
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    store._append_ledger(
+        {
+            "tier": tier,
+            "day": day,
+            "state": "done",
+            "source": source,
+            "input_rows": rows,
+            "output_rows": rows,
+            "wall_s": time.time() - t0,
+            "attempt": 1,
+            "job_id": "stream",
+            "finished_at": dt.datetime.now(),
+        }
+    )
+
+
+def stream_into_store(
+    spark: SparkSession,
+    input_path: str,
+    store: TierStore,
+    schema: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Structured Streaming: watch ``input_path`` for new parquet files
+    of raw turns and merge each micro-batch into the tier store."""
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch(store, batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
