@@ -1,0 +1,64 @@
+"""v1-compatible facade (legacy TimeseriesFlattener API)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from timeseriesflattener_spark.legacy import TimeseriesFlattener, expand_group_spec
+from timeseriesflattener_spark.specs import PredictorSpec
+from timeseriesflattener_spark.testing import rows_as_dicts, str_to_df
+
+
+def test_legacy_add_spec_and_age(spark):
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-03\n2,2021-01-03")
+    values = str_to_df(
+        spark,
+        """entity_id,value,timestamp
+        1,1,2021-01-01
+        1,2,2021-01-02
+        1,4,2021-01-03""",
+    )
+    dob = str_to_df(spark, "entity_id,date_of_birth\n1,2000-01-03\n2,1990-01-03")
+
+    flattener = TimeseriesFlattener(prediction_times_df=pred)
+    flattener.add_spec(
+        PredictorSpec.from_primitives(
+            df=values,
+            entity_id_col_name="entity_id",
+            lookbehind_days=[1],
+            aggregators=["mean"],
+            fallback=float("nan"),
+        )
+    )
+    flattener.add_age_from_date_of_birth(dob)
+    rows = {r["entity_id"]: r for r in rows_as_dicts(flattener.get_df())}
+    assert rows[1]["pred_value_within_0_to_1_days_mean_fallback_nan"] == 3.0
+    assert math.isnan(rows[2]["pred_value_within_0_to_1_days_mean_fallback_nan"])
+    # age: 2021-01-03 - 2000-01-03 = 7671 days / 365.25
+    assert rows[1]["pred_age_years_fallback_nan"] == 7671 / 365.25
+
+
+def test_legacy_incident_outcome(spark):
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-01\n1,2021-08-01")
+    outcomes = str_to_df(spark, "entity_id,timestamp\n1,2021-01-20")
+    flattener = TimeseriesFlattener(prediction_times_df=pred)
+    flattener.add_incident_outcome(outcomes, lookahead_days=30)
+    rows = rows_as_dicts(flattener.get_df())
+    # the 2021-08-01 pred time is after the outcome -> dropped
+    assert len(rows) == 1
+    assert rows[0]["outc_incident"] == 1
+
+
+def test_expand_group_spec(spark):
+    a = str_to_df(spark, "entity_id,value,timestamp\n1,1,2021-01-01")
+    b = str_to_df(spark, "entity_id,value,timestamp\n1,2,2021-01-01")
+    specs = expand_group_spec(
+        {"hba1c": a, "hdl": b},
+        lookdistance_days=[30, 365],
+        aggregators=["mean", "max"],
+        fallbacks=[0],
+    )
+    assert len(specs) == 2  # one per (df, fallback)
+    assert all(len(s.normalised_lookperiod) == 2 for s in specs)
+    assert {s.value_frame.value_col_names[0] for s in specs} == {"hba1c", "hdl"}

@@ -1,0 +1,212 @@
+"""v1-compatible facade: the reference's legacy ``TimeseriesFlattener``
+API (``v1/flattened_dataset.py:50-833``) mapped onto the v2-style Spark
+engine, mirroring the reference's own bridge (``specs/from_legacy.py:45-110``).
+
+Covers the legacy surface a reference v1 user calls:
+
+- ``add_spec`` / ``add_age_from_date_of_birth`` / ``add_incident_outcome``
+- ``get_df`` computes everything queued
+
+Group specs (the v1 Cartesian product of dataframes x lookdistances x
+aggregators x fallbacks, ``v1/feature_specs/group_specs.py:29-130``) are
+covered by ``expand_group_spec``.
+
+Known reference bug NOT replicated: the legacy bridge maps ``latest`` ->
+``EarliestAggregator`` (``specs/from_legacy.py:68-70``); here ``latest``
+means latest.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .flattener import Flattener
+from .frames import PredictionTimeFrame, StaticFrame, TimestampValueFrame, ValueFrame
+from .operators.incident import add_incident_outcome
+from .specs import (
+    OutcomeSpec,
+    PredictorSpec,
+    StaticSpec,
+    TimeDeltaSpec,
+    ValueSpecification,
+)
+from .aggregators import strings_to_aggregators
+
+
+def expand_group_spec(
+    dfs: dict[str, DataFrame],
+    lookdistance_days: Sequence[float | tuple[float, float]],
+    aggregators: Sequence[str],
+    fallbacks: Sequence[float],
+    direction: str = "behind",
+    entity_id_col_name: str = "entity_id",
+    value_timestamp_col_name: str = "timestamp",
+) -> list[ValueSpecification]:
+    """Cartesian product of {named df x lookdistance x aggregator x
+    fallback} -> one spec per (df, fallback); lookdistances and
+    aggregators fan out *within* a spec (they produce distinct columns),
+    matching ``v1/feature_specs/group_specs.py:112-130``."""
+    specs: list[ValueSpecification] = []
+    for (name, df), fallback in itertools.product(dfs.items(), fallbacks):
+        renamed = df.withColumnRenamed("value", name) if "value" in df.columns else df
+        frame = ValueFrame(
+            df=renamed,
+            entity_id_col_name=entity_id_col_name,
+            value_timestamp_col_name=value_timestamp_col_name,
+        )
+        lookdistances = [
+            (dt.timedelta(days=d[0]), dt.timedelta(days=d[1]))
+            if isinstance(d, tuple)
+            else dt.timedelta(days=d)
+            for d in lookdistance_days
+        ]
+        aggs = strings_to_aggregators(aggregators)
+        if direction == "behind":
+            specs.append(
+                PredictorSpec(
+                    value_frame=frame,
+                    lookbehind_distances=lookdistances,
+                    aggregators=aggs,
+                    fallback=fallback,
+                )
+            )
+        else:
+            specs.append(
+                OutcomeSpec(
+                    value_frame=frame,
+                    lookahead_distances=lookdistances,
+                    aggregators=aggs,
+                    fallback=fallback,
+                )
+            )
+    return specs
+
+
+@dataclass
+class TimeseriesFlattener:
+    """Legacy add_spec/get_df surface over the Spark engine."""
+
+    prediction_times_df: DataFrame
+    entity_id_col_name: str = "entity_id"
+    timestamp_col_name: str = "timestamp"
+    n_workers: int | None = None  # ignored: Spark parallelism
+    drop_pred_times_with_insufficient_look_distance: bool = False
+    _specs: list[ValueSpecification] = field(default_factory=list)
+    _incident_outcomes: list[dict] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self._pred_frame = PredictionTimeFrame(
+            df=self.prediction_times_df,
+            entity_id_col_name=self.entity_id_col_name,
+            timestamp_col_name=self.timestamp_col_name,
+        )
+
+    # ------------------------------------------------ legacy adders
+
+    def add_spec(self, spec: ValueSpecification | Sequence[ValueSpecification]) -> None:
+        if isinstance(spec, (list, tuple)):
+            self._specs.extend(spec)
+        else:
+            self._specs.append(spec)
+
+    def add_age_from_date_of_birth(
+        self,
+        date_of_birth_df: DataFrame,
+        date_of_birth_col_name: str = "date_of_birth",
+        output_prefix: str = "pred",
+    ) -> None:
+        """v1 add_age (``v1/flattened_dataset.py:760-811``): age in years
+        at prediction time, fallback NaN."""
+        self._specs.append(
+            TimeDeltaSpec(
+                init_frame=TimestampValueFrame(
+                    df=date_of_birth_df,
+                    entity_id_col_name=self.entity_id_col_name,
+                    value_timestamp_col_name=date_of_birth_col_name,
+                ),
+                fallback=float("nan"),
+                output_name="age",
+                column_prefix=output_prefix,
+                time_format="years",
+            )
+        )
+
+    def add_static_spec(self, df: DataFrame, column_prefix: str = "pred", fallback=None) -> None:
+        self._specs.append(
+            StaticSpec(
+                value_frame=StaticFrame(df=df, entity_id_col_name=self.entity_id_col_name),
+                column_prefix=column_prefix,
+                fallback=fallback,
+            )
+        )
+
+    def add_incident_outcome(
+        self,
+        outcome_df: DataFrame,
+        lookahead_days: float,
+        timestamp_col_name: str = "timestamp",
+        output_col: str = "outc_incident",
+    ) -> None:
+        """v1 incident outcome (``v1/flattened_dataset.py:563-605``)."""
+        self._incident_outcomes.append(
+            {
+                "frame": TimestampValueFrame(
+                    df=outcome_df,
+                    entity_id_col_name=self.entity_id_col_name,
+                    value_timestamp_col_name=timestamp_col_name,
+                ),
+                "lookahead": dt.timedelta(days=lookahead_days),
+                "output_col": output_col,
+            }
+        )
+
+    # ------------------------------------------------ compute
+
+    def get_df(self) -> DataFrame:
+        pred = self._pred_frame
+        for inc in self._incident_outcomes:
+            pred_df = add_incident_outcome(
+                pred, inc["frame"], inc["lookahead"], output_col=inc["output_col"]
+            )
+            pred = PredictionTimeFrame(
+                df=pred_df,
+                entity_id_col_name=pred.entity_id_col_name,
+                timestamp_col_name=pred.timestamp_col_name,
+                prediction_time_uuid_col_name=pred.prediction_time_uuid_col_name,
+            )
+        if not self._specs:
+            return pred.df
+        out = Flattener(predictiontime_frame=pred).aggregate_timeseries(self._specs)
+        df = out.df
+        if self.drop_pred_times_with_insufficient_look_distance:
+            # conservative variant of v1's drop (:629-666): bound by the
+            # union of all temporal specs' value-frame ranges
+            from .operators.incident import filter_sufficient_lookdistance
+
+            for spec in self._specs:
+                if isinstance(spec, (PredictorSpec, OutcomeSpec)):
+                    lookdistances = [
+                        lp.last - lp.first for lp in spec.normalised_lookperiod
+                    ]
+                    maxd = max(lookdistances)
+                    behind = isinstance(spec, PredictorSpec)
+                    kept = filter_sufficient_lookdistance(
+                        PredictionTimeFrame(
+                            df=df,
+                            entity_id_col_name=pred.entity_id_col_name,
+                            timestamp_col_name=pred.timestamp_col_name,
+                            prediction_time_uuid_col_name=pred.prediction_time_uuid_col_name,
+                        ),
+                        spec.value_frame.df,
+                        spec.value_frame.value_timestamp_col_name,
+                        lookbehind=maxd if behind else None,
+                        lookahead=None if behind else maxd,
+                    )
+                    df = kept
+        return df

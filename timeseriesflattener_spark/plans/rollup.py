@@ -69,17 +69,14 @@ def _pcol(value_col: str, suffix: str) -> str:
     return f"{value_col}__{suffix}"
 
 
-def _partial_exprs(value_col: str, ts: Column, order: Column | None) -> list[Column]:
+def _partial_exprs(
+    value_col: str, ts: Column, order: Column | None, argminmax: str = "struct"
+) -> list[Column]:
     y = F.col(value_col).cast("double")
     # v2 slope x-axis: whole days since epoch, truncated toward zero
     x = (micros(ts) / F.lit(MICROS_PER_DAY)).cast("long").cast("double")
     x = F.when(y.isNotNull(), x)
-    arg_fields = [micros(ts).alias("ts_micros")]
-    if order is not None:
-        arg_fields.append(order.cast("long").alias("ord"))
-    arg_fields.append(y.alias("value"))
-    arg = F.when(y.isNotNull(), F.struct(*arg_fields))
-    return [
+    base = [
         F.count(y).alias(_pcol(value_col, "n")),
         F.sum(y).alias(_pcol(value_col, "sum")),
         F.min(y).alias(_pcol(value_col, "min")),
@@ -88,14 +85,35 @@ def _partial_exprs(value_col: str, ts: Column, order: Column | None) -> list[Col
         F.sum(x).alias(_pcol(value_col, "sx")),
         F.sum(x * x).alias(_pcol(value_col, "sxx")),
         F.sum(x * y).alias(_pcol(value_col, "sxy")),
+    ]
+    if argminmax == "primitive":
+        # all-primitive argmin/argmax: min_by/max_by keep the whole
+        # aggregation in whole-stage-codegen HashAggregate. Exact when
+        # timestamps are unique per (entity, bucket) — guaranteed for
+        # transcripts (strictly increasing ts per conv_id); the struct
+        # mode resolves ties by the order column but forces
+        # SortAggregate (~3x slower on the partial pass, measured).
+        tsm = F.when(y.isNotNull(), micros(ts))
+        return base + [
+            F.min(tsm).alias(_pcol(value_col, "earliest_ts")),
+            F.min_by(y, tsm).alias(_pcol(value_col, "earliest_v")),
+            F.max(tsm).alias(_pcol(value_col, "latest_ts")),
+            F.max_by(y, tsm).alias(_pcol(value_col, "latest_v")),
+        ]
+    arg_fields = [micros(ts).alias("ts_micros")]
+    if order is not None:
+        arg_fields.append(order.cast("long").alias("ord"))
+    arg_fields.append(y.alias("value"))
+    arg = F.when(y.isNotNull(), F.struct(*arg_fields))
+    return base + [
         F.min(arg).alias(_pcol(value_col, "earliest")),
         F.max(arg).alias(_pcol(value_col, "latest")),
     ]
 
 
-def _combine_exprs(value_col: str) -> list[Column]:
+def _combine_exprs(value_col: str, primitive: bool = False) -> list[Column]:
     c = lambda s: F.col(_pcol(value_col, s))  # noqa: E731
-    return [
+    base = [
         F.sum(c("n")).alias(_pcol(value_col, "n")),
         F.sum(c("sum")).alias(_pcol(value_col, "sum")),
         F.min(c("min")).alias(_pcol(value_col, "min")),
@@ -104,9 +122,22 @@ def _combine_exprs(value_col: str) -> list[Column]:
         F.sum(c("sx")).alias(_pcol(value_col, "sx")),
         F.sum(c("sxx")).alias(_pcol(value_col, "sxx")),
         F.sum(c("sxy")).alias(_pcol(value_col, "sxy")),
+    ]
+    if primitive:
+        return base + [
+            F.min(c("earliest_ts")).alias(_pcol(value_col, "earliest_ts")),
+            F.min_by(c("earliest_v"), c("earliest_ts")).alias(_pcol(value_col, "earliest_v")),
+            F.max(c("latest_ts")).alias(_pcol(value_col, "latest_ts")),
+            F.max_by(c("latest_v"), c("latest_ts")).alias(_pcol(value_col, "latest_v")),
+        ]
+    return base + [
         F.min(c("earliest")).alias(_pcol(value_col, "earliest")),
         F.max(c("latest")).alias(_pcol(value_col, "latest")),
     ]
+
+
+def _is_primitive_schema(partials: DataFrame, value_cols) -> bool:
+    return _pcol(list(value_cols)[0], "earliest_ts") in partials.columns
 
 
 def partial_aggregate(
@@ -117,10 +148,18 @@ def partial_aggregate(
     order_col: str | None = "turn_idx",
     tier: str = "1m",
     salt_partitions: int | None = None,
+    argminmax: str = "primitive",
 ) -> DataFrame:
-    """Raw events -> one partial-state row per (entity, bucket)."""
+    """Raw events -> one partial-state row per (entity, bucket).
+
+    ``argminmax='primitive'`` (default) keeps earliest/latest as
+    min_by/max_by on the timestamp — whole-stage-codegen HashAggregate,
+    exact when timestamps are unique per entity (transcripts are);
+    ``'struct'`` resolves timestamp ties by the order column at the cost
+    of SortAggregate execution."""
     ts = F.col(ts_col)
     order = F.col(order_col) if order_col else None
+    primitive = argminmax == "primitive"
     bucketed = df.withColumn("bucket_start", bucket_expr(ts, tier))
 
     if salt_partitions and salt_partitions > 1:
@@ -128,12 +167,12 @@ def partial_aggregate(
         bucketed = bucketed.withColumn(
             "__salt", F.pmod(F.hash(salt_src), F.lit(salt_partitions))
         )
-        exprs = [e for vc in value_cols for e in _partial_exprs(vc, ts, order)]
+        exprs = [e for vc in value_cols for e in _partial_exprs(vc, ts, order, argminmax)]
         stage1 = bucketed.groupBy(entity_col, "bucket_start", "__salt").agg(*exprs)
-        combine = [e for vc in value_cols for e in _combine_exprs(vc)]
+        combine = [e for vc in value_cols for e in _combine_exprs(vc, primitive)]
         return stage1.groupBy(entity_col, "bucket_start").agg(*combine)
 
-    exprs = [e for vc in value_cols for e in _partial_exprs(vc, ts, order)]
+    exprs = [e for vc in value_cols for e in _partial_exprs(vc, ts, order, argminmax)]
     return bucketed.groupBy(entity_col, "bucket_start").agg(*exprs)
 
 
@@ -147,7 +186,8 @@ def rollup(
     never touches raw data. Exact for every stat in the partial schema."""
     width = tier_micros(to_tier)
     coarser = (F.col("bucket_start") / F.lit(width)).cast("long") * F.lit(width)
-    combine = [e for vc in value_cols for e in _combine_exprs(vc)]
+    primitive = _is_primitive_schema(partials, value_cols)
+    combine = [e for vc in value_cols for e in _combine_exprs(vc, primitive)]
     return (
         partials.withColumn("bucket_start", coarser)
         .groupBy(entity_col, "bucket_start")
@@ -168,6 +208,7 @@ def finalize(
     {c}_has_values`` — numerically equal to running the reference
     aggregators over the bucket's raw rows (see tests).
     """
+    primitive = _is_primitive_schema(partials, value_cols)
     out: list[Column] = [F.col(entity_col), F.col("bucket_start")]
     if include_bucket_ts:
         out.append(F.timestamp_micros(F.col("bucket_start")).alias("bucket_ts"))
@@ -185,8 +226,16 @@ def finalize(
             F.when(n > 0, s / n).alias(f"{vc}_mean"),
             F.when(n > 1, (sumsq - s * s / n) / (n - F.lit(1))).alias(f"{vc}_var"),
             F.when((n > 1) & (var_x != 0), (sxy - sx * s / n) / var_x).alias(f"{vc}_slope"),
-            F.col(_pcol(vc, "earliest")).getField("value").alias(f"{vc}_earliest"),
-            F.col(_pcol(vc, "latest")).getField("value").alias(f"{vc}_latest"),
+            (
+                F.col(_pcol(vc, "earliest_v"))
+                if primitive
+                else F.col(_pcol(vc, "earliest")).getField("value")
+            ).alias(f"{vc}_earliest"),
+            (
+                F.col(_pcol(vc, "latest_v"))
+                if primitive
+                else F.col(_pcol(vc, "latest")).getField("value")
+            ).alias(f"{vc}_latest"),
             (n > 0).alias(f"{vc}_has_values"),
         ]
     return partials.select(*out)

@@ -135,6 +135,11 @@ class TierStore:
             source = "raw"
             ts = F.col(self.ts_col)
             unit_input = raw.filter((ts >= F.lit(day_start)) & (ts < F.lit(day_end)))
+            # NOTE: do NOT pre-repartition raw by entity here — the map-side
+            # combiner already reduces what the groupBy exchange carries;
+            # an explicit repartition would shuffle the full raw rows
+            # (measured slower), and each tier materialises via parquet so
+            # exchange reuse across tiers never applies.
             partials = R.partial_aggregate(
                 unit_input,
                 self.value_cols,
