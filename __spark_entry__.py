@@ -413,6 +413,56 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(docs, payload_col="payload", id_col="doc_id")
 
 
+def q_flatten_incident_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 incident-outcome semantics over the first error per user."""
+    from timeseriesflattener_spark.operators.incident import add_incident_outcome
+
+    first_error = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("outc_ts"))
+    )
+    # early pred date: with the default probe dates every user's first
+    # error already happened and all rows drop (degenerate)
+    events = _t(spark, sf_dir, "events")
+    pred = PredictionTimeFrame(
+        df=events.select("user_id").distinct().select(
+            F.col("user_id"), F.lit("2024-01-02 00:00:00").cast("timestamp").alias("pred_ts")
+        ),
+        entity_id_col_name="user_id",
+        timestamp_col_name="pred_ts",
+    )
+    out = add_incident_outcome(
+        pred,
+        TimestampValueFrame(
+            df=first_error, entity_id_col_name="user_id", value_timestamp_col_name="outc_ts"
+        ),
+        lookahead=D30,
+        output_col="incident_30d",
+    )
+    return out.select("user_id", "pred_ts", "incident_30d")
+
+
+def q_rollup_aligned_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free sliding window over 1h tier partials (6-bucket lookback)."""
+    from timeseriesflattener_spark.plans.fastpath import flatten_aligned
+
+    p1h = R.partial_aggregate(_events_as_conv(spark, sf_dir), ["value"], tier="1h")
+    out = flatten_aligned(p1h, ["value"], lookback_buckets=6, tier="1h")
+    return out.select(
+        "conv_id",
+        "bucket_start",
+        F.col("value_count"),
+        F.round("value_sum", 4).alias("value_sum"),
+        F.col("value_min"),
+        F.col("value_max"),
+        F.round("value_mean", 4).alias("value_mean"),
+        F.col("value_earliest"),
+        F.col("value_latest"),
+    )
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return (
@@ -484,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
+        "flatten_incident_outcome": q_flatten_incident_outcome,
+        "rollup_aligned_window": q_rollup_aligned_window,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_revenue_by_nation": q_tpch_revenue_by_nation,
     }
@@ -679,6 +731,31 @@ QUALIFY rank <= 10""",
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256_hex
 FROM documents""",
+        "flatten_incident_outcome": """
+WITH pred AS (SELECT DISTINCT user_id, TIMESTAMP '2024-01-02 00:00:00' AS pred_ts FROM events),
+err AS (SELECT user_id, min(ts) AS outc_ts FROM events WHERE event_type = 'error' GROUP BY user_id)
+SELECT p.user_id, p.pred_ts,
+  CASE WHEN e.outc_ts IS NOT NULL AND e.outc_ts > p.pred_ts
+            AND e.outc_ts <= p.pred_ts + INTERVAL 30 DAY THEN 1 ELSE 0 END AS incident_30d
+FROM pred p LEFT JOIN err e ON p.user_id = e.user_id
+WHERE e.outc_ts IS NULL OR p.pred_ts < e.outc_ts""",
+        "rollup_aligned_window": """
+WITH b AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         (epoch_us(ts)//3600000000)*3600000000 AS bk, ts, value
+  FROM events),
+anchors AS (SELECT DISTINCT conv_id, bk FROM b)
+SELECT a.conv_id, a.bk AS bucket_start,
+  count(e.value) AS value_count,
+  round(sum(e.value), 4) AS value_sum,
+  min(e.value) AS value_min,
+  max(e.value) AS value_max,
+  round(avg(e.value), 4) AS value_mean,
+  min_by(e.value, e.ts) AS value_earliest,
+  max_by(e.value, e.ts) AS value_latest
+FROM anchors a JOIN b e
+  ON e.conv_id = a.conv_id AND e.bk BETWEEN a.bk - 5*3600000000 AND a.bk
+GROUP BY a.conv_id, a.bk""",
         "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 4) AS sum_qty,

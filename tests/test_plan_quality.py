@@ -1,0 +1,104 @@
+"""Plan-shape guards: catch regressions that would silently wreck the
+100 TB story even while small-data results stay correct."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from timeseriesflattener_spark import (
+    Flattener,
+    PredictionTimeFrame,
+    PredictorSpec,
+    StaticFrame,
+    StaticSpec,
+    ValueFrame,
+    strings_to_aggregators,
+)
+from timeseriesflattener_spark.plans import rollup as R
+from timeseriesflattener_spark.sources.transcripts import derive_channels, synthesize_transcripts
+from timeseriesflattener_spark.testing import str_to_df
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_temporal_flatten_is_one_join_one_agg(spark):
+    pred_frame = str_to_df(spark, "entity_id,pred_timestamp\n1,2021-01-03")
+    value_frame = str_to_df(
+        spark, "entity_id,value,timestamp\n1,1,2021-01-01\n1,2,2021-01-02"
+    )
+    out = Flattener(predictiontime_frame=PredictionTimeFrame(df=pred_frame)).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=ValueFrame(df=value_frame),
+                lookbehind_distances=[dt.timedelta(days=1), dt.timedelta(days=30)],
+                aggregators=strings_to_aggregators(["mean", "max", "count", "sum"]),
+                fallback=0,
+            )
+        ]
+    )
+    from timeseriesflattener_spark.operators.temporal import process_temporal_spec
+
+    spec = PredictorSpec(
+        value_frame=ValueFrame(df=value_frame),
+        lookbehind_distances=[dt.timedelta(days=1), dt.timedelta(days=30)],
+        aggregators=strings_to_aggregators(["mean", "max", "count", "sum"]),
+        fallback=0,
+    )
+    plan = _plan(process_temporal_spec(spec, PredictionTimeFrame(df=pred_frame)))
+    # 2 windows x 4 aggregators fused into ONE join + ONE aggregation
+    assert plan.count("Join") == 1, plan
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate") + plan.count(
+        "ObjectHashAggregate"
+    )
+    assert n_aggs <= 2, plan  # partial + final of the same aggregation
+    # the union-of-windows range is pushed into the join condition
+    assert "__value_micros" in plan and "__pred_micros" in plan
+
+
+def test_static_join_is_broadcast(spark):
+    pred_frame = str_to_df(spark, "entity_id,pred_timestamp\n1,2021-01-03")
+    static_frame = str_to_df(spark, "entity_id,sex\n1,female")
+    from timeseriesflattener_spark.operators.static import process_static_spec
+
+    spec = StaticSpec(
+        value_frame=StaticFrame(df=static_frame), column_prefix="pred", fallback=0
+    )
+    plan = _plan(process_static_spec(spec, PredictionTimeFrame(df=pred_frame)))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tier_partials_are_hash_aggregated(spark):
+    ch = derive_channels(synthesize_transcripts(spark, n_conversations=20, seed=3))
+    p = R.partial_aggregate(ch, ["text_len", "n_tokens"], tier="1m")
+    plan = _plan(p)
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # map-side partial combine present (partial_ prefix in agg functions)
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+def test_rollup_chain_no_extra_exchange_than_needed(spark):
+    ch = derive_channels(synthesize_transcripts(spark, n_conversations=20, seed=3))
+    p1m = R.partial_aggregate(ch, ["text_len"], tier="1m")
+    p1d = R.rollup(R.rollup(p1m, ["text_len"], to_tier="1h"), ["text_len"], to_tier="1d")
+    plan = _plan(p1d)
+    # one exchange per aggregation boundary, no more (3 aggs -> <=3)
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    path = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("user_id") == 3)
+        .select("user_id", "ts", "value")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:80], plan
+    # column pruning: text-free 3-column read schema
+    assert "event_type" not in plan.split("ReadSchema")[1][:200], plan
