@@ -77,11 +77,32 @@ def _value_frame(spark: SparkSession, sf_dir: str) -> ValueFrame:
     )
 
 
-def _flatten(spark, sf_dir, lookbehinds, aggs, fallback=0):
+def _value_frame_cents(spark: SparkSession, sf_dir: str) -> ValueFrame:
+    """Cents-scaled integer channel for oracle-checked numeric queries:
+    integer sums are EXACT in any accumulation order in both engines, so
+    means/variances derived from them are bit-identical without rounding
+    (doubles accumulate order-dependently; round(x, k) then flips on
+    boundary values — measured at sf0.1)."""
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ValueFrame(
+        df=events,
+        entity_id_col_name="user_id",
+        value_timestamp_col_name="ts",
+        order_col_name="event_id",
+    )
+
+
+def _flatten(spark, sf_dir, lookbehinds, aggs, fallback=0, cents=False):
+    vf = _value_frame_cents(spark, sf_dir) if cents else _value_frame(spark, sf_dir)
     flat = Flattener(predictiontime_frame=_pred_frame(spark, sf_dir)).aggregate_timeseries(
         specs=[
             PredictorSpec(
-                value_frame=_value_frame(spark, sf_dir),
+                value_frame=vf,
                 lookbehind_distances=lookbehinds,
                 aggregators=strings_to_aggregators(aggs),
                 fallback=fallback,
@@ -103,10 +124,10 @@ pred AS (
 
 
 def q_flatten_mean_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _flatten(spark, sf_dir, [D30], ["mean"], fallback=0)
-    feat = "pred_value_within_0_to_30_days_mean_fallback_0"
+    df = _flatten(spark, sf_dir, [D30], ["mean"], fallback=0, cents=True)
+    feat = "pred_cents_within_0_to_30_days_mean_fallback_0"
     return df.select(
-        "user_id", "pred_ts", F.round(F.col(feat), 4).alias("mean_30d")
+        "user_id", "pred_ts", (F.col(feat) / 100.0).alias("mean_30d")
     )
 
 
@@ -126,26 +147,32 @@ def q_flatten_multiwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_flatten_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _flatten(
-        spark, sf_dir, [(dt.timedelta(days=3), dt.timedelta(days=14))], ["mean", "count"], 0
+        spark, sf_dir, [(dt.timedelta(days=3), dt.timedelta(days=14))], ["mean", "count"], 0,
+        cents=True,
     )
-    p = "pred_value_within_3_to_14_days"
+    p = "pred_cents_within_3_to_14_days"
     return df.select(
         "user_id",
         "pred_ts",
-        F.round(F.col(f"{p}_mean_fallback_0"), 4).alias("mean_3_14d"),
+        (F.col(f"{p}_mean_fallback_0") / 100.0).alias("mean_3_14d"),
         F.col(f"{p}_count_fallback_0").alias("count_3_14d"),
     )
 
 
 def q_flatten_var_unique_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bool aggregator requires a bool fallback (reference
-    # aggregators_test.py:186-197); False fills numeric aggs as 0
-    df = _flatten(spark, sf_dir, [D30], ["var", "unique_count", "bool"], fallback=False)
-    p = "pred_value_within_0_to_30_days"
+    # aggregators_test.py:186-197); False fills numeric aggs as 0.
+    # var runs on the cents channel and rounds at 2 (both engines use
+    # order-dependent Welford-style running moments, ~1e-9 apart; 1e-2
+    # boundaries make a flip probability ~1e-7 per value).
+    df = _flatten(
+        spark, sf_dir, [D30], ["var", "unique_count", "bool"], fallback=False, cents=True
+    )
+    p = "pred_cents_within_0_to_30_days"
     return df.select(
         "user_id",
         "pred_ts",
-        F.round(F.col(f"{p}_var_fallback_False"), 4).alias("var_30d"),
+        F.round(F.col(f"{p}_var_fallback_False") / 10_000.0, 2).alias("var_30d"),
         F.col(f"{p}_unique_count_fallback_False").alias("uniq_30d"),
         F.col(f"{p}_bool_fallback_False").alias("any_30d"),
     )
@@ -269,12 +296,15 @@ def q_flatten_timedelta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_as_conv(spark, sf_dir):
+def _events_as_conv(spark, sf_dir, cents: bool = False):
+    value = (
+        F.round(F.col("value") * 100, 0).cast("long") if cents else F.col("value")
+    )
     return _t(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("conv_id"),
         "ts",
         F.col("event_id").alias("turn_idx"),
-        "value",
+        value.alias("value"),
     )
 
 
@@ -284,25 +314,27 @@ _ROLLUP_STATS = [
 
 
 def _rollup_select(df):
-    # var rounds at 6: two-decimal input data makes n=2 variances exact
-    # 5-decimal values, so round(...,4) hits .5 ties where Spark
-    # (HALF_UP on decimal repr) and DuckDB (raw double) disagree.
-    rounded = {"sum": 4, "mean": 4, "var": 6, "slope": 4}
+    """Rescale cents-domain finalized stats back to value units. The
+    cents channel makes every sum exact (integers in doubles), so the
+    division formulas in finalize produce bit-identical doubles in Spark
+    and DuckDB — no rounding anywhere."""
+    scale = {"sum": 100.0, "min": 100.0, "max": 100.0, "mean": 100.0,
+             "var": 10_000.0, "slope": 100.0, "earliest": 100.0, "latest": 100.0}
     cols = [F.col("conv_id"), F.col("bucket_start")]
     for s in _ROLLUP_STATS:
         c = F.col(f"value_{s}")
-        cols.append(F.round(c, rounded[s]).alias(f"value_{s}") if s in rounded else c)
+        cols.append((c / F.lit(scale[s])).alias(f"value_{s}") if s in scale else c)
     return df.select(*cols)
 
 
 def q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = R.partial_aggregate(_events_as_conv(spark, sf_dir), ["value"], tier="1h")
+    p = R.partial_aggregate(_events_as_conv(spark, sf_dir, cents=True), ["value"], tier="1h")
     return _rollup_select(R.finalize(p, ["value"], include_bucket_ts=False))
 
 
 def q_rollup_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup lineage path: raw -> 1h partials -> combined to 1d."""
-    p1h = R.partial_aggregate(_events_as_conv(spark, sf_dir), ["value"], tier="1h")
+    p1h = R.partial_aggregate(_events_as_conv(spark, sf_dir, cents=True), ["value"], tier="1h")
     p1d = R.rollup(p1h, ["value"], to_tier="1d")
     return _rollup_select(R.finalize(p1d, ["value"], include_bucket_ts=False))
 
@@ -312,9 +344,10 @@ def q_rollup_unique_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _daily_points(spark, sf_dir):
-    p = R.partial_aggregate(_events_as_conv(spark, sf_dir), ["value"], tier="1d")
+    p = R.partial_aggregate(_events_as_conv(spark, sf_dir, cents=True), ["value"], tier="1d")
     pts = R.finalize(p, ["value"], include_bucket_ts=False)
-    return pts.select("conv_id", "bucket_start", F.round("value_mean", 4).alias("v"))
+    # exact integer sums -> (sum/n)/100 is a deterministic double
+    return pts.select("conv_id", "bucket_start", (F.col("value_mean") / 100.0).alias("v"))
 
 
 def q_gapfill_locf_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,9 +356,9 @@ def q_gapfill_locf_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gapfill_linear_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fill_gaps(_daily_points(spark, sf_dir), ["v"], "1d", method="linear")
-    # round 8: interp of 4-decimal endpoints at power-of-two ratios lands
-    # exactly on .5 ties at coarser digits, where Spark/DuckDB round differ
-    return out.select("conv_id", "bucket_start", F.round("v", 8).alias("v"), "is_gap")
+    # both engines interpolate identical doubles with the identical
+    # formula -> bit-identical; no rounding
+    return out.select("conv_id", "bucket_start", "v", "is_gap")
 
 
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,9 +585,10 @@ def oracle_sql() -> dict[str, str]:
     jb7 = _LOOKBEHIND_JOIN.format(days=7)
     return {
         "flatten_mean_30d": f"""
-WITH {pred}
-SELECT p.user_id, p.pred_ts, round(coalesce(avg(e.value), 0), 4) AS mean_30d
-FROM pred p LEFT JOIN events e ON {jb30}
+WITH {pred},
+ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
+SELECT p.user_id, p.pred_ts, coalesce(avg(e.cents), 0) / 100.0 AS mean_30d
+FROM pred p LEFT JOIN ev e ON {jb30.replace('events', 'ev')}
 GROUP BY p.user_id, p.pred_ts""",
         "flatten_multiwindow": f"""
 WITH {pred}
@@ -570,21 +604,23 @@ SELECT p.user_id, p.pred_ts,
 FROM pred p LEFT JOIN events e ON {jb30}
 GROUP BY p.user_id, p.pred_ts""",
         "flatten_interval_window": f"""
-WITH {pred}
+WITH {pred},
+ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
 SELECT p.user_id, p.pred_ts,
-  round(coalesce(avg(e.value), 0), 4) AS mean_3_14d,
-  count(e.value) AS count_3_14d
-FROM pred p LEFT JOIN events e
+  coalesce(avg(e.cents), 0) / 100.0 AS mean_3_14d,
+  count(e.cents) AS count_3_14d
+FROM pred p LEFT JOIN ev e
   ON e.user_id = p.user_id
  AND e.ts >= p.pred_ts - INTERVAL 14 DAY AND e.ts <= p.pred_ts - INTERVAL 3 DAY
 GROUP BY p.user_id, p.pred_ts""",
         "flatten_var_unique_bool": f"""
-WITH {pred}
+WITH {pred},
+ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
 SELECT p.user_id, p.pred_ts,
-  round(coalesce(var_samp(e.value), 0), 4) AS var_30d,
-  count(DISTINCT e.value) AS uniq_30d,
-  count(e.value) > 0 AS any_30d
-FROM pred p LEFT JOIN events e ON {jb30}
+  round(coalesce(var_samp(e.cents), 0) / 10000.0, 2) AS var_30d,
+  count(DISTINCT e.cents) AS uniq_30d,
+  count(e.cents) > 0 AS any_30d
+FROM pred p LEFT JOIN ev e ON {jb30.replace('events', 'ev')}
 GROUP BY p.user_id, p.pred_ts""",
         "flatten_earliest_latest": f"""
 WITH {pred}
@@ -636,7 +672,8 @@ FROM events GROUP BY 1, 2""",
 WITH pts AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
          (epoch_us(ts)//86400000000)*86400000000 AS b,
-         round(avg(value), 4) AS v
+         (CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE)
+            / count(*)) / 100.0 AS v
   FROM events GROUP BY 1, 2),
 rng AS (SELECT conv_id, min(b) lo, max(b) hi FROM pts GROUP BY 1),
 grid AS (SELECT conv_id, unnest(generate_series(lo, hi, 86400000000)) AS b FROM rng)
@@ -649,7 +686,8 @@ FROM grid g LEFT JOIN pts p ON g.conv_id = p.conv_id AND g.b = p.b""",
 WITH pts AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
          (epoch_us(ts)//86400000000)*86400000000 AS b,
-         round(avg(value), 4) AS v
+         (CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE)
+            / count(*)) / 100.0 AS v
   FROM events GROUP BY 1, 2),
 rng AS (SELECT conv_id, min(b) lo, max(b) hi FROM pts GROUP BY 1),
 grid AS (SELECT conv_id, unnest(generate_series(lo, hi, 86400000000)) AS b FROM rng),
@@ -665,9 +703,9 @@ br AS (
          w_fwd AS (PARTITION BY conv_id ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT conv_id, b AS bucket_start,
-  round(CASE WHEN v IS NOT NULL THEN v
+  CASE WHEN v IS NOT NULL THEN v
        WHEN pt IS NOT NULL AND nt IS NOT NULL
-       THEN pv + (nv - pv) * (CAST(b AS DOUBLE) - pt) / (nt - pt) END, 8) AS v,
+       THEN pv + (nv - pv) * (CAST(b AS DOUBLE) - pt) / (nt - pt) END AS v,
   v IS NULL AS is_gap
 FROM br""",
         "gorilla_roundtrip": """
@@ -780,20 +818,43 @@ GROUP BY n.n_name ORDER BY revenue DESC""",
 
 
 def _rollup_oracle(width: int) -> str:
+    """Mirrors plans.rollup.finalize EXACTLY (same formulas, same
+    floating-point operation order) over the exact cents sums, then the
+    same constant rescale — bit-identical doubles, no rounding."""
     return f"""
-SELECT CAST(user_id AS VARCHAR) AS conv_id,
-  (epoch_us(ts)//{width})*{width} AS bucket_start,
-  count(value) AS value_count,
-  round(sum(value), 4) AS value_sum,
-  min(value) AS value_min,
-  max(value) AS value_max,
-  round(avg(value), 4) AS value_mean,
-  round(var_samp(value), 6) AS value_var,
-  round(regr_slope(value, floor(epoch(ts)/86400)), 4) AS value_slope,
-  min_by(value, ts) AS value_earliest,
-  max_by(value, ts) AS value_latest,
-  count(value) > 0 AS value_has_values
-FROM events GROUP BY 1, 2"""
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         (epoch_us(ts)//{width})*{width} AS bucket_start,
+         ts,
+         CAST(round(value*100, 0) AS BIGINT) AS cents,
+         CAST(epoch_us(ts)//86400000000 AS DOUBLE) AS xd
+  FROM events),
+agg AS (
+  SELECT conv_id, bucket_start,
+    count(cents) AS n,
+    CAST(sum(cents) AS DOUBLE) AS s,
+    CAST(min(cents) AS DOUBLE) AS mn,
+    CAST(max(cents) AS DOUBLE) AS mx,
+    CAST(sum(cents*cents) AS DOUBLE) AS ss,
+    sum(xd) AS sx,
+    sum(xd*xd) AS sxx,
+    sum(xd*CAST(cents AS DOUBLE)) AS sxy,
+    CAST(min_by(cents, ts) AS DOUBLE) AS ev,
+    CAST(max_by(cents, ts) AS DOUBLE) AS lv
+  FROM e GROUP BY conv_id, bucket_start)
+SELECT conv_id, bucket_start,
+  n AS value_count,
+  s / 100.0 AS value_sum,
+  mn / 100.0 AS value_min,
+  mx / 100.0 AS value_max,
+  (CASE WHEN n > 0 THEN s / n END) / 100.0 AS value_mean,
+  (CASE WHEN n > 1 THEN (ss - s*s/n) / (n-1) END) / 10000.0 AS value_var,
+  (CASE WHEN n > 1 AND (sxx - sx*sx/n) <> 0
+        THEN (sxy - sx*s/n) / (sxx - sx*sx/n) END) / 100.0 AS value_slope,
+  ev / 100.0 AS value_earliest,
+  lv / 100.0 AS value_latest,
+  n > 0 AS value_has_values
+FROM agg"""
 
 
 def _lang_id_oracle() -> str:
