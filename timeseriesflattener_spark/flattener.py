@@ -126,12 +126,32 @@ def _filtered_temporal_spec(spec: TemporalSpec, lo: dt.datetime, hi: dt.datetime
 class Flattener:
     predictiontime_frame: PredictionTimeFrame
     n_workers: int | None = None  # accepted for reference API compat; Spark ignores it
+    #: assert prediction_time_uuid uniqueness before aggregating. The
+    #: reference assumes it implicitly (positional concat misaligns on
+    #: duplicates, ``v1/flattened_ds_validator.py:27-32`` rejects dup
+    #: (entity, ts)); here duplicates would fan out the assembly join.
+    #: Costs one extra aggregation job — opt-in.
+    validate_unique_prediction_times: bool = False
 
     def aggregate_timeseries(
         self, specs: Sequence[ValueSpecification], step_size: dt.timedelta | None = None
     ) -> AggregatedFrame:
         _validate_specs(specs, self.predictiontime_frame)
         pred = self.predictiontime_frame
+        if self.validate_unique_prediction_times:
+            uuid_col = pred.prediction_time_uuid_col_name
+            dup = (
+                pred.df.groupBy(uuid_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(uuid_col)
+                .first()
+            )
+            if dup is not None:
+                raise SpecError(
+                    f"Duplicate prediction times: uuid {dup[0]!r} occurs more than "
+                    "once. Deduplicate the prediction-time frame first."
+                )
 
         if step_size is None:
             feature_dfs = [_process_one(spec, pred) for spec in specs]

@@ -70,9 +70,12 @@ def drop_exact_duplicates(
 # ------------------------------------------------------- shingles
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of the normalised text (array<string>)."""
-    toks = F.split(normalized_text(text), " ")
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a *bound token column*. Callers must
+    project the token array into a column first: an expression inside a
+    higher-order-function lambda is re-evaluated PER ELEMENT, so passing
+    ``split(regexp_replace(...))`` directly multiplies the normalisation
+    cost by the shingle count (measured 2.5x at 5k docs)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(
@@ -81,11 +84,28 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.array_join(toks, " "))))
 
 
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalised text (array<string>).
+    Convenience wrapper; prefer ``_with_shingles`` on the hot path."""
+    return shingles_from_tokens(F.split(normalized_text(text), " "), k)
+
+
+def _with_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc, __sh: array<string>) with token binding done as a projection."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
+        )
+        .select("doc", shingles_from_tokens(F.col("__toks"), k).alias("__sh"))
+    )
+
+
 def _exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int, max_shingle_freq: int | None
 ) -> DataFrame:
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    ex = _with_shingles(df, text_col, id_col, k).select(
+        "doc", F.explode("__sh").alias("shingle")
     )
     if max_shingle_freq:
         w = Window.partitionBy("shingle")
@@ -105,8 +125,8 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs (a < b) with shingle-set Jaccard >= threshold.
     Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
-    sizes = df.select(
-        F.col(id_col).alias("doc"), F.size(shingles(F.col(text_col), k)).alias("n_shingles")
+    sizes = _with_shingles(df, text_col, id_col, k).select(
+        "doc", F.size("__sh").alias("n_shingles")
     )
     ex = _exploded_shingles(df, text_col, id_col, k, max_shingle_freq)
     a, b = ex.alias("a"), ex.alias("b")
@@ -146,11 +166,14 @@ def minhash_signature_table(
     higher-order expressions — re-evaluates the shingle construction per
     permutation in interpreted mode: measured >100x slower at 5k docs.)
     """
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    ex = (
+        _with_shingles(df, text_col, id_col, k)
+        .select("doc", F.explode("__sh").alias("__shingle"))
+        # hash the string ONCE; permutations re-hash the 8-byte long
+        .select("doc", F.xxhash64("__shingle").alias("__h"))
     )
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"s{i}") for i in range(num_hashes)
+        F.min(F.xxhash64("__h", F.lit(i))).alias(f"s{i}") for i in range(num_hashes)
     ]
     return ex.groupBy("doc").agg(*aggs)
 
@@ -218,9 +241,7 @@ def minhash_dedup_pairs(
     """LSH candidates verified with exact Jaccard (computed only for
     candidates — the scale path vs all-pairs ``ngram_jaccard_pairs``)."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), k).alias("sh")
-    )
+    sh = _with_shingles(df, text_col, id_col, k).withColumnRenamed("__sh", "sh")
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -246,9 +267,11 @@ def simhash_table(
     Explode-once + 64 conditional-sum aggregates in one codegen'd hash
     aggregation (same rationale as ``minhash_signature_table``), then a
     single projection assembles the bits. Returns (doc, sim)."""
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
-    ).withColumn("__h", F.xxhash64("shingle"))
+    ex = (
+        _with_shingles(df, text_col, id_col, k)
+        .select("doc", F.explode("__sh").alias("__shingle"))
+        .select("doc", F.xxhash64("__shingle").alias("__h"))
+    )
     aggs = [
         F.sum(
             F.when(F.bit_get("__h", F.lit(j)) == 1, 1).otherwise(-1)
