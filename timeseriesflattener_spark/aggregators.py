@@ -153,13 +153,19 @@ def _ordered_struct(value: Column, ts: Column, order: Column | None) -> Column:
 class EarliestAggregator(Aggregator):
     """Value at the minimum in-window timestamp. Ref ``aggregators.py:126-139``.
 
-    Tie-break: order column if provided, else value (the reference takes
-    first-in-frame-order among ties, untestable distributed)."""
+    Without an order column: ``min_by(value, ts)`` — all-primitive
+    buffers, so the WHOLE fused aggregation stays in codegen'd
+    HashAggregate (struct min/max would demote every co-grouped
+    aggregator to SortAggregate). Timestamp ties resolve arbitrarily,
+    exactly as the reference's first-in-frame-order does distributed.
+    With an order column: deterministic struct-min tie-break."""
 
     name = "earliest"
     output_type = float
 
     def expr(self, value: Column, ts: Column, order: Column | None) -> Column:
+        if order is None:
+            return F.min_by(value, F.when(value.isNotNull(), ts))
         return F.min(_ordered_struct(value, ts, order)).getField("value")
 
 
@@ -169,12 +175,16 @@ class LatestAggregator(Aggregator):
     Note the reference's tie semantics (first in frame order among
     tied-max rows); with an order column we take the max (ts, ord) pair,
     i.e. the last event of the tied instant — deterministic and
-    consistent with ``latest``'s meaning on transcript turns."""
+    consistent with ``latest``'s meaning on transcript turns. Without an
+    order column, primitive ``max_by`` keeps the aggregation hash-based
+    (see EarliestAggregator)."""
 
     name = "latest"
     output_type = float
 
     def expr(self, value: Column, ts: Column, order: Column | None) -> Column:
+        if order is None:
+            return F.max_by(value, F.when(value.isNotNull(), ts))
         return F.max(_ordered_struct(value, ts, order)).getField("value")
 
 
