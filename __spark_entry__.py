@@ -52,6 +52,10 @@ D7, D30 = dt.timedelta(days=7), dt.timedelta(days=30)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver owns this session; session timezone is runtime-settable
+    # and bucket/epoch arithmetic (and the DuckDB oracle's epoch_us)
+    # assume UTC wall-clock semantics for the NTZ parquet timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

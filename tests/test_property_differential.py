@@ -1,0 +1,113 @@
+"""Property-based differential oracle: the Spark flattener vs an
+independent pure-Python implementation of the reference's v2 window
+semantics (closed interval, null-skipping aggregation, fallback on
+empty) over hypothesis-generated micro-series."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from timeseriesflattener_spark import (
+    Flattener,
+    PredictionTimeFrame,
+    PredictorSpec,
+    ValueFrame,
+    strings_to_aggregators,
+)
+
+BASE = dt.datetime(2021, 1, 1)
+
+value_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # entity
+        st.integers(min_value=0, max_value=240),        # hours offset
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+pred_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=240),
+    ),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+lookbehind_hours = st.integers(min_value=1, max_value=96)
+
+
+def _python_reference(values, preds, lb_hours, fallback):
+    """Independent implementation of v2 semantics."""
+    out = {}
+    for entity, pred_h in preds:
+        window = [
+            v
+            for (e, h, v) in values
+            if e == entity and v is not None and pred_h - lb_hours <= h <= pred_h
+        ]
+        out[(entity, pred_h)] = {
+            "mean": sum(window) / len(window) if window else fallback,
+            "count": len(window),
+            "min": min(window) if window else fallback,
+            "max": max(window) if window else fallback,
+            "sum": sum(window) if window else fallback,
+        }
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(values=value_rows, preds=pred_rows, lb=lookbehind_hours)
+def test_flattener_matches_python_reference(spark, values, preds, lb):
+    fallback = -999.0
+    vdf = spark.createDataFrame(
+        [
+            (e, BASE + dt.timedelta(hours=h), float(v) if v is not None else None)
+            for (e, h, v) in values
+        ],
+        "entity_id int, timestamp timestamp, value double",
+    )
+    pdf = spark.createDataFrame(
+        [(e, BASE + dt.timedelta(hours=h)) for (e, h) in preds],
+        "entity_id int, pred_timestamp timestamp",
+    )
+    result = Flattener(predictiontime_frame=PredictionTimeFrame(df=pdf)).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=ValueFrame(df=vdf),
+                lookbehind_distances=[dt.timedelta(hours=lb)],
+                aggregators=strings_to_aggregators(["mean", "count", "min", "max", "sum"]),
+                fallback=fallback,
+            )
+        ]
+    )
+    expected = _python_reference(values, preds, lb, fallback)
+    lp = f"0_to_{(-dt.timedelta(hours=lb)).days * -1}_days"  # floor naming
+    # derive the period string the engine produced (first/last .days floors)
+    first = -dt.timedelta(hours=lb)
+    lp = f"{abs(dt.timedelta(0).days)}_to_{abs(first.days)}_days"
+
+    rows = {
+        (r["entity_id"], int((r["pred_timestamp"] - BASE).total_seconds() // 3600)): r
+        for r in result.df.collect()
+    }
+    assert rows.keys() == expected.keys()
+    for key, exp in expected.items():
+        row = rows[key]
+        for agg in ["mean", "count", "min", "max", "sum"]:
+            got = row[f"pred_value_within_{lp}_{agg}_fallback_{fallback}"]
+            want = exp[agg]
+            if isinstance(want, float) and isinstance(got, float):
+                assert got == pytest.approx(want, rel=1e-9), (key, agg, got, want)
+            else:
+                assert got == want, (key, agg, got, want)
