@@ -153,22 +153,24 @@ class TierStore:
 
         for tier_i, tier in enumerate(self.tiers):
             finer = self.tiers[tier_i - 1] if tier_i > 0 else None
-            todo = []
-            for day in days:
-                if (tier, day) in done:
-                    skipped.append((tier, day))
-                    continue
-                if self.on_unit_start is not None:
-                    self.on_unit_start(tier, day)
-                todo.append(day)
+            todo = [day for day in days if (tier, day) not in done]
+            skipped.extend((tier, day) for day in days if (tier, day) in done)
             if not todo:
                 continue
             if bulk:
+                if self.on_unit_start is not None:
+                    for day in todo:
+                        self.on_unit_start(tier, day)
                 self._materialize_tier_bulk(raw, tier, finer, todo, job_id)
+                computed.extend((tier, day) for day in todo)
             else:
                 for day in todo:
+                    # callback immediately before each unit computes (the
+                    # kill/resume test seam relies on this interleaving)
+                    if self.on_unit_start is not None:
+                        self.on_unit_start(tier, day)
                     self._materialize_unit(raw, tier, finer, day, job_id)
-            computed.extend((tier, day) for day in todo)
+                    computed.append((tier, day))
         return {"job_id": job_id, "computed": computed, "skipped": skipped}
 
     def _materialize_tier_bulk(
