@@ -481,6 +481,53 @@ def q_flatten_incident_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "pred_ts", "incident_30d")
 
 
+def q_flatten_v1_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 window-endpoint semantics (``v1/flattened_dataset.py:266-273``):
+    the endpoint nearest the prediction instant is EXCLUSIVE —
+    behind: td >= -max AND td < -min; ahead: td > min AND td <= max.
+    Covers a simple lookbehind, an interval lookbehind, and a lookahead."""
+    vf = _value_frame_cents(spark, sf_dir)
+    # distinct value-column names: the engine (like the reference,
+    # main.py:37-51) rejects the same value column in two specs
+    vf_out = ValueFrame(
+        df=vf.df.withColumnRenamed("cents", "ocents"),
+        entity_id_col_name=vf.entity_id_col_name,
+        value_timestamp_col_name=vf.value_timestamp_col_name,
+        order_col_name=vf.order_col_name,
+    )
+    flat = Flattener(predictiontime_frame=_pred_frame(spark, sf_dir)).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=vf,
+                lookbehind_distances=[D30, (dt.timedelta(days=3), dt.timedelta(days=14))],
+                aggregators=strings_to_aggregators(["count", "sum"]),
+                fallback=0,
+                boundary="v1",
+            ),
+            OutcomeSpec(
+                value_frame=vf_out,
+                lookahead_distances=[D7],
+                aggregators=strings_to_aggregators(["count", "sum"]),
+                fallback=0,
+                boundary="v1",
+            ),
+        ]
+    )
+    pb30 = "pred_cents_within_0_to_30_days"
+    pb314 = "pred_cents_within_3_to_14_days"
+    pa7 = "outc_ocents_within_0_to_7_days"
+    return flat.df.select(
+        "user_id",
+        "pred_ts",
+        F.col(f"{pb30}_count_fallback_0").alias("count_b30"),
+        (F.col(f"{pb30}_sum_fallback_0") / 100.0).alias("sum_b30"),
+        F.col(f"{pb314}_count_fallback_0").alias("count_b3_14"),
+        (F.col(f"{pb314}_sum_fallback_0") / 100.0).alias("sum_b3_14"),
+        F.col(f"{pa7}_count_fallback_0").alias("count_a7"),
+        (F.col(f"{pa7}_sum_fallback_0") / 100.0).alias("sum_a7"),
+    )
+
+
 def q_rollup_aligned_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-free sliding window over 1h tier partials (6-bucket lookback)."""
     from timeseriesflattener_spark.plans.fastpath import flatten_aligned
@@ -571,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
+        "flatten_v1_boundary": q_flatten_v1_boundary,
         "flatten_incident_outcome": q_flatten_incident_outcome,
         "rollup_aligned_window": q_rollup_aligned_window,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -773,6 +821,26 @@ QUALIFY rank <= 10""",
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256_hex
 FROM documents""",
+        "flatten_v1_boundary": f"""
+WITH {pred},
+ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
+SELECT p.user_id, p.pred_ts,
+  count(CASE WHEN e.ts >= p.pred_ts - INTERVAL 30 DAY AND e.ts < p.pred_ts
+             THEN e.cents END) AS count_b30,
+  coalesce(sum(CASE WHEN e.ts >= p.pred_ts - INTERVAL 30 DAY AND e.ts < p.pred_ts
+             THEN e.cents END), 0) / 100.0 AS sum_b30,
+  count(CASE WHEN e.ts >= p.pred_ts - INTERVAL 14 DAY AND e.ts < p.pred_ts - INTERVAL 3 DAY
+             THEN e.cents END) AS count_b3_14,
+  coalesce(sum(CASE WHEN e.ts >= p.pred_ts - INTERVAL 14 DAY AND e.ts < p.pred_ts - INTERVAL 3 DAY
+             THEN e.cents END), 0) / 100.0 AS sum_b3_14,
+  count(CASE WHEN e.ts > p.pred_ts AND e.ts <= p.pred_ts + INTERVAL 7 DAY
+             THEN e.cents END) AS count_a7,
+  coalesce(sum(CASE WHEN e.ts > p.pred_ts AND e.ts <= p.pred_ts + INTERVAL 7 DAY
+             THEN e.cents END), 0) / 100.0 AS sum_a7
+FROM pred p LEFT JOIN ev e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.pred_ts - INTERVAL 30 DAY AND e.ts <= p.pred_ts + INTERVAL 7 DAY
+GROUP BY p.user_id, p.pred_ts""",
         "flatten_incident_outcome": """
 WITH pred AS (SELECT DISTINCT user_id, TIMESTAMP '2024-01-02 00:00:00' AS pred_ts FROM events),
 err AS (SELECT user_id, min(ts) AS outc_ts FROM events WHERE event_type = 'error' GROUP BY user_id)

@@ -21,22 +21,29 @@ def test_legacy_add_spec_and_age(spark):
     )
     dob = str_to_df(spark, "entity_id,date_of_birth\n1,2000-01-03\n2,1990-01-03")
 
-    flattener = TimeseriesFlattener(prediction_times_df=pred)
-    flattener.add_spec(
-        PredictorSpec.from_primitives(
-            df=values,
-            entity_id_col_name="entity_id",
-            lookbehind_days=[1],
-            aggregators=["mean"],
-            fallback=float("nan"),
+    def run(boundary):
+        flattener = TimeseriesFlattener(prediction_times_df=pred, boundary=boundary)
+        flattener.add_spec(
+            PredictorSpec.from_primitives(
+                df=values,
+                entity_id_col_name="entity_id",
+                lookbehind_days=[1],
+                aggregators=["mean"],
+                fallback=float("nan"),
+            )
         )
-    )
-    flattener.add_age_from_date_of_birth(dob)
-    rows = {r["entity_id"]: r for r in rows_as_dicts(flattener.get_df())}
-    assert rows[1]["pred_value_within_0_to_1_days_mean_fallback_nan"] == 3.0
+        flattener.add_age_from_date_of_birth(dob)
+        return {r["entity_id"]: r for r in rows_as_dicts(flattener.get_df())}
+
+    # default = v1 semantics (v1/flattened_dataset.py:266-273): the value
+    # AT the prediction instant (2021-01-03, value 4) is EXCLUDED -> mean 2.0
+    rows = run("v1")
+    assert rows[1]["pred_value_within_0_to_1_days_mean_fallback_nan"] == 2.0
     assert math.isnan(rows[2]["pred_value_within_0_to_1_days_mean_fallback_nan"])
     # age: 2021-01-03 - 2000-01-03 = 7671 days / 365.25
     assert rows[1]["pred_age_years_fallback_nan"] == 7671 / 365.25
+    # opt-in v2 closed windows include the prediction-instant value -> mean 3.0
+    assert run("v2")[1]["pred_value_within_0_to_1_days_mean_fallback_nan"] == 3.0
 
 
 def test_legacy_incident_outcome(spark):

@@ -141,3 +141,224 @@ def test_boundary_exact_endpoints_inclusive(spark):
     )
     row = rows_as_dicts(result.df)[0]
     assert row["pred_value_within_0_to_1_days_count_fallback_0"] == 2
+
+
+# ---------------------------------------------------------------- v1 boundary
+# Ports of ``v1/tests/.../test_flattened_dataset/test_add_values.py`` run
+# with boundary="v1" (the legacy engine's exclusive-near-endpoint filter,
+# ``v1/flattened_dataset.py:266-273``). Golden values are the reference
+# suite's expected_values verbatim.
+
+
+def _v1_predictor(spark, pred_csv, value_csv, lookbehind, agg="max", fallback=NAN):
+    pred_frame = str_to_df(spark, pred_csv)
+    result = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred_frame)
+    ).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=ValueFrame(df=str_to_df(spark, value_csv)),
+                lookbehind_distances=[lookbehind],
+                aggregators=strings_to_aggregators([agg]),
+                fallback=fallback,
+                boundary="v1",
+            )
+        ]
+    )
+    col = [c for c in result.df.columns if c.startswith("pred_value_within")][0]
+    return [r[col] for r in rows_as_dicts(result.df.orderBy("prediction_time_uuid"))]
+
+
+def _v1_outcome(spark, pred_csv, value_csv, lookahead, agg="max", fallback=NAN):
+    pred_frame = str_to_df(spark, pred_csv)
+    result = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred_frame)
+    ).aggregate_timeseries(
+        specs=[
+            OutcomeSpec(
+                value_frame=ValueFrame(df=str_to_df(spark, value_csv)),
+                lookahead_distances=[lookahead],
+                aggregators=strings_to_aggregators([agg]),
+                fallback=fallback,
+                boundary="v1",
+            )
+        ]
+    )
+    col = [c for c in result.df.columns if c.startswith("outc_value_within")][0]
+    return [r[col] for r in rows_as_dicts(result.df.orderBy("prediction_time_uuid"))]
+
+
+def test_v1_predictor_after_prediction_time(spark):
+    """Ref test_add_values.py:18-39: future value not in lookbehind -> NaN."""
+    out = _v1_predictor(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-12-31 00:00:00",
+        "entity_id,timestamp,value\n1,2022-01-01 00:00:01,1.0",
+        dt.timedelta(days=2),
+    )
+    assert math.isnan(out[0])
+
+
+def test_v1_predictor_before_prediction(spark):
+    """Ref :42-60: value ~1h before prediction, lookbehind 2d -> 1."""
+    out = _v1_predictor(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-12-31 00:00:00",
+        "entity_id,timestamp,value\n1,2021-12-30 22:59:59,1",
+        dt.timedelta(days=2),
+    )
+    assert out == [1.0]
+
+
+def test_v1_multiple_citizens_predictor(spark):
+    """Ref :63-89: expected [0, 1, 0, 2, NaN]."""
+    out = _v1_predictor(
+        spark,
+        """entity_id,pred_timestamp
+        1,2021-12-31 00:00:00
+        1,2022-01-02 00:00:00
+        5,2022-01-02 00:00:00
+        5,2022-01-05 00:00:00
+        6,2022-01-05 00:00:00""",
+        """entity_id,timestamp,value
+        1,2021-12-30 00:00:01,0
+        1,2022-01-01 00:00:00,1
+        5,2022-01-01 00:00:00,0
+        5,2022-01-04 00:00:01,2
+        7,2022-01-05 00:00:00,5""",
+        dt.timedelta(days=2),
+    )
+    assert out[0] == 0.0 and out[1] == 1.0 and out[2] == 0.0 and out[3] == 2.0
+    assert math.isnan(out[4])
+
+
+def test_v1_predictor_interval_lookperiod(spark):
+    """Ref :92-111: lookbehind (5,30) -> value 1.99d back excluded, 17d back kept."""
+    out = _v1_predictor(
+        spark,
+        "entity_id,pred_timestamp\n1,2022-01-01 00:00:00",
+        """entity_id,timestamp,value
+        1,2021-12-30 00:00:01,2
+        1,2021-12-15 00:00:00,1""",
+        (dt.timedelta(days=5), dt.timedelta(days=30)),
+    )
+    assert out == [1.0]
+
+
+def test_v1_event_after_prediction_time(spark):
+    """Ref :115-135: outcome 1d1s ahead, lookahead 2d -> 1."""
+    out = _v1_outcome(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-12-31 00:00:00",
+        "entity_id,timestamp,value\n1,2022-01-01 00:00:01,1",
+        dt.timedelta(days=2),
+    )
+    assert out == [1.0]
+
+
+def test_v1_event_before_prediction(spark):
+    """Ref :138-157: outcome 1s BEFORE prediction -> NaN."""
+    out = _v1_outcome(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-12-31 00:00:00",
+        "entity_id,timestamp,value\n1,2021-12-30 23:59:59,1.0",
+        dt.timedelta(days=2),
+    )
+    assert math.isnan(out[0])
+
+
+def test_v1_multiple_citizens_outcome(spark):
+    """Ref :160-184: expected [1, NaN, 1, NaN]."""
+    out = _v1_outcome(
+        spark,
+        """entity_id,pred_timestamp
+        1,2021-12-31 00:00:00
+        1,2022-01-02 00:00:00
+        5,2025-01-02 00:00:00
+        5,2025-08-05 00:00:00""",
+        """entity_id,timestamp,value
+        1,2021-12-31 00:00:01,1.0
+        1,2023-01-02 00:00:00,1.0
+        5,2025-01-03 00:00:00,1.0
+        5,2022-01-05 00:00:01,1.0""",
+        dt.timedelta(days=2),
+    )
+    assert out[0] == 1.0 and math.isnan(out[1]) and out[2] == 1.0 and math.isnan(out[3])
+
+
+def test_v1_outcome_interval_lookperiod_outside(spark):
+    """Ref :187-206: lookahead (2,10), value at exactly +1d -> fallback 0."""
+    out = _v1_outcome(
+        spark,
+        "entity_id,pred_timestamp\n1,2022-01-01 00:00:00",
+        "entity_id,timestamp,value\n1,2022-01-02 00:00:00,1",
+        (dt.timedelta(days=2), dt.timedelta(days=10)),
+        fallback=0,
+    )
+    assert out[0] == 0
+
+
+def test_v1_outcome_interval_lookperiod_inside(spark):
+    """Ref :209-228: lookahead (1,10), value at +2d -> 1."""
+    out = _v1_outcome(
+        spark,
+        "entity_id,pred_timestamp\n1,2022-01-01 00:00:00",
+        "entity_id,timestamp,value\n1,2022-01-03 00:00:00,1",
+        (dt.timedelta(days=1), dt.timedelta(days=10)),
+        fallback=0,
+    )
+    assert out[0] == 1
+
+
+def test_v1_citizen_without_outcome(spark):
+    """Ref :231-249: outcome belongs to another entity -> NaN."""
+    out = _v1_outcome(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-12-31 00:00:00",
+        "entity_id,timestamp,value\n0,2021-12-31 00:00:01,1.0",
+        dt.timedelta(days=2),
+    )
+    assert math.isnan(out[0])
+
+
+def test_v1_boundary_discriminating_cases(spark):
+    """The endpoints where v1 and v2 genuinely disagree
+    (v1/flattened_dataset.py:266-273 vs processors/temporal.py:75-77):
+    - value exactly AT the prediction instant: v1 behind EXcludes (td<0
+      fails), v1 ahead EXcludes (td>0 fails); v2 includes both.
+    - value exactly at the far endpoint: included under BOTH.
+    - interval lookbehind (5,30): value exactly 5d back is EXcluded
+      under v1 (td < -5d fails), included under v2."""
+    # behind, simple window
+    behind = _v1_predictor(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-12-31 00:00:00",
+        """entity_id,timestamp,value
+        1,2021-12-31 00:00:00,100
+        1,2021-12-29 00:00:00,7""",
+        dt.timedelta(days=2),
+        agg="max",
+    )
+    assert behind == [7.0]  # at-instant 100 excluded; far endpoint -2d kept
+    # ahead, simple window
+    ahead = _v1_outcome(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-12-31 00:00:00",
+        """entity_id,timestamp,value
+        1,2021-12-31 00:00:00,100
+        1,2022-01-02 00:00:00,7""",
+        dt.timedelta(days=2),
+        agg="max",
+    )
+    assert ahead == [7.0]  # at-instant 100 excluded; far endpoint +2d kept
+    # interval behind: near endpoint exclusive
+    interval = _v1_predictor(
+        spark,
+        "entity_id,pred_timestamp\n1,2022-01-31 00:00:00",
+        """entity_id,timestamp,value
+        1,2022-01-26 00:00:00,100
+        1,2022-01-01 00:00:00,7""",
+        (dt.timedelta(days=5), dt.timedelta(days=30)),
+        agg="max",
+    )
+    assert interval == [7.0]  # exactly-5d-back 100 excluded, exactly-30d kept

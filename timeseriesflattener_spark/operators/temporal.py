@@ -53,9 +53,27 @@ def feature_col_name(
     )
 
 
-def _within(lookperiod: LookPeriod, td: Column) -> Column:
-    """Both ends inclusive — v2 semantics (``processors/temporal.py:75-77``)."""
-    return (td >= F.lit(lookperiod.first_micros)) & (td <= F.lit(lookperiod.last_micros))
+def _within(
+    lookperiod: LookPeriod, td: Column, boundary: str = "v2", direction: str = "behind"
+) -> Column:
+    """Window membership predicate.
+
+    ``boundary="v2"``: both ends inclusive (``processors/temporal.py:75-77``).
+    ``boundary="v1"``: the endpoint nearest the prediction instant is
+    EXCLUSIVE, matching the legacy engine's filter
+    (``v1/flattened_dataset.py:266-273``):
+    behind -> ``td >= -max AND td < -min``  (here: ``first <= td < last``),
+    ahead  -> ``td > min AND td <= max``    (here: ``first < td <= last``).
+    The reference compares float days (seconds/86400); integer-microsecond
+    comparison is equivalent because the conversion is strictly monotonic
+    and the period bounds are exact microseconds.
+    """
+    lo, hi = F.lit(lookperiod.first_micros), F.lit(lookperiod.last_micros)
+    if boundary == "v1":
+        if direction == "behind":
+            return (td >= lo) & (td < hi)
+        return (td > lo) & (td <= hi)
+    return (td >= lo) & (td <= hi)
 
 
 def build_agg_exprs(spec: TemporalSpec, td: Column) -> list[Column]:
@@ -66,9 +84,11 @@ def build_agg_exprs(spec: TemporalSpec, td: Column) -> list[Column]:
     vf = spec.value_frame
     ts = F.col(vf.value_timestamp_col_name)
     order = F.col(vf.order_col_name) if vf.order_col_name else None
+    boundary = getattr(spec, "boundary", "v2")
+    direction = getattr(spec, "direction", "behind")
     exprs: list[Column] = []
     for lookperiod in spec.normalised_lookperiod:
-        cond = _within(lookperiod, td)
+        cond = _within(lookperiod, td, boundary, direction)
         masked_ts = F.when(cond, ts)
         for aggregator in spec.aggregators:
             for value_col in vf.value_col_names:

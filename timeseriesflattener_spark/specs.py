@@ -32,6 +32,14 @@ from .frames import PredictionTimeFrame, StaticFrame, TimestampValueFrame, Value
 Lookdistance = Union[dt.timedelta, "tuple[dt.timedelta, dt.timedelta]"]
 Fallback = Union[int, float, str, bool, None]
 
+#: Window-endpoint semantics. ``"v2"`` = both ends inclusive
+#: (reference ``processors/temporal.py:75-77``). ``"v1"`` = the endpoint
+#: nearest the prediction instant is EXCLUSIVE, matching the legacy
+#: engine's filter (``v1/flattened_dataset.py:266-273``):
+#: behind -> ``td >= -max AND td < -min``; ahead -> ``td > min AND td <= max``.
+#: In particular a value AT the prediction instant is excluded under v1.
+Boundary = Literal["v2", "v1"]
+
 MICROS_PER_DAY = 86_400_000_000
 
 
@@ -120,7 +128,9 @@ class PredictorSpec:
     aggregators: Sequence[Aggregator]
     fallback: Fallback
     column_prefix: str = "pred"
+    boundary: Boundary = "v2"
     normalised_lookperiod: list[LookPeriod] = field(init=False)
+    direction: str = field(init=False, default="behind")
 
     def __post_init__(self) -> None:
         self.normalised_lookperiod = [
@@ -137,6 +147,7 @@ class PredictorSpec:
         value_timestamp_col_name: str = "timestamp",
         column_prefix: str = "pred",
         fallback: Fallback = 0,
+        boundary: Boundary = "v2",
     ) -> "PredictorSpec":
         return PredictorSpec(
             value_frame=ValueFrame(
@@ -148,6 +159,7 @@ class PredictorSpec:
             aggregators=strings_to_aggregators(aggregators),
             fallback=fallback,
             column_prefix=column_prefix,
+            boundary=boundary,
         )
 
 
@@ -160,7 +172,9 @@ class OutcomeSpec:
     aggregators: Sequence[Aggregator]
     fallback: Fallback
     column_prefix: str = "outc"
+    boundary: Boundary = "v2"
     normalised_lookperiod: list[LookPeriod] = field(init=False)
+    direction: str = field(init=False, default="ahead")
 
     def __post_init__(self) -> None:
         self.normalised_lookperiod = [
@@ -176,6 +190,8 @@ class OutcomeSpec:
         aggregators: Sequence[str],
         value_timestamp_col_name: str = "timestamp",
         column_prefix: str = "outc",
+        fallback: Fallback = 0,
+        boundary: Boundary = "v2",
     ) -> "OutcomeSpec":
         return OutcomeSpec(
             value_frame=ValueFrame(
@@ -185,8 +201,9 @@ class OutcomeSpec:
             ),
             lookahead_distances=[_lookdistance_to_timedelta_days(d) for d in lookahead_days],
             aggregators=strings_to_aggregators(aggregators),
-            fallback=0,
+            fallback=fallback,
             column_prefix=column_prefix,
+            boundary=boundary,
         )
 
 
@@ -200,9 +217,11 @@ class BooleanOutcomeSpec:
     aggregators: Sequence[Aggregator]
     output_name: str
     column_prefix: str = "outc"
+    boundary: Boundary = "v2"
     normalised_lookperiod: list[LookPeriod] = field(init=False)
     value_frame: ValueFrame = field(init=False)
     fallback: Fallback = field(init=False)
+    direction: str = field(init=False, default="ahead")
 
     def __post_init__(self) -> None:
         self.normalised_lookperiod = [
@@ -323,6 +342,7 @@ def spec_value_col_names(spec: ValueSpecification) -> list[str]:
 
 
 __all__ = [
+    "Boundary",
     "LookPeriod",
     "lookdistance_to_normalised_lookperiod",
     "PredictorSpec",
