@@ -90,6 +90,11 @@ def lsh_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
 
 
 def _bucketed(df: DataFrame, id_alias: str, vec_col: str, planes: np.ndarray) -> DataFrame:
+    """(id, table, bucket) — ids ONLY. The bucket join and the candidate
+    distinct shuffle 8-byte ids, never the dim x 8-byte vectors (VERDICT
+    r1 defect #2: carrying vectors multiplied the shuffle by ``tables``x
+    the embedding width); vectors re-join exactly once after the pair
+    set is deduplicated."""
     tables = planes.shape[0]
     buckets = F.array(
         *[
@@ -98,8 +103,8 @@ def _bucketed(df: DataFrame, id_alias: str, vec_col: str, planes: np.ndarray) ->
         ]
     )
     return df.select(
-        F.col(id_alias), F.col(vec_col), F.explode(buckets).alias("tb")
-    ).select(id_alias, vec_col, "tb.table", "tb.bucket")
+        F.col(id_alias), F.explode(buckets).alias("tb")
+    ).select(id_alias, "tb.table", "tb.bucket")
 
 
 def lsh_topk(
@@ -113,29 +118,27 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket collisions, exact
     cosine re-rank. Returns (query_id, neighbor_id, cos_sim, rank)."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    qb = _bucketed(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "query_id",
-        "__qv",
-        planes,
-    )
-    cb = _bucketed(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
-        "neighbor_id",
-        "__cv",
-        planes,
-    )
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qb = _bucketed(q, "query_id", "__qv", planes)
+    cb = _bucketed(c, "neighbor_id", "__cv", planes)
+    # id-only candidate dedup, then vectors join in ONCE per side
     cand = (
         qb.join(cb, on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id", "__cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    scored = (
+        cand.join(F.broadcast(q) if broadcast_queries else q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -157,16 +160,21 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs (a < b) with cosine >= threshold, via LSH
     candidates + exact verification."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    b1 = _bucketed(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a", "__va", planes)
-    b2 = _bucketed(df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b", "__vb", planes)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    b1 = _bucketed(va, "id_a", "__va", planes)
+    b2 = _bucketed(vb, "id_b", "__vb", planes)
+    # id-only pair dedup across tables; vectors join in once per side
     cand = (
         b1.join(b2, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "__va", "id_b", "__vb")
+        .select("id_a", "id_b")
         .distinct()
     )
     return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
