@@ -208,3 +208,59 @@ def test_fallback_validation(agg_name, fallback, valid):
     else:
         with pytest.raises(ValueError):
             validate_compatible_fallback_type_for_aggregator(aggregator, fallback)
+
+
+def test_unique_count_null_parity_semantics(spark):
+    """Substitute for a live-reference differential (polars is not
+    installed in this sandbox): hand-computed polars ``n_unique``
+    semantics on null-bearing masked windows (reference
+    aggregators.py:115-122 over masked frames). ``unique_count`` counts
+    distinct non-null values; ``unique_count_with_null`` adds the null
+    bucket whenever the window has any out-of-window row or no rows at
+    all — the reference's actual (+1) behaviour."""
+    import datetime as dt
+
+    from timeseriesflattener_spark import (
+        Flattener,
+        PredictionTimeFrame,
+        PredictorSpec,
+        ValueFrame,
+        strings_to_aggregators,
+    )
+    from timeseriesflattener_spark.testing import rows_as_dicts, str_to_df
+
+    pred = str_to_df(
+        spark,
+        "entity_id,pred_timestamp\n1,2022-01-10\n2,2022-01-10\n3,2022-01-10",
+    )
+    # entity 1: two in-window values + one out-of-window row
+    # entity 2: only an out-of-window row
+    # entity 3: no rows at all
+    vals = str_to_df(
+        spark,
+        """entity_id,timestamp,value
+        1,2022-01-09 00:00:00,5
+        1,2022-01-08 00:00:00,7
+        1,2021-06-01 00:00:00,9
+        2,2021-06-01 00:00:00,3""",
+    )
+    out = Flattener(predictiontime_frame=PredictionTimeFrame(df=pred)).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=ValueFrame(df=vals),
+                lookbehind_distances=[dt.timedelta(days=5)],
+                aggregators=strings_to_aggregators(
+                    ["unique_count", "unique_count_with_null"]
+                ),
+                fallback=0,
+            )
+        ]
+    )
+    rows = {r["entity_id"]: r for r in rows_as_dicts(out.df)}
+    p = "pred_value_within_0_to_5_days"
+    assert rows[1][f"{p}_unique_count_fallback_0"] == 2
+    assert rows[1][f"{p}_unique_count_with_null_fallback_0"] == 3  # +null bucket
+    assert rows[2][f"{p}_unique_count_fallback_0"] == 0
+    assert rows[2][f"{p}_unique_count_with_null_fallback_0"] == 1
+    assert rows[3][f"{p}_unique_count_fallback_0"] == 0
+    assert rows[3][f"{p}_unique_count_with_null_fallback_0"] == 1

@@ -68,3 +68,45 @@ def test_structured_streaming_availablenow(spark, channels, tmp_path):
     ref = TierStore(spark, str(tmp_path / "ref2"), VALUE_COLS)
     ref.materialize(channels)
     assert _points(store, "1h") == _points(ref, "1h")
+
+
+def _count_sums(store, tier):
+    """(count, sum) per bucket — the stats that DETECT double-counting
+    (means are invariant when identical rows merge twice)."""
+    return {
+        (r["conv_id"], r["bucket_start"]): (
+            r["text_len_count"],
+            round(r["text_len_sum"], 9),
+        )
+        for r in store.read_points(tier).collect()
+    }
+
+
+def test_merge_batch_replay_is_idempotent(spark, channels, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME batch_id must
+    not combine the same rows into the 1m partials twice (ADVICE r1)."""
+    ref = TierStore(spark, str(tmp_path / "refr"), VALUE_COLS)
+    ref.materialize(channels)
+
+    inc = TierStore(spark, str(tmp_path / "incr"), VALUE_COLS)
+    even = channels.filter(F.col("turn_idx") % 2 == 0)
+    odd = channels.filter(F.col("turn_idx") % 2 == 1)
+    merge_batch(inc, even, batch_id=0)
+    merge_batch(inc, even, batch_id=0)  # crash-replay of batch 0
+    merge_batch(inc, odd, batch_id=1)
+    merge_batch(inc, odd, batch_id=1)  # crash-replay of batch 1
+
+    for tier in ("1m", "1h", "1d"):
+        assert _count_sums(inc, tier) == _count_sums(ref, tier), tier
+
+    # without a batch_id the merge is NOT idempotent (documented):
+    # replaying doubles counts and sums
+    naive = TierStore(spark, str(tmp_path / "naive"), VALUE_COLS)
+    merge_batch(naive, even)
+    merge_batch(naive, even)
+    once = TierStore(spark, str(tmp_path / "once"), VALUE_COLS)
+    merge_batch(once, even)
+    doubled = _count_sums(naive, "1m")
+    single = _count_sums(once, "1m")
+    assert doubled.keys() == single.keys()
+    assert all(doubled[k][0] == 2 * single[k][0] for k in single)

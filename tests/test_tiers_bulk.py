@@ -54,3 +54,24 @@ def test_bulk_partial_resume(spark, channels, tmp_path):
     ref.materialize(channels)
     for tier in ("1m", "1h", "1d"):
         assert _points(store, tier) == _points(ref, tier), tier
+
+
+def test_bulk_empty_day_readable(spark, channels, tmp_path):
+    """A bulk-materialised day with no rows must publish a schema-bearing
+    empty parquet (ADVICE r1): read_tier_day and a later unit-mode resume
+    touching that day must not crash on schema inference."""
+    import datetime as dt
+
+    store = TierStore(spark, str(tmp_path / "empty"), VALUE_COLS)
+    days = store._raw_days(channels)
+    ghost = max(days) + dt.timedelta(days=1)  # no rows on this day
+    store.materialize(channels, days=[*days, ghost], bulk=True)
+
+    empty = store.read_tier_day("1m", ghost)
+    assert empty.count() == 0
+    assert "bucket_start" in empty.columns  # typed, not inferred-empty
+    # whole-tier read across the empty day works too
+    assert store.read_tier("1m").count() > 0
+    # and unit-mode resume over the same days is a no-op, not a crash
+    r = store.materialize(channels, days=[*days, ghost])
+    assert not r["computed"]

@@ -42,6 +42,10 @@ class Aggregator(ABC):
     output_type: type  # float | int | bool — used for fallback validation
     #: aggregates that can never return null (no fallback fill needed)
     never_null: bool = False
+    #: True if the expression distinguishes masked (out-of-window) rows
+    #: from absent rows — disables the union-of-lookperiods range
+    #: pushdown into the join, which would prune exactly those rows
+    needs_full_history: bool = False
 
     @abstractmethod
     def expr(self, value: Column, ts: Column, order: Column | None) -> Column:
@@ -97,7 +101,18 @@ class CountAggregator(Aggregator):
 
 class UniqueCountAggregator(Aggregator):
     """Exact distinct count of non-null values (NOT approx_count_distinct
-    — the reference is exact, ``aggregators.py:115-122``)."""
+    — the reference is exact, ``aggregators.py:115-122``).
+
+    DELIBERATE parity deviation: polars ``n_unique`` counts the null
+    bucket as a distinct value, and the reference's masked frames
+    contain nulls for every out-of-window row — so upstream output is
+    +1 whenever a prediction time has any out-of-window history (the
+    common case), contradicting the reference's own docstring ("number
+    of unique values") and its tested behaviour on dense windows
+    (``aggregators_test.py:89-91``). We count distinct NON-NULL values
+    (the documented semantics). For bit-parity migrations use
+    ``unique_count_with_null`` (:class:`UniqueCountNullsAggregator`),
+    which replicates the null-counting."""
 
     name = "unique_count"
     output_type = int
@@ -105,6 +120,27 @@ class UniqueCountAggregator(Aggregator):
 
     def expr(self, value: Column, ts: Column, order: Column | None) -> Column:
         return F.count_distinct(value)
+
+
+class UniqueCountNullsAggregator(Aggregator):
+    """polars ``n_unique`` bit-parity: distinct non-null values PLUS one
+    if the masked window contains any null (out-of-window row, no rows
+    at all via the left join, or a genuine null value) — exactly what
+    the reference computes on masked frames (``aggregators.py:115-122``
+    over ``processors/temporal.py:57-64`` masking). See
+    :class:`UniqueCountAggregator` for why this is a compat flag and
+    not the default."""
+
+    name = "unique_count_with_null"
+    output_type = int
+    never_null = True
+    # the null bucket comes from rows the range-pushed join would prune
+    needs_full_history = True
+
+    def expr(self, value: Column, ts: Column, order: Column | None) -> Column:
+        has_null = F.max(F.when(value.isNull(), 1).otherwise(0))
+        # count(*) == 0 can't happen: the left join always yields >= 1 row
+        return F.count_distinct(value) + F.coalesce(has_null, F.lit(1))
 
 
 class SumAggregator(Aggregator):
@@ -191,10 +227,19 @@ class LatestAggregator(Aggregator):
 class SlopeAggregator(Aggregator):
     """OLS slope of value vs whole-days-since-epoch.
 
-    Matches v2: x = truncated ``total_days()`` (``aggregators.py:196-211``);
+    x = truncated ``total_days()`` (``aggregators.py:196-211``);
     slope = corr(x,y)*std(y)/std(x) == covar_samp/var_samp == regr_slope
     over pairwise-non-null rows. One point (or zero x-variance) -> null
     -> fallback.
+
+    DELIBERATE parity deviation: the reference computes ``corr`` over
+    the masked (y, x) pairs but ``std(x)`` over the UNMASKED x column —
+    timestamps of out-of-window rows leak into the denominator, so its
+    slope diverges from a true in-window regression whenever an entity
+    has history outside the union of lookperiods. ``regr_slope`` here
+    does pairwise deletion on both sides (the sane semantics);
+    golden-parity consumers porting entities with out-of-window history
+    will see different values from upstream on exactly those rows.
     """
 
     name = "slope"
@@ -227,6 +272,7 @@ for _agg in [
     MeanAggregator(),
     CountAggregator(),
     UniqueCountAggregator(),
+    UniqueCountNullsAggregator(),
     SumAggregator(),
     VarianceAggregator(),
     HasValuesAggregator(),

@@ -125,8 +125,13 @@ def process_temporal_spec(
 
     ``push_range_into_join=True`` adds the union-of-lookperiods range to
     the join condition (safe: rows outside every lookperiod aggregate to
-    null/0 either way); disable only for plan-debugging.
+    null/0 either way); disable only for plan-debugging. Automatically
+    disabled when any aggregator ``needs_full_history`` (e.g. the polars
+    n_unique compat ``unique_count_with_null``, whose null bucket comes
+    from exactly the rows the pushdown would prune).
     """
+    if any(getattr(a, "needs_full_history", False) for a in spec.aggregators):
+        push_range_into_join = False
     pred = predictiontime_frame
     vf = spec.value_frame
 

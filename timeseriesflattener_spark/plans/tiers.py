@@ -228,8 +228,11 @@ class TierStore:
             if os.path.isdir(src):
                 os.replace(src, out_dir)
             else:
-                os.makedirs(out_dir, exist_ok=True)  # day with no rows
-            output_rows = self.spark.read.parquet(out_dir).count() if os.listdir(out_dir) else 0
+                # day with no rows: write a schema-bearing empty parquet,
+                # not a bare directory — read_tier_day / a later unit-mode
+                # resume would otherwise crash on 'Unable to infer schema'
+                partials.drop("day").limit(0).write.mode("overwrite").parquet(out_dir)
+            output_rows = self.spark.read.parquet(out_dir).count()
             self._append_ledger(
                 {
                     "tier": tier,

@@ -18,12 +18,16 @@ Two entry points:
   batch-DataFrame logic, unit-testable).
 - ``stream_into_store(spark, input_path, store)`` — Structured
   Streaming wrapper: ``readStream`` on a parquet directory ->
-  ``foreachBatch(merge_batch)`` with a checkpointLocation, so exactly-
-  once micro-batch delivery comes from Spark's streaming checkpoint
-  while bucket-level resume stays with the TierStore ledger. Late data
-  within a day merges naturally (combine is order-independent); a
-  watermark is unnecessary because state lives in the store, not in
-  streaming memory.
+  ``foreachBatch(merge_batch)`` with a checkpointLocation. foreachBatch
+  is only AT-LEAST-ONCE: a micro-batch can replay after a crash between
+  a publish and the streaming checkpoint commit. The 1m combine step is
+  not naturally idempotent (replaying it would double-count sums), so
+  ``merge_batch`` ledgers every publish under ``job_id =
+  "stream-{batch_id}"`` and skips (tier, day) units already ledgered
+  for that batch_id — replays become no-ops, giving effectively-once
+  results. Late data within a day merges naturally (combine is
+  order-independent); a watermark is unnecessary because state lives in
+  the store, not in streaming memory.
 """
 
 from __future__ import annotations
@@ -44,43 +48,71 @@ def _affected_days(batch: DataFrame, ts_col: str) -> list[dt.date]:
     return sorted(r["d"] for r in rows)
 
 
-def merge_batch(store: TierStore, batch: DataFrame) -> list[dt.date]:
-    """Merge a batch of raw rows into every tier. Returns affected days."""
+def merge_batch(
+    store: TierStore, batch: DataFrame, batch_id: int | None = None
+) -> list[dt.date]:
+    """Merge a batch of raw rows into every tier. Returns affected days.
+
+    ``batch_id`` makes the merge idempotent under foreachBatch's
+    at-least-once replay: units already ledgered under this batch's
+    job_id are skipped, so re-running the same batch never combines the
+    same rows into the 1m partials twice. Pass None only for ad-hoc
+    batches that will not be replayed.
+    """
     days = _affected_days(batch, store.ts_col)
     if not days:
         return []
     spark = store.spark
+    job_id = f"stream-{batch_id}" if batch_id is not None else "stream"
+
+    already: set[tuple[str, dt.date]] = set()
+    if batch_id is not None:
+        ledger = store.read_ledger()
+        if not ledger.isEmpty():
+            already = {
+                (r["tier"], r["day"])
+                for r in ledger.filter(
+                    (F.col("job_id") == job_id) & (F.col("state") == "done")
+                )
+                .select("tier", "day")
+                .collect()
+            }
 
     for day in days:
-        day_start = dt.datetime.combine(day, dt.time.min)
-        day_end = day_start + dt.timedelta(days=1)
-        ts = F.col(store.ts_col)
-        day_rows = batch.filter((ts >= F.lit(day_start)) & (ts < F.lit(day_end)))
-
-        new_1m = R.partial_aggregate(
-            day_rows,
-            store.value_cols,
-            entity_col=store.entity_col,
-            ts_col=store.ts_col,
-            order_col=store.order_col,
-            tier="1m",
-            salt_partitions=store.salt_partitions,
-        )
-        base_dir = _day_dir(store.root, "1m", day)
-        if os.path.isdir(base_dir):
-            existing = spark.read.parquet(base_dir)
-            # combine = rollup to the same tier (same bucket width)
-            merged = R.rollup(
-                existing.unionByName(new_1m),
-                store.value_cols,
-                to_tier="1m",
-                entity_col=store.entity_col,
-            )
+        if ("1m", day) in already:
+            pass  # replayed batch: 1m already combined — never re-combine
         else:
-            merged = new_1m
+            day_start = dt.datetime.combine(day, dt.time.min)
+            day_end = day_start + dt.timedelta(days=1)
+            ts = F.col(store.ts_col)
+            day_rows = batch.filter((ts >= F.lit(day_start)) & (ts < F.lit(day_end)))
 
-        _publish(store, merged, "1m", day, source="merge")
-        finer = merged
+            new_1m = R.partial_aggregate(
+                day_rows,
+                store.value_cols,
+                entity_col=store.entity_col,
+                ts_col=store.ts_col,
+                order_col=store.order_col,
+                tier="1m",
+                salt_partitions=store.salt_partitions,
+            )
+            base_dir = _day_dir(store.root, "1m", day)
+            if os.path.isdir(base_dir):
+                existing = spark.read.parquet(base_dir)
+                # combine = rollup to the same tier (same bucket width)
+                merged = R.rollup(
+                    existing.unionByName(new_1m),
+                    store.value_cols,
+                    to_tier="1m",
+                    entity_col=store.entity_col,
+                )
+            else:
+                merged = new_1m
+            _publish(store, merged, "1m", day, source="merge", job_id=job_id)
+
+        # coarser tiers rebuild from the stored 1m partials of the day —
+        # a deterministic overwrite, so re-running them on replay is safe
+        # (and necessary if the crash hit between 1m and 1h publishes)
         for tier in store.tiers:
             if tier == "1m":
                 continue
@@ -90,12 +122,14 @@ def merge_batch(store: TierStore, batch: DataFrame) -> list[dt.date]:
                 to_tier=tier,
                 entity_col=store.entity_col,
             )
-            _publish(store, rolled, tier, day, source="merge:1m")
-            finer = rolled
+            _publish(store, rolled, tier, day, source="merge:1m", job_id=job_id)
     return days
 
 
-def _publish(store: TierStore, df: DataFrame, tier: str, day: dt.date, source: str) -> None:
+def _publish(
+    store: TierStore, df: DataFrame, tier: str, day: dt.date, source: str,
+    job_id: str = "stream",
+) -> None:
     import shutil
     import time
     import uuid as uuidlib
@@ -118,7 +152,7 @@ def _publish(store: TierStore, df: DataFrame, tier: str, day: dt.date, source: s
             "output_rows": rows,
             "wall_s": time.time() - t0,
             "attempt": 1,
-            "job_id": "stream",
+            "job_id": job_id,
             "finished_at": dt.datetime.now(),
         }
     )
@@ -137,7 +171,7 @@ def stream_into_store(
     stream = spark.readStream.schema(schema).parquet(input_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch(store, batch_df)
+        merge_batch(store, batch_df, batch_id=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_process)
