@@ -302,3 +302,131 @@ def test_unordered_pred_times_with_step_size(spark):
     assert by_uuid["1-2021-06-01 00:00:00.000000"][col] == 2.0
     assert by_uuid["2-2021-01-01 00:00:00.000000"][col] == 3.0
     assert by_uuid["2-2022-01-01 00:00:00.000000"][col] == 4.0
+
+
+def test_error_if_missing_entity_id_column(spark):
+    """Ref ``main_test.py:187-202``: the spec's frame lacks the pred
+    frame's entity column -> SpecError naming the missing column."""
+    pred_frame = str_to_df(spark, "no_entity_id,pred_timestamp\n1,2013-01-01")
+    value_frame = str_to_df(spark, "entity_id,value,timestamp\n1,1,2021-01-01")
+    spec = PredictorSpec(
+        value_frame=ValueFrame(df=value_frame),
+        lookbehind_distances=[dt.timedelta(days=1)],
+        aggregators=[MeanAggregator()],
+        fallback=NAN,
+    )
+    with pytest.raises(SpecError, match="missing"):
+        Flattener(
+            predictiontime_frame=PredictionTimeFrame(
+                df=pred_frame, entity_id_col_name="no_entity_id"
+            )
+        ).aggregate_timeseries(specs=[spec])
+
+
+def test_error_if_missing_column_in_valueframe(spark):
+    """Ref ``main_test.py:204-206``: ValueFrame without the entity id
+    column fails at CONSTRUCTION (matching SpecColumnError timing)."""
+    df = str_to_df(spark, "value,timestamp\n1,2021-01-01")
+    with pytest.raises(ValueError, match="missing required columns"):
+        ValueFrame(df=df)
+
+
+def test_non_default_entity_id_col_name(spark):
+    """Ref ``main_test.py:290-319``: custom entity column threads through
+    join keys, uuid rendering, and interval lookahead masking."""
+    pred_frame = str_to_df(spark, "dw_ek_borger,pred_timestamp\n1,2022-01-01 00:00:00")
+    outcome_frame = str_to_df(
+        spark,
+        """dw_ek_borger,timestamp,value
+        1,2022-01-02 00:00:01,2
+        1,2022-01-15 00:00:00,1""",
+    )
+    result = Flattener(
+        predictiontime_frame=PredictionTimeFrame(
+            df=pred_frame, entity_id_col_name="dw_ek_borger"
+        )
+    ).aggregate_timeseries(
+        specs=[
+            OutcomeSpec(
+                value_frame=ValueFrame(df=outcome_frame, entity_id_col_name="dw_ek_borger"),
+                lookahead_distances=[(dt.timedelta(days=5), dt.timedelta(days=30))],
+                aggregators=[MeanAggregator()],
+                fallback=NAN,
+            )
+        ]
+    )
+    rows = rows_as_dicts(result.df)
+    assert len(rows) == 1
+    assert rows[0]["prediction_time_uuid"] == "1-2022-01-01 00:00:00.000000"
+    # only the +14d value (1) is inside [5, 30]; the +1d value is not
+    assert rows[0]["outc_value_within_5_to_30_days_mean_fallback_nan"] == 1.0
+
+
+def test_same_timestamp_col_name_on_both_frames(spark):
+    """Ref ``processors/temporal_test.py:121-144``: pred frame's timestamp
+    column is also named ``timestamp`` — name collision with the value
+    frame must not corrupt the timedelta computation."""
+    pred_frame = str_to_df(spark, "entity_id,timestamp\n1,2021-01-03")
+    value_frame = str_to_df(
+        spark,
+        """entity_id,value,timestamp
+        1,1,2021-01-01
+        1,2,2021-01-02
+        1,3,2021-01-03""",
+    )
+    result = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred_frame, timestamp_col_name="timestamp")
+    ).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=ValueFrame(df=value_frame),
+                lookbehind_distances=[dt.timedelta(days=2)],
+                aggregators=[MeanAggregator()],
+                fallback=NAN,
+            )
+        ]
+    )
+    rows = rows_as_dicts(result.df)
+    # td = -2d, -1d, 0d -> all within [-2d, 0] -> mean(1,2,3) = 2
+    assert rows[0]["pred_value_within_0_to_2_days_mean_fallback_nan"] == 2.0
+
+
+@pytest.mark.parametrize("step_days", [None, 30])
+def test_interval_lookperiod_with_step_size(spark, step_days):
+    """Interval lookperiods x step_size chunking (ref combines them in
+    ``main_test.py:209-234`` + ``:321-364``): chunked evaluation must not
+    change interval-window membership at chunk edges."""
+    pred_frame = str_to_df(
+        spark,
+        """entity_id,pred_timestamp
+        1,2022-01-01
+        1,2022-03-15
+        2,2022-02-01""",
+    )
+    value_frame = str_to_df(
+        spark,
+        """entity_id,value,timestamp
+        1,2,2021-12-30
+        1,1,2021-12-15
+        1,8,2022-03-01
+        2,4,2022-01-20""",
+    )
+    step = dt.timedelta(days=step_days) if step_days else None
+    result = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred_frame)
+    ).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=ValueFrame(df=value_frame),
+                lookbehind_distances=[(dt.timedelta(days=5), dt.timedelta(days=30))],
+                aggregators=[MeanAggregator()],
+                fallback=NAN,
+            )
+        ],
+        step_size=step,
+    )
+    rows = {r["prediction_time_uuid"]: r for r in rows_as_dicts(result.df)}
+    col = "pred_value_within_5_to_30_days_mean_fallback_nan"
+    assert rows["1-2022-01-01 00:00:00.000000"][col] == 1.0  # only -17d value
+    assert rows["1-2022-03-15 00:00:00.000000"][col] == 8.0  # -14d value
+    assert rows["2-2022-02-01 00:00:00.000000"][col] == 4.0  # -12d value
