@@ -102,3 +102,27 @@ def test_parquet_filter_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:80], plan
     # column pruning: text-free 3-column read schema
     assert "event_type" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_minhash_single_shingle_scan(spark):
+    """VERDICT r1 defect #1: the minhash pipeline must derive signatures
+    AND both verification sides from ONE persisted hashed-shingle frame,
+    not recompute the text scan 3x. Evidence: exactly one RDD in the
+    block manager after execution, and the downstream plan reads it via
+    InMemoryTableScan."""
+    from timeseriesflattener_spark.operators.dedup import minhash_dedup_pairs
+    from timeseriesflattener_spark.testing import str_to_df
+
+    spark.catalog.clearCache()
+    rows = "\n".join(
+        f"{i},the quick brown fox {i % 7} jumps over the lazy dog {i % 3} again and again"
+        for i in range(60)
+    )
+    docs = str_to_df(spark, "doc_id,text\n" + rows)
+    df = minhash_dedup_pairs(docs, threshold=0.5)
+    df.count()
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 1, [str(i) for i in infos]
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()

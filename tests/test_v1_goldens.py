@@ -362,3 +362,45 @@ def test_v1_boundary_discriminating_cases(spark):
         agg="max",
     )
     assert interval == [7.0]  # exactly-5d-back 100 excluded, exactly-30d kept
+
+
+def test_v1_outcome_timestamps_as_values(spark):
+    """Ref ``test_add_values.py:594-652`` (test_add_outcome_timestamps):
+    the outcome VALUE column is itself a timestamp; ``latest`` must
+    select the max-ts event's timestamp value, fallback NaN -> null."""
+    pred_frame = str_to_df(
+        spark,
+        """entity_id,pred_timestamp
+        1,2021-11-05 00:00:00
+        1,2021-11-01 00:00:00
+        1,2023-11-05 00:00:00""",
+    )
+    value_frame = str_to_df(
+        spark,
+        """entity_id,timestamp,ts_value
+        1,2021-11-06 00:00:01,2021-11-06 00:00:01
+        1,2021-11-13 00:00:01,2021-11-13 00:00:01""",
+    )
+    result = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred_frame)
+    ).aggregate_timeseries(
+        specs=[
+            OutcomeSpec(
+                value_frame=ValueFrame(df=value_frame),
+                lookahead_distances=[dt.timedelta(days=10)],
+                aggregators=strings_to_aggregators(["latest"]),
+                fallback=None,
+                boundary="v1",
+            )
+        ]
+    )
+    col = "outc_ts_value_within_0_to_10_days_latest_fallback_None"
+    rows = {r["pred_timestamp"].isoformat(): r[col] for r in rows_as_dicts(result.df)}
+    # ts_value stays a string column (like the reference's str-cast
+    # output); ISO ordering == chronological ordering for max_by
+    # from 2021-11-01: only 11-06 (+5d) is within 10d -> latest = 11-06
+    assert rows["2021-11-01T00:00:00"] == "2021-11-06 00:00:01"
+    # from 2021-11-05: both within (+1d, +8d) -> latest = 11-13
+    assert rows["2021-11-05T00:00:00"] == "2021-11-13 00:00:01"
+    # from 2023-11-05: nothing ahead -> null (NaN in the reference)
+    assert rows["2023-11-05T00:00:00"] is None
