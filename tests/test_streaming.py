@@ -110,3 +110,30 @@ def test_merge_batch_replay_is_idempotent(spark, channels, tmp_path):
     single = _count_sums(once, "1m")
     assert doubled.keys() == single.keys()
     assert all(doubled[k][0] == 2 * single[k][0] for k in single)
+
+
+def test_snapshot_diff_ingest(spark, channels, tmp_path):
+    """Iceberg snapshot-diff analog: late-arriving data FILES re-open only
+    the units they touch; already-ingested files are never rescanned; a
+    repeat call with no new files is a no-op."""
+    from timeseriesflattener_spark.streaming.incremental import ingest_new_files
+
+    in_dir = str(tmp_path / "snap_in")
+    even = channels.filter(F.col("turn_idx") % 2 == 0)
+    odd = channels.filter(F.col("turn_idx") % 2 == 1)
+    even.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    store = TierStore(spark, str(tmp_path / "snap_store"), VALUE_COLS)
+    first = ingest_new_files(store, in_dir)
+    assert len(first) >= 1
+    # a late file lands (backfill drop) — only IT is ingested
+    odd.coalesce(1).write.mode("append").parquet(in_dir)
+    second = ingest_new_files(store, in_dir)
+    assert len(second) >= 1 and not set(second) & set(first)
+    # no new files -> no-op
+    assert ingest_new_files(store, in_dir) == []
+
+    ref = TierStore(spark, str(tmp_path / "snap_ref"), VALUE_COLS)
+    ref.materialize(channels)
+    for tier in ("1m", "1h", "1d"):
+        assert _count_sums(store, tier) == _count_sums(ref, tier), tier
