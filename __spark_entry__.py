@@ -941,10 +941,10 @@ GROUP BY p.user_id, p.pred_ts""",
 WITH pred AS (SELECT DISTINCT user_id, TIMESTAMP '2024-01-02 00:00:00' AS pred_ts FROM events),
 err AS (SELECT user_id, min(ts) AS outc_ts FROM events WHERE event_type = 'error' GROUP BY user_id)
 SELECT p.user_id, p.pred_ts,
-  CASE WHEN e.outc_ts IS NOT NULL AND e.outc_ts > p.pred_ts
-            AND e.outc_ts <= p.pred_ts + INTERVAL 30 DAY THEN 1 ELSE 0 END AS incident_30d
+  CASE WHEN e.outc_ts IS NOT NULL AND e.outc_ts >= p.pred_ts
+            AND e.outc_ts < p.pred_ts + INTERVAL 30 DAY THEN 1 ELSE 0 END AS incident_30d
 FROM pred p LEFT JOIN err e ON p.user_id = e.user_id
-WHERE e.outc_ts IS NULL OR p.pred_ts < e.outc_ts""",
+WHERE e.outc_ts IS NULL OR p.pred_ts <= e.outc_ts""",
         "rollup_aligned_window": """
 WITH b AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,

@@ -34,8 +34,9 @@ from timeseriesflattener_spark.testing import rows_as_dicts, str_to_df
 
 def test_incident_outcome(spark):
     """Port of v1 incident semantics (``v1/flattened_dataset.py:563-605``):
-    pred rows at/after the outcome are dropped; flag set iff outcome in
-    (pred, pred+lookahead]."""
+    pred rows strictly after the outcome are dropped; flag set iff
+    outcome in [pred+min, pred+max) — lower inclusive, upper EXclusive
+    (the reference's ``outc < pred + max AND outc >= pred + min``)."""
     pred = PredictionTimeFrame(
         df=str_to_df(
             spark,
@@ -157,3 +158,34 @@ def test_flatten_aligned_matches_flattener(spark):
                     assert got == pytest.approx(want, rel=1e-9), (conv, bucket, v, agg)
                 else:
                     assert got == want, (conv, bucket, v, agg)
+
+
+def test_incident_outcome_endpoint_semantics(spark):
+    """The v1 boundary cases (``v1/flattened_dataset.py:585-596``):
+    - a prediction AT the outcome instant is KEPT and flags 1 (min=0);
+    - an outcome exactly at pred + lookahead is OUTSIDE (upper
+      endpoint exclusive);
+    - a prediction one microsecond after the outcome is dropped."""
+    pred = PredictionTimeFrame(
+        df=str_to_df(
+            spark,
+            """entity_id,pred_timestamp
+            1,2021-06-15 00:00:00
+            2,2021-05-16 00:00:00
+            3,2021-06-15 00:00:01""",
+        )
+    )
+    outcomes = TimestampValueFrame(
+        df=str_to_df(
+            spark,
+            """entity_id,timestamp
+            1,2021-06-15 00:00:00
+            2,2021-06-15 00:00:00
+            3,2021-06-15 00:00:00""",
+        )
+    )
+    out = add_incident_outcome(pred, outcomes, lookahead=dt.timedelta(days=30))
+    rows = {r["entity_id"]: r["outc_incident"] for r in out.collect()}
+    assert rows[1] == 1      # td = 0: kept AND within [0, 30d)
+    assert rows[2] == 0      # td = exactly 30d: upper endpoint exclusive
+    assert 3 not in rows     # pred strictly after outcome: dropped

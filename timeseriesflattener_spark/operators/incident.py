@@ -2,7 +2,7 @@
 
 - incident-outcome join (``v1/flattened_dataset.py:563-605``): for
   outcomes that can only happen once per entity (e.g. a diagnosis),
-  drop prediction times at/after the outcome and flag whether the
+  drop prediction times after the outcome and flag whether the
   outcome falls inside the lookahead window — a vectorised join path,
   no group-agg needed (m:1 by construction).
 - insufficient-look-distance filter (``v1/flattened_dataset.py:629-666``):
@@ -31,12 +31,17 @@ def add_incident_outcome(
     drop_after_outcome: bool = True,
     broadcast: bool = True,
 ) -> DataFrame:
-    """v1 incident-outcome semantics (``v1/flattened_dataset.py:563-605``):
+    """v1 incident-outcome semantics (``v1/flattened_dataset.py:563-605``),
+    endpoint-exact:
 
-    - pred rows at/after the entity's outcome timestamp are dropped
-      (the patient already has the diagnosis; filter at :585);
-    - ``output_col`` = 1 iff ``pred_ts + min < outc_ts <= pred_ts + max``
-      (window test at :588-596), else 0.
+    - pred rows strictly AFTER the entity's outcome timestamp are
+      dropped (the patient already has the diagnosis; the reference's
+      ``drop(outc < pred)`` at :585 KEEPS a prediction issued at the
+      outcome instant);
+    - ``output_col`` = 1 iff ``pred_ts + min <= outc_ts < pred_ts + max``
+      (:588-596: ``outc < pred + max AND outc >= pred + min`` — lower
+      endpoint inclusive, upper exclusive; in particular an outcome AT
+      the prediction instant counts when ``min = 0``).
     """
     pred = predictiontime_frame
     out_df = outcome_frame.df.select(
@@ -52,14 +57,14 @@ def add_incident_outcome(
     )
     if drop_after_outcome:
         joined = joined.filter(
-            F.col("__outc_micros").isNull() | (pred_micros < F.col("__outc_micros"))
+            F.col("__outc_micros").isNull() | (pred_micros <= F.col("__outc_micros"))
         )
     lo = F.lit(timedelta_to_micros(min_lookahead))
     hi = F.lit(timedelta_to_micros(lookahead))
     within = (
         F.col("__outc_micros").isNotNull()
-        & (F.col("__outc_micros") - pred_micros > lo)
-        & (F.col("__outc_micros") - pred_micros <= hi)
+        & (F.col("__outc_micros") - pred_micros >= lo)
+        & (F.col("__outc_micros") - pred_micros < hi)
     )
     return joined.withColumn(output_col, within.cast("int")).drop(
         "__outc_entity", "__outc_micros"
