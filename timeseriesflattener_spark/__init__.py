@@ -23,6 +23,7 @@ from .aggregators import (
     SlopeAggregator,
     SumAggregator,
     UniqueCountAggregator,
+    UniqueCountNullsAggregator,
     VarianceAggregator,
     register_aggregator,
     string_to_aggregator,
@@ -34,6 +35,7 @@ from .frames import PredictionTimeFrame, StaticFrame, TimestampValueFrame, Value
 from .session import get_spark
 from .specs import (
     BooleanOutcomeSpec,
+    Boundary,
     LookPeriod,
     OutcomeSpec,
     PredictorSpec,
@@ -48,6 +50,7 @@ __all__ = [
     "Aggregator",
     "AggregatedFrame",
     "BooleanOutcomeSpec",
+    "Boundary",
     "CountAggregator",
     "EarliestAggregator",
     "Flattener",
@@ -68,6 +71,7 @@ __all__ = [
     "TimeDeltaSpec",
     "TimestampValueFrame",
     "UniqueCountAggregator",
+    "UniqueCountNullsAggregator",
     "ValueFrame",
     "VarianceAggregator",
     "get_spark",
