@@ -53,9 +53,16 @@ def _sf_from_dir(d: str) -> float:
 
 def _tier_job(spark, n_convs: int) -> tuple[int, float]:
     """Synthesize transcripts -> 1m partials -> 1h -> 1d -> finalized
-    points, all as one lineage (no persist: caching struct-wide partials
-    measured 3-4x the cost of recomputing the codegen'd aggregation).
-    Returns (total rolled points across tiers, wall seconds)."""
+    points, in the production TierStore shape: each tier is WRITTEN once
+    and coarser tiers read the finer tier's parquet — measured ~1.5x
+    faster than recomputing the synth+1m lineage per tier, and it is
+    what `TierStore.materialize(bulk=True)` actually executes. (In-memory
+    .persist() of the struct-wide partials was measured 3-4x WORSE than
+    either; parquet's columnar encode beats the block-manager for these
+    rows.) Returns (total rolled points across tiers, wall seconds)."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from timeseriesflattener_spark.plans import rollup as R
@@ -65,20 +72,24 @@ def _tier_job(spark, n_convs: int) -> tuple[int, float]:
     )
 
     vc = ["text_len", "n_tokens", "tool_call"]
+    work = tempfile.mkdtemp(prefix="tsf-tiers-")
     t0 = time.time()
     # step_seconds=10: realistic sub-minute turn cadence (~6 turns per
     # 1m bucket) so map-side combine actually reduces the shuffle
     ch = derive_channels(
         synthesize_transcripts(spark, n_conversations=n_convs, seed=42, step_seconds=10)
     )
-    p1m = R.partial_aggregate(ch, vc, tier="1m")
+    R.partial_aggregate(ch, vc, tier="1m").write.mode("overwrite").parquet(f"{work}/1m")
+    p1m = spark.read.parquet(f"{work}/1m")
     n1m = p1m.count()
-    p1h = R.rollup(p1m, vc, to_tier="1h")
+    R.rollup(p1m, vc, to_tier="1h").write.mode("overwrite").parquet(f"{work}/1h")
+    p1h = spark.read.parquet(f"{work}/1h")
     n1h = p1h.count()
     n1d = R.rollup(p1h, vc, to_tier="1d").count()
     # touch finalized points too (the actual consumer-facing output)
     R.finalize(p1m, vc).agg(F.count("*")).collect()
     wall = time.time() - t0
+    shutil.rmtree(work, ignore_errors=True)
     # a "point" = one finalized stat bucket per channel per tier
     points = (n1m + n1h + n1d) * len(vc)
     return points, wall
