@@ -430,3 +430,45 @@ def test_interval_lookperiod_with_step_size(spark, step_days):
     assert rows["1-2022-01-01 00:00:00.000000"][col] == 1.0  # only -17d value
     assert rows["1-2022-03-15 00:00:00.000000"][col] == 8.0  # -14d value
     assert rows["2-2022-02-01 00:00:00.000000"][col] == 4.0  # -12d value
+
+
+def test_lookbehind_days_handles_floats(spark):
+    """Ref ``test_feature_spec_objects.py:58-79``: fractional lookbehind
+    days must window correctly (12h window here) and render with the
+    reference's flooring ``.days`` naming."""
+    pred_frame = str_to_df(spark, "entity_id,pred_timestamp\n1,2022-01-02 00:00:00")
+    value_frame = str_to_df(
+        spark,
+        """entity_id,timestamp,value
+        1,2022-01-01 18:00:00,5
+        1,2022-01-01 06:00:00,100""",
+    )
+    from timeseriesflattener_spark import PredictorSpec as PS
+
+    spec = PS.from_primitives(
+        df=value_frame,
+        entity_id_col_name="entity_id",
+        lookbehind_days=[0.5],
+        aggregators=["max"],
+        fallback=0,
+    )
+    result = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred_frame)
+    ).aggregate_timeseries(specs=[spec])
+    row = rows_as_dicts(result.df)[0]
+    # naming floors the NEGATIVE normalised first (-0.5d).days -> -1,
+    # abs -> "0_to_1_days" — same as the reference's timedelta.days
+    assert row["pred_value_within_0_to_1_days_max_fallback_0"] == 5.0  # -6h in, -18h out
+
+
+def test_invalid_lookbehind_raises(spark):
+    """Ref ``test_feature_spec_objects.py:93-103``: a non-positive
+    lookdistance produces an invalid LookPeriod -> ValueError."""
+    value_frame = str_to_df(spark, "entity_id,timestamp,value\n1,2021-01-01,1")
+    with pytest.raises(ValueError, match="first value"):
+        PredictorSpec(
+            value_frame=ValueFrame(df=value_frame),
+            lookbehind_distances=[dt.timedelta(days=-1)],
+            aggregators=[MeanAggregator()],
+            fallback=0,
+        )
