@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from .flattener import Flattener
 from .frames import PredictionTimeFrame, StaticFrame, TimestampValueFrame, ValueFrame
 from .operators.incident import add_incident_outcome
+from .operators.static import static_feature_name
+from .operators.temporal import feature_col_name
+from .operators.timedelta import timedelta_feature_name
 from .specs import (
     Boundary,
     BooleanOutcomeSpec,
@@ -91,6 +94,49 @@ def expand_group_spec(
     return specs
 
 
+# v2 aggregator names -> v1 aggregation_fn.__name__ used in v1 column
+# names (``v1/aggregation_fns.py``)
+_V1_AGG_NAMES = {
+    "min": "minimum",
+    "max": "maximum",
+    "sum": "summed",
+    "var": "variance",
+    "bool": "boolean",
+    "slope": "change_per_day",
+}
+
+
+def _coerce_num(x) -> str:
+    """v1's lossless float->int coercion for column names
+    (``v1/feature_specs/single_specs.py:27-52``): 2.0 -> "2", 0.5 -> "0.5",
+    nan -> "nan"."""
+    try:
+        if float(x) == int(x):
+            return str(int(x))
+    except (ValueError, OverflowError):
+        pass
+    return str(x)
+
+
+def v1_temporal_col_name(
+    prefix: str,
+    base: str,
+    min_days: float,
+    max_days: float,
+    agg_name: str,
+    fallback,
+    dichotomous: bool = False,
+) -> str:
+    """Reference ``v1/feature_specs/single_specs.py:78-93``:
+    ``{prefix}_{base}_within_{max}_days_...`` when min == 0, else
+    ``..._within_{min}_to_{max}_days_...``; ``_dichotomous`` suffix for
+    dichotomous outcomes."""
+    lp = _coerce_num(max_days) if min_days == 0 else f"{_coerce_num(min_days)}_to_{_coerce_num(max_days)}"
+    v1_agg = _V1_AGG_NAMES.get(agg_name, agg_name)
+    name = f"{prefix}_{base}_within_{lp}_days_{v1_agg}_fallback_{_coerce_num(fallback)}"
+    return name + "_dichotomous" if dichotomous else name
+
+
 @dataclass
 class TimeseriesFlattener:
     """Legacy add_spec/get_df surface over the Spark engine.
@@ -101,6 +147,16 @@ class TimeseriesFlattener:
     endpoint nearest the prediction instant is exclusive, so a value AT
     the prediction time is *not* in a lookbehind window. Pass ``"v2"``
     for the v2 engine's both-ends-inclusive windows.
+
+    ``naming`` controls output column names. The default ``"v1"``
+    renders the legacy scheme (``v1/feature_specs/single_specs.py:78-93``):
+    ``{prefix}_{base}_within_{days}_days_{fn}_fallback_{fb}`` with
+    lossless int coercion, v1 aggregation-fn names (maximum/minimum/
+    summed/variance/boolean/change_per_day), a ``_dichotomous`` suffix on
+    outcomes whose value column has <= 2 distinct values (computed with
+    one small aggregation job, as v1's eager ``is_dichotomous`` does),
+    ``{prefix}_{base}`` for statics and ``{prefix}_{name}_in_years`` for
+    age. ``naming="v2"`` keeps the v2 engine's names.
     """
 
     prediction_times_df: DataFrame
@@ -109,6 +165,7 @@ class TimeseriesFlattener:
     n_workers: int | None = None  # ignored: Spark parallelism
     drop_pred_times_with_insufficient_look_distance: bool = False
     boundary: Boundary = "v1"
+    naming: str = "v1"
     _specs: list[ValueSpecification] = field(default_factory=list)
     _incident_outcomes: list[dict] = field(default_factory=list)
 
@@ -186,6 +243,53 @@ class TimeseriesFlattener:
 
     # ------------------------------------------------ compute
 
+    def _v1_rename_map(self) -> dict[str, str]:
+        """v2 engine column name -> v1 column name, for every queued spec."""
+        day = dt.timedelta(days=1)
+        renames: dict[str, str] = {}
+        for spec in self._specs:
+            if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+                is_outcome = isinstance(spec, (OutcomeSpec, BooleanOutcomeSpec))
+                for col in spec.value_frame.value_col_names:
+                    if isinstance(spec, BooleanOutcomeSpec):
+                        dichotomous = True  # lit(1) column by construction
+                    elif is_outcome:
+                        # v1's eager is_dichotomous (single_specs.py:148-150):
+                        # one small countDistinct job per outcome column
+                        n = (
+                            spec.value_frame.df.select(
+                                F.count_distinct(F.col(col)).alias("n")
+                            ).first()["n"]
+                        )
+                        dichotomous = n <= 2
+                    else:
+                        dichotomous = False
+                    for lp in spec.normalised_lookperiod:
+                        if spec.direction == "behind":
+                            min_days, max_days = -(lp.last / day), -(lp.first / day)
+                        else:
+                            min_days, max_days = lp.first / day, lp.last / day
+                        for agg in spec.aggregators:
+                            v2 = feature_col_name(
+                                spec.column_prefix, col, lp, agg, spec.fallback
+                            )
+                            renames[v2] = v1_temporal_col_name(
+                                spec.column_prefix, col, min_days, max_days,
+                                agg.name, spec.fallback, dichotomous,
+                            )
+            elif isinstance(spec, StaticSpec):
+                # v1 StaticSpec.get_output_col_name: {prefix}_{base}
+                for col in spec.value_frame.value_col_names:
+                    renames[static_feature_name(spec, col)] = (
+                        f"{spec.column_prefix}_{col}"
+                    )
+            elif isinstance(spec, TimeDeltaSpec) and spec.time_format == "years":
+                # v1 add_age output: {prefix}_{name}_in_years
+                renames[timedelta_feature_name(spec)] = (
+                    f"{spec.column_prefix}_{spec.output_name}_in_years"
+                )
+        return renames
+
     def get_df(self) -> DataFrame:
         pred = self._pred_frame
         for inc in self._incident_outcomes:
@@ -202,6 +306,8 @@ class TimeseriesFlattener:
             return pred.df
         out = Flattener(predictiontime_frame=pred).aggregate_timeseries(self._specs)
         df = out.df
+        if self.naming == "v1":
+            df = df.withColumnsRenamed(self._v1_rename_map())
         if self.drop_pred_times_with_insufficient_look_distance:
             # conservative variant of v1's drop (:629-666): bound by the
             # union of all temporal specs' value-frame ranges
