@@ -513,6 +513,42 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (coarse-quantizer cells, nprobe/nlist of the corpus
+    scanned per query). No SQL oracle — approximate by construction on
+    isotropic synthetic vectors, where recall is bounded by the scanned
+    fraction. In-query checks as for ann_lsh: per-rank dominance vs
+    brute force and per-query recall@10."""
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 20)
+    ivf = S.ivf_topk(queries, embs, k=10, nlist=16, nprobe=4)
+    brute = S.cosine_topk(queries, embs, k=10).select(
+        F.col("query_id"),
+        F.col("neighbor_id").alias("__bn"),
+        F.col("cos_sim").alias("__bc"),
+        F.col("rank"),
+    )
+    hits = ivf.join(
+        brute.select(F.col("query_id"), F.col("__bn").alias("neighbor_id")),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).groupBy("query_id").agg((F.count("*") / 10.0).alias("recall_10"))
+    return (
+        ivf.join(brute, ["query_id", "rank"])
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+            (F.col("cos_sim") <= F.col("__bc")).alias("dominated"),
+            F.coalesce("recall_10", F.lit(0.0)).alias("recall_10"),
+        )
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -687,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "flatten_v1_boundary": q_flatten_v1_boundary,
         "flatten_incident_outcome": q_flatten_incident_outcome,

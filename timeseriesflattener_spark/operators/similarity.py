@@ -178,3 +178,92 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def _ivf_pivots(corpus: DataFrame, id_col: str, vec_col: str, nlist: int) -> np.ndarray:
+    """Deterministic pseudo-random coarse-quantizer pivots: the ``nlist``
+    corpus vectors with the smallest xxhash64(id) (a seeded sample
+    without RNG state), unit-normalised. One tiny driver collect —
+    nlist x dim floats, the same plan-time-constant pattern as the LSH
+    hyperplanes."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(nlist)
+        .collect()
+    )
+    pivots = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(pivots, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return pivots / norms
+
+
+def _pivot_dots(vec: Column, pivots: np.ndarray) -> list[Column]:
+    """Dot product of ``vec`` with every (unit) pivot, JVM-side."""
+    return [
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for p in pivots
+    ]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    nprobe: int = 4,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer (spherical Voronoi
+    cells around ``nlist`` deterministic pivots) partitions the corpus;
+    each query exactly re-ranks only the ``nprobe`` nearest cells, i.e.
+    scans ~nprobe/nlist of the corpus. The 100 TB shape: the corpus
+    shuffles ONCE by cell id, cells are independent, and recall/cost
+    trade via nprobe without touching the stored layout. Deterministic:
+    pivots derive from xxhash64 order, no RNG state anywhere.
+
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    pivots = _ivf_pivots(corpus, corpus_id, vec_col, nlist)
+    nlist = len(pivots)  # corpus may be smaller than requested
+    nprobe = min(nprobe, nlist)
+
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    dots_c = F.array(*_pivot_dots(F.col("__cv"), pivots))
+    # argmax cell: position of the max dot (1-based -> cell ids 1..nlist)
+    cbinned = c.withColumn("cell", F.array_position(dots_c, F.array_max(dots_c)))
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    dq = _pivot_dots(F.col("__qv"), pivots)
+    scored_cells = F.array(
+        *[F.struct(d.alias("d"), F.lit(i + 1).alias("cell")) for i, d in enumerate(dq)]
+    )
+    # top-nprobe cells = last nprobe of the ascending (d, cell) sort
+    probe = F.transform(
+        F.slice(F.array_sort(scored_cells), -nprobe, nprobe), lambda s: s["cell"]
+    )
+    qprobed = q.withColumn("cell", F.explode(probe))
+    if broadcast_queries:
+        qprobed = F.broadcast(qprobed)
+
+    scored = (
+        qprobed.join(cbinned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
