@@ -243,6 +243,7 @@ class BooleanOutcomeSpec:
         aggregators: Sequence[str],
         value_timestamp_col_name: str = "timestamp",
         column_prefix: str = "outc",
+        boundary: Boundary = "v2",
     ) -> "BooleanOutcomeSpec":
         return BooleanOutcomeSpec(
             init_frame=TimestampValueFrame(
@@ -254,6 +255,7 @@ class BooleanOutcomeSpec:
             aggregators=strings_to_aggregators(aggregators),
             output_name=column_prefix,
             column_prefix=column_prefix,
+            boundary=boundary,
         )
 
 
