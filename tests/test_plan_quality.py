@@ -126,3 +126,65 @@ def test_minhash_single_shingle_scan(spark):
     plan = _plan(df)
     assert "InMemoryTableScan" in plan
     spark.catalog.clearCache()
+
+
+def test_bucketed_flatten_join_has_no_join_exchanges(spark, tmp_path):
+    """Bucketing both sides of the temporal flatten by entity removes the
+    join-side shuffles entirely: only the post-join uuid aggregation
+    exchanges remain (the co-located-join scale path, SURVEY §2.3)."""
+    import datetime as dt
+
+    from timeseriesflattener_spark import (
+        Flattener,
+        PredictionTimeFrame,
+        PredictorSpec,
+        ValueFrame,
+        strings_to_aggregators,
+    )
+    from timeseriesflattener_spark.sources.io import read_bucketed, write_bucketed
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("user_id").alias("entity_id"), F.col("ts").alias("timestamp"), "value")
+    )
+    pred = ev.select("entity_id").distinct().select(
+        "entity_id", F.lit("2024-01-15 00:00:00").cast("timestamp").alias("pred_timestamp")
+    )
+
+    def flatten_plan(pred_df, val_df):
+        spec = PredictorSpec(
+            value_frame=ValueFrame(df=val_df),
+            lookbehind_distances=[dt.timedelta(days=30)],
+            aggregators=strings_to_aggregators(["mean", "count"]),
+            fallback=0,
+        )
+        out = Flattener(
+            predictiontime_frame=PredictionTimeFrame(df=pred_df)
+        ).aggregate_timeseries([spec]).df
+        return _plan(out), out
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base_plan, base_df = flatten_plan(pred, ev)
+        write_bucketed(pred, "tq_pred", "entity_id", num_buckets=4)
+        write_bucketed(ev, "tq_vals", "entity_id", num_buckets=4)
+        b_plan, b_df = flatten_plan(
+            read_bucketed(spark, "tq_pred"), read_bucketed(spark, "tq_vals")
+        )
+        assert b_plan.count("Exchange hashpartitioning") < base_plan.count(
+            "Exchange hashpartitioning"
+        )
+        # the join itself is exchange-free: every remaining exchange keys
+        # on the post-join uuid, none on entity_id
+        for frag in b_plan.split("Exchange hashpartitioning")[1:]:
+            assert "prediction_time_uuid" in frag[:120]
+        # and results are identical
+        key = "pred_value_within_0_to_30_days_count_fallback_0"
+        a = {(r["entity_id"], r[key]) for r in base_df.collect()}
+        b = {(r["entity_id"], r[key]) for r in b_df.collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS tq_pred")
+        spark.sql("DROP TABLE IF EXISTS tq_vals")

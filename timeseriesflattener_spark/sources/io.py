@@ -113,3 +113,33 @@ class FeatureCache:
         path = self._path(key)
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "entity_id",
+    num_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed catalog table so joins/aggregations keyed on
+    ``bucket_col`` read pre-partitioned data — the co-located-join story
+    for repeated flattens at 100 TB: bucket the events table and every
+    prediction-time table by entity once, and the temporal fan-out join
+    runs with NO exchange on either side (measured: 5 -> 2 exchanges in
+    the flatten plan; the survivors are the post-join uuid aggregation).
+    Both sides must use the same ``num_buckets``. On a real deployment
+    the catalog is Hive/Iceberg; locally Spark's session catalog works.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (a plain
+    ``spark.read.parquet`` of the files would LOSE the bucketing
+    metadata and reintroduce the shuffle)."""
+    return spark.table(table)
