@@ -408,6 +408,16 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to connected components: (doc, cluster)
+    with cluster = min doc id in the component. Oracle: DuckDB recursive
+    CTE computing min-label reachability over the same thresholded pair
+    graph."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_freq=1000)
+    return D.duplicate_clusters(docs, pairs.select("doc_a", "doc_b"))
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL oracle since r2: the LSH verification step computes exact
     Jaccard on candidates, so the output is a subset of the all-pairs
@@ -718,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -916,6 +927,38 @@ SELECT c.doc_a, c.doc_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
        round(c.n_common / (sa.n + sb.n - c.n_common), 6) AS jaccard
 FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5""",
+        "dedup_clusters": """
+WITH RECURSIVE norm AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(CASE WHEN len(toks) >= 3
+      THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM norm),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS freq FROM sh)
+  WHERE freq <= 1000),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc, min(label) AS cluster FROM reach GROUP BY node""",
         "dedup_minhash": """
 WITH norm AS (
   SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks

@@ -145,3 +145,23 @@ def test_ivf_topk_recall_and_determinism(spark):
     from collections import Counter
     per_q = Counter(q for q, _, _ in ivf1)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_duplicate_clusters_transitivity(spark):
+    """Pair graph A~B, B~C (A!~C) must resolve to ONE cluster {A,B,C}
+    (keeping one per PAIR would under-drop); chains longer than one
+    propagation round converge; singletons keep their own id."""
+    from timeseriesflattener_spark.operators.dedup import (
+        drop_near_duplicates,
+        duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    # chain 0-1-2-3-4 (diameter 4 -> needs >1 propagation round) + pair 7-8
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["doc"]: r["cluster"] for r in duplicate_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+    kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
+    assert kept == [0, 5, 6, 7, 9]

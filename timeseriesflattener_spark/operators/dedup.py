@@ -408,3 +408,74 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------------ clusters
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: (doc, cluster) where
+    ``cluster`` is the minimum doc id in the pair graph's connected
+    component (singletons map to themselves) — the last mile of a real
+    dedup pipeline, where "keep one per cluster" needs components, not
+    pairs (A~B, B~C must drop two docs, not one per pair).
+
+    Min-label propagation as a driver-side loop of DataFrame joins:
+    each round every node takes the min label among itself and its
+    neighbours; converged when no label changes. Near-dup components
+    are clique-ish (diameter 1-2), so 2-3 rounds suffice in practice;
+    ``max_iterations`` bounds pathological chains. Each round
+    localCheckpoints the label frame — REQUIRED lineage truncation, or
+    the plan doubles every iteration. At extreme scale swap in the
+    large-star/small-star variant; the loop shape is identical.
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = df.select(
+        F.col(id_col).alias("doc"), F.col(id_col).alias("cluster")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc"])
+            .groupBy("dst")
+            .agg(F.min("cluster").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc"] == neighbor_min["dst"], "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("__nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one doc per near-dup cluster (the min id)."""
+    clusters = duplicate_clusters(df, pairs, id_col)
+    keep = clusters.filter(F.col("doc") == F.col("cluster")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
