@@ -375,6 +375,15 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_chunks(chunks, value_col="value")
 
 
+def q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session stats."""
+    from timeseriesflattener_spark.operators.sessions import session_stats, sessionize
+
+    conv = _events_as_conv(spark, sf_dir)
+    sess = sessionize(conv, dt.timedelta(minutes=30))
+    return session_stats(sess)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -724,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1d": q_gapfill_locf_1d,
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "sessionize_30m": q_sessionize_30m,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
@@ -880,6 +890,25 @@ SELECT conv_id, b AS bucket_start,
 FROM br""",
         "gorilla_roundtrip": """
 SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events""",
+        "sessionize_30m": """
+WITH o AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT conv_id, ts,
+    sum(CASE WHEN prev IS NOT NULL
+              AND epoch_us(ts) - epoch_us(prev) > 1800000000
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT conv_id, session_id,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_micros,
+  count(*) AS n_events
+FROM s GROUP BY conv_id, session_id""",
         "text_stats": """
 SELECT doc_id,
   length(text) AS n_chars,

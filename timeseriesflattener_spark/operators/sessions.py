@@ -1,0 +1,65 @@
+"""Conversation sessionization: split each entity's event stream into
+sessions separated by inactivity gaps — the standard pre-processing step
+before per-session rollups/features on transcript tables (the reference
+has no equivalent; transcripts-domain addition per the north rule).
+
+Pure window functions (lag + conditional cumsum), whole-stage codegen,
+one shuffle by entity. At 100 TB the shuffle is the same entity
+partitioning every downstream per-conversation op needs anyway.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.timeutils import micros
+from ..specs import timedelta_to_micros
+
+
+def sessionize(
+    df: DataFrame,
+    gap: dt.timedelta,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str | None = "turn_idx",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-entity session index (0-based): a new session starts
+    when the time since the previous event EXCEEDS ``gap`` (a gap of
+    exactly ``gap`` stays in-session). Ties in ``ts`` order by
+    ``order_col`` when given, else by timestamp alone (ties then share a
+    frame-order-free outcome because td == 0 never opens a session)."""
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    prev = F.lag(micros(F.col(ts_col))).over(w)
+    opens = (
+        prev.isNotNull()
+        & ((micros(F.col(ts_col)) - prev) > F.lit(timedelta_to_micros(gap)))
+    ).cast("long")
+    return df.withColumn(
+        session_col,
+        F.sum(opens).over(
+            Window.partitionBy(entity_col).orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-(entity, session) summary: bounds, duration, event count."""
+    return sessions.groupBy(entity_col, session_col).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (micros(F.max(ts_col)) - micros(F.min(ts_col))).alias("duration_micros"),
+        F.count("*").alias("n_events"),
+    )
