@@ -1,0 +1,75 @@
+"""Watermarked windowed streaming aggregation: append-mode finalisation
+semantics and value-exactness vs batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from timeseriesflattener_spark.streaming.windowed import start_windowed_stream, windowed_partials
+
+SCHEMA = "conv_id string, ts timestamp, v double"
+
+
+def test_watermarked_stream_finalises_closed_windows(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    # three day-files arriving in order; 1h windows, 30min watermark
+    days = []
+    for d in range(3):
+        rows = [
+            ("a", t0 + dt.timedelta(days=d, hours=h, minutes=m), float(h))
+            for h in range(4)
+            for m in (0, 20, 40)
+        ]
+        days.append(spark.createDataFrame(rows, SCHEMA))
+    in_dir = str(tmp_path / "in")
+    for i, df in enumerate(days):
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = start_windowed_stream(
+        spark,
+        in_dir,
+        SCHEMA,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        value_cols=["v"],
+        tier="1h",
+        watermark="30 minutes",
+        max_files_per_trigger=1,  # one file per micro-batch -> watermark advances between batches
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        (r["conv_id"], r["bucket_start"]): (r["v_count"], r["v_sum"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_all = spark.createDataFrame([], SCHEMA)
+    for df in days:
+        batch_all = batch_all.unionByName(df)
+    batch = {
+        (r["conv_id"], r["bucket_start"]): (r["v_count"], r["v_sum"])
+        for r in windowed_partials(
+            spark.read.parquet(in_dir), ["v"], tier="1h", watermark="30 minutes"
+        ).collect()
+        # windowed_partials on a BATCH frame ignores the watermark -> all windows
+    }
+    # every emitted bucket is value-exact vs batch
+    assert streamed, "stream emitted nothing"
+    for k, v in streamed.items():
+        assert batch[k] == v, k
+    # finalisation contract: every window closed by the watermark of the
+    # second-to-last batch MUST have been emitted by stream end
+    wm = max(
+        r["ts"] for r in days[1].collect()
+    ) - dt.timedelta(minutes=30)
+    emitted_keys = set(streamed)
+    for k, _ in batch.items():
+        conv, bstart = k
+        end = dt.datetime.utcfromtimestamp(bstart / 1e6) + dt.timedelta(hours=1)
+        if end <= wm:
+            assert k in emitted_keys, (k, wm)
+    # and nothing emitted twice (append-only sink, one row per bucket)
+    n_rows = spark.read.parquet(out_dir).count()
+    assert n_rows == len(streamed)

@@ -1,0 +1,96 @@
+"""Native Structured-Streaming windowed aggregation with watermarks —
+the idiomatic `readStream -> withWatermark -> window() groupBy ->
+writeStream` shape for the 1m/1h/1d tiers, complementing the
+foreachBatch merge path (``incremental.py``):
+
+- **merge path** (default): state lives in the TierStore; arbitrarily
+  late data re-opens (tier, day) units; exactly-once via ledgered batch
+  ids. Best when late data is unbounded (backfills).
+- **watermark path** (this module): state lives in the streaming state
+  store; windows FINALISE once the event-time watermark passes them, so
+  downstream readers get append-only, never-revised buckets, and state
+  is bounded by the watermark delay. Best for serving freshness with a
+  bounded lateness contract; data later than the watermark is DROPPED
+  (by design — that is the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_WINDOW = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def windowed_partials(
+    stream_df: DataFrame,
+    value_cols: list[str],
+    tier: str = "1m",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked per-(entity, tier-window) partial stats over a
+    streaming DataFrame. Grouping uses ``F.window`` on the watermarked
+    event-time column — the form Spark's state store recognises for
+    watermark-driven finalisation/eviction (an arbitrary bucket
+    expression of ts would aggregate correctly but hold state forever).
+
+    Output schema matches ``plans.rollup`` naming: ``bucket_start``
+    (epoch micros of the window start) + ``{col}_{count,sum,min,max}``.
+    In append output mode a row emits exactly once, when the watermark
+    passes its window end.
+    """
+    width = TIER_WINDOW[tier]
+    aggs = []
+    for vc in value_cols:
+        aggs += [
+            F.count(vc).alias(f"{vc}_count"),
+            F.sum(vc).alias(f"{vc}_sum"),
+            F.min(vc).alias(f"{vc}_min"),
+            F.max(vc).alias(f"{vc}_max"),
+        ]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(entity_col), F.window(F.col(ts_col), width).alias("__w"))
+        .agg(*aggs)
+        .select(
+            entity_col,
+            F.unix_micros(F.col("__w.start")).alias("bucket_start"),
+            *[F.col(f"{vc}_{s}") for vc in value_cols for s in ("count", "sum", "min", "max")],
+        )
+    )
+
+
+def start_windowed_stream(
+    spark,
+    input_path: str,
+    schema: str,
+    out_path: str,
+    checkpoint_dir: str,
+    value_cols: list[str],
+    tier: str = "1m",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """readStream(parquet dir) -> watermarked windowed partials ->
+    append-mode parquet sink. Append + watermark = each bucket lands in
+    the sink exactly once, finalised; the sink is safe to serve/roll up
+    without revision handling."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    out = windowed_partials(stream, value_cols, tier, entity_col, ts_col, watermark)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
