@@ -357,6 +357,25 @@ def _daily_points(spark, sf_dir):
     return pts.select("conv_id", "bucket_start", (F.col("value_mean") / 100.0).alias("v"))
 
 
+def q_sketch_quantiles_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DDSketch-style tier quantiles: 1m histogram partials
+    rolled up to 1h, p50/p95 per (conv, hour). The rollup path (not a
+    direct 1h sketch) is deliberate — it exercises the merge."""
+    from timeseriesflattener_spark.plans.sketch import (
+        partial_sketch,
+        quantiles_from_sketch,
+        rollup_sketch,
+    )
+
+    conv = _events_as_conv(spark, sf_dir)
+    p1m = partial_sketch(conv, "value", tier="1m")
+    p1h = rollup_sketch(p1m, "1h")
+    q = quantiles_from_sketch(p1h, ps=(0.5, 0.95))
+    return q.select(
+        "conv_id", "bucket_start", F.round("p50", 6).alias("p50"), F.round("p95", 6).alias("p95")
+    )
+
+
 def q_gapfill_locf_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_gaps(_daily_points(spark, sf_dir), ["v"], "1d", method="locf")
 
@@ -730,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "rollup_unique_1h": q_rollup_unique_1h,
+        "sketch_quantiles_1h": q_sketch_quantiles_1h,
         "gapfill_locf_1d": q_gapfill_locf_1d,
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "gorilla_roundtrip": q_gorilla_roundtrip,
@@ -848,6 +868,34 @@ SELECT CAST(user_id AS VARCHAR) AS conv_id,
        (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
        count(DISTINCT value) AS value_unique_count
 FROM events GROUP BY 1, 2""",
+        "sketch_quantiles_1h": """
+WITH b AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
+         CASE WHEN abs(value) < 1e-9 THEN CAST(0 AS BIGINT)
+              WHEN value > 0 THEN CAST(ceil(ln(abs(value))/ln(1.02)) AS BIGINT)
+              ELSE -CAST(ceil(ln(abs(value))/ln(1.02)) AS BIGINT) END AS bin
+  FROM events),
+h AS (SELECT conv_id, bucket_start, bin, count(*) AS n FROM b GROUP BY 1, 2, 3),
+c AS (
+  SELECT conv_id, bucket_start, bin,
+    sum(n) OVER (PARTITION BY conv_id, bucket_start ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(n) OVER (PARTITION BY conv_id, bucket_start) AS total
+  FROM h),
+sel AS (
+  SELECT conv_id, bucket_start,
+    min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) AS b50,
+    min(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) AS b95
+  FROM c GROUP BY 1, 2)
+SELECT conv_id, bucket_start,
+  round(CASE WHEN b50 = 0 THEN 0.0
+             WHEN b50 > 0 THEN power(1.02, abs(b50)) * (2.0/2.02)
+             ELSE -(power(1.02, abs(b50)) * (2.0/2.02)) END, 6) AS p50,
+  round(CASE WHEN b95 = 0 THEN 0.0
+             WHEN b95 > 0 THEN power(1.02, abs(b95)) * (2.0/2.02)
+             ELSE -(power(1.02, abs(b95)) * (2.0/2.02)) END, 6) AS p95
+FROM sel""",
         "gapfill_locf_1d": """
 WITH pts AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
