@@ -357,6 +357,59 @@ def _daily_points(spark, sf_dir):
     return pts.select("conv_id", "bucket_start", (F.col("value_mean") / 100.0).alias("v"))
 
 
+def q_topk_event_types_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per (user, hour): 1m frequency partials merged to
+    1h, top-2 event types (exact; ties break by key)."""
+    from timeseriesflattener_spark.plans.topk import (
+        partial_frequencies,
+        rollup_frequencies,
+        top_k,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts",
+        F.col("event_type").alias("etype"),
+    )
+    p1m = partial_frequencies(ev, "etype", tier="1m")
+    p1h = rollup_frequencies(p1m, "1h")
+    return top_k(p1h, k=2)
+
+
+def q_hll_unique_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct counts per (user, day), rolled up from 1m
+    sketches WITHOUT re-reading raw. No DuckDB twin for the Datasketches
+    binary — in-query evidence instead: the exact distinct count and a
+    within-5%% flag ride along (rows-only check sees any violation)."""
+    from timeseriesflattener_spark.plans.topk import (
+        hll_estimates,
+        partial_hll,
+        rollup_hll,
+    )
+
+    conv = _events_as_conv(spark, sf_dir, cents=True)
+    p1m = partial_hll(conv.withColumnRenamed("value", "cents"), "cents", tier="1m")
+    est = hll_estimates(rollup_hll(p1m, "1d"))
+    exact = (
+        conv.select(
+            "conv_id",
+            R.bucket_expr(F.col("ts"), "1d").alias("bucket_start"),
+            "value",
+        )
+        .groupBy("conv_id", "bucket_start")
+        .agg(F.count_distinct("value").alias("exact_unique"))
+    )
+    return est.join(exact, ["conv_id", "bucket_start"]).select(
+        "conv_id",
+        "bucket_start",
+        "unique_estimate",
+        "exact_unique",
+        (
+            F.abs(F.col("unique_estimate") - F.col("exact_unique"))
+            <= F.greatest(F.lit(3), F.col("exact_unique") * 0.05)
+        ).alias("within_5pct"),
+    )
+
+
 def q_sketch_quantiles_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable DDSketch-style tier quantiles: 1m histogram partials
     rolled up to 1h, p50/p95 per (conv, hour). The rollup path (not a
@@ -749,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "rollup_unique_1h": q_rollup_unique_1h,
+        "topk_event_types_1h": q_topk_event_types_1h,
+        "hll_unique_1d": q_hll_unique_1d,
         "sketch_quantiles_1h": q_sketch_quantiles_1h,
         "gapfill_locf_1d": q_gapfill_locf_1d,
         "gapfill_linear_1d": q_gapfill_linear_1d,
@@ -868,6 +923,18 @@ SELECT CAST(user_id AS VARCHAR) AS conv_id,
        (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
        count(DISTINCT value) AS value_unique_count
 FROM events GROUP BY 1, 2""",
+        "topk_event_types_1h": """
+WITH f AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
+         event_type AS key, count(*) AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT conv_id, bucket_start, key, n, rank FROM (
+  SELECT conv_id, bucket_start, key, n,
+    row_number() OVER (PARTITION BY conv_id, bucket_start
+                       ORDER BY n DESC, key ASC) AS rank
+  FROM f)
+WHERE rank <= 2""",
         "sketch_quantiles_1h": """
 WITH b AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
