@@ -52,3 +52,23 @@ def test_payload_aware_partitioning(spark, payloads):
     out = with_binary_partitioning(payloads, target_partition_bytes=1024)
     assert out.rdd.getNumPartitions() >= 2  # 50 docs x ~700B >> 1KiB target
     assert out.count() == payloads.count()
+
+
+def test_extract_frames_fanout_and_determinism(spark):
+    from timeseriesflattener_spark.operators.multimodal import extract_frames
+
+    payloads = spark.createDataFrame(
+        [(1, bytes(range(256)) * 3), (2, b"xy")], "doc_id long, payload binary"
+    )
+    out = extract_frames(payloads, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 1: 3 frames of 256 bytes -> indices 0,1,2 -> every 2nd = [0, 2]
+    assert sorted(by_doc[1]) == [0, 2]
+    assert by_doc[2] == [0]
+    # deterministic features
+    out2 = extract_frames(payloads, every_n=2).collect()
+    assert {(r["doc_id"], r["frame_idx"], tuple(r["frame_feature"])) for r in out} == {
+        (r["doc_id"], r["frame_idx"], tuple(r["frame_feature"])) for r in out2
+    }

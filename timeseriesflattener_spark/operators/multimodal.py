@@ -123,3 +123,43 @@ def with_binary_partitioning(
     total = int(avg * n_rows)
     n = max(1, total // target_partition_bytes + 1)
     return df.repartition(n, id_col)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_feature array<float>"
+
+
+def fake_frame_split(payload: bytes, frame_bytes: int = 256) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling (ffmpeg absent):
+    fixed-size byte windows play the role of decoded frames. Swapping in
+    a real decoder replaces THIS function only."""
+    b = bytes(payload)
+    return [b[i : i + frame_bytes] for i in range(0, max(len(b), 1), frame_bytes)]
+
+
+def extract_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+    dim: int = 8,
+) -> DataFrame:
+    """Frame-sampling pipeline shape: one binary payload row fans out to
+    MULTIPLE (doc, frame_idx, feature) rows — the mapInPandas generator
+    yields a frame-exploded frame per Arrow batch, so the 1:N row fanout
+    stays inside the worker (no driver-side explode of binary blobs).
+    Takes every ``every_n``-th frame; features via the deterministic
+    fake extractor."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
+                for i, frame in enumerate(fake_frame_split(bytes(blob))):
+                    if i % every_n:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    feats.append(fake_feature_extract(frame, dim).tolist())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_feature": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(frames, FRAME_SCHEMA)
