@@ -6,11 +6,14 @@ gap-fill, Gorilla chunks, dedup, similarity search, text analysis,
 TPC-H-style scan/join/agg), each runnable at any sf_dir; ``oracle_sql``
 gives the DuckDB-equivalent ANSI SQL. dedup_minhash carries a FULL
 oracle (its verify step computes exact Jaccard and LSH recall on this
-corpus is 100%, checked at sf0.01 and sf0.1). The two remaining
-approximate ops (simhash, ann_lsh) carry IN-QUERY containment checks:
+corpus is 100%, checked at sf0.01 and sf0.1); dedup_clusters is
+oracle-checked against a recursive-CTE connected-components query. The
+four ops without a DuckDB twin carry IN-QUERY checks instead:
 simhash emits sentinel rows if any exact-duplicate pair is missed plus
-exact-Jaccard evidence per pair; ann_lsh emits a per-rank dominance flag
-vs in-query brute force plus per-query recall@10.
+exact-Jaccard evidence per pair; ann_lsh/ann_ivf emit per-rank
+dominance flags vs in-query brute force plus per-query recall@10;
+hll_unique_1d rides the in-query exact distinct count and a within-5pct
+flag.
 
 Float columns that accumulate (sum/mean/var/slope/cosine) are rounded
 identically on both sides (accumulation-order noise << rounding step);

@@ -294,7 +294,16 @@ def run_scaleup(factor: int = 10) -> None:
             )
         big_ev.write.mode("overwrite").parquet(os.path.join(big_dir, "events.parquet"))
 
-    fams = ["dedup_minhash", "ann_cosine_topk", "rollup_1h", "gorilla_roundtrip"]
+    fams = [
+        "dedup_minhash",
+        "dedup_clusters",
+        "ann_cosine_topk",
+        "rollup_1h",
+        "gorilla_roundtrip",
+        "sketch_quantiles_1h",
+        "sessionize_30m",
+        "topk_event_types_1h",
+    ]
     out: dict[str, dict] = {}
     for name in fams:
         t0 = time.time()
