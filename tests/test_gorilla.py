@@ -89,3 +89,36 @@ def test_spark_roundtrip(spark):
         F.sum(F.length("chunk")).alias("enc"), F.sum("raw_bytes").alias("raw")
     ).first()
     assert sizes["enc"] < sizes["raw"]
+
+
+def test_decode_time_range_pruning(spark, tmp_path):
+    """time_range decode: values exactly equal the full decode filtered
+    to [lo, hi), chunk pruning reaches the parquet scan, and untouched
+    chunks are excluded before decoding."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.functions.gorilla import decode_chunks, encode_chunks
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", i, t0 + dt.timedelta(hours=6 * i), float(i)) for i in range(20)
+    ]  # 5 day-chunks of 4 points
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, value double")
+    path = str(tmp_path / "chunks")
+    encode_chunks(df, "value", tier="1d").write.parquet(path)
+    chunks = spark.read.parquet(path)
+
+    lo, hi = t0 + dt.timedelta(days=1, hours=3), t0 + dt.timedelta(days=3)
+    pruned = decode_chunks(chunks, time_range=(lo, hi), tier="1d")
+    full = decode_chunks(chunks)
+    want = {
+        (r["conv_id"], r["ts"], r["value"])
+        for r in full.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))).collect()
+    }
+    got = {(r["conv_id"], r["ts"], r["value"]) for r in pruned.collect()}
+    assert got == want and len(got) == 7  # 1d03h..3d at 6h cadence
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "chunk_start" in plan.split("PushedFilters")[1][:200]

@@ -269,16 +269,54 @@ def encode_chunks(
     return arranged.mapInPandas(enc_stream, CHUNK_SCHEMA)
 
 
-def decode_chunks(chunks: DataFrame, value_col: str = "value") -> DataFrame:
+def decode_chunks(
+    chunks: DataFrame,
+    value_col: str = "value",
+    time_range: "tuple | None" = None,
+    tier: str | None = None,
+) -> DataFrame:
     """Chunk rows -> (conv_id, ts, value) points. ``mapInPandas``; the
-    loop is per *chunk* (thousands of points each), numpy per point."""
+    loop is per *chunk* (thousands of points each), numpy per point.
+
+    ``time_range=(lo, hi)`` (datetimes, half-open ``[lo, hi)``) prunes
+    BEFORE decoding: with ``tier`` given, chunk pruning is exact on
+    ``chunk_start`` (a chunk spans ``[chunk_start, chunk_start+tier)``
+    by construction) — at 100 TB serving a window touches only the
+    chunks that intersect it, never the full binary column; point-level
+    trimming then finishes inside the decoder. Without ``tier``, only
+    the lower bound can prune chunks (an unknown chunk width leaves the
+    upper extent open) and point-level trimming does the rest.
+    """
     out_schema = f"conv_id string, ts timestamp, {value_col} double"
+    lo_us = hi_us = None
+    if time_range is not None:
+        from .timeutils import micros  # local import avoids cycle at module load
+
+        lo, hi = time_range
+        lo_us = int(lo.timestamp() * 1_000_000) if hasattr(lo, "timestamp") else int(lo)
+        hi_us = int(hi.timestamp() * 1_000_000) if hasattr(hi, "timestamp") else int(hi)
+        # chunk-level pruning on the chunk_start metadata column — this
+        # filter reaches the parquet scan (PushedFilters), so untouched
+        # chunks are never read, let alone decoded
+        if tier is not None:
+            width = {"1m": 60, "1h": 3600, "1d": 86400}[tier] * 1_000_000
+            chunks = chunks.filter(
+                (F.col("chunk_start") < F.lit(hi_us))
+                & (F.col("chunk_start") > F.lit(lo_us - width))
+            )
+        else:
+            chunks = chunks.filter(F.col("chunk_start") < F.lit(hi_us))
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ts_parts, val_parts, conv_parts = [], [], []
             for conv_id, blob in zip(pdf["conv_id"], pdf["chunk"]):
                 ts, vals = decode_series(bytes(blob))
+                if lo_us is not None:
+                    mask = (ts >= lo_us) & (ts < hi_us)
+                    ts, vals = ts[mask], vals[mask]
+                if not len(ts):
+                    continue
                 ts_parts.append(ts)
                 val_parts.append(vals)
                 conv_parts.append(np.repeat(conv_id, len(ts)))
