@@ -940,11 +940,13 @@ SELECT conv_id, bucket_start, key, n, rank FROM (
 WHERE rank <= 2""",
         "sketch_quantiles_1h": """
 WITH b AS (
+  -- bins shift by -(LOW-1) = +1047 so magnitudes are strictly positive
+  -- and 0 stays the zero bucket (LOW = ceil(ln(1e-9)/ln(1.02)) = -1046)
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
          (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
          CASE WHEN abs(value) < 1e-9 THEN CAST(0 AS BIGINT)
-              WHEN value > 0 THEN CAST(ceil(ln(abs(value))/ln(1.02)) AS BIGINT)
-              ELSE -CAST(ceil(ln(abs(value))/ln(1.02)) AS BIGINT) END AS bin
+              WHEN value > 0 THEN CAST(ceil(ln(abs(value))/ln(1.02)) AS BIGINT) + 1047
+              ELSE -(CAST(ceil(ln(abs(value))/ln(1.02)) AS BIGINT) + 1047) END AS bin
   FROM events),
 h AS (SELECT conv_id, bucket_start, bin, count(*) AS n FROM b GROUP BY 1, 2, 3),
 c AS (
@@ -960,11 +962,11 @@ sel AS (
   FROM c GROUP BY 1, 2)
 SELECT conv_id, bucket_start,
   round(CASE WHEN b50 = 0 THEN 0.0
-             WHEN b50 > 0 THEN power(1.02, abs(b50)) * (2.0/2.02)
-             ELSE -(power(1.02, abs(b50)) * (2.0/2.02)) END, 6) AS p50,
+             WHEN b50 > 0 THEN power(1.02, abs(b50) - 1047) * (2.0/2.02)
+             ELSE -(power(1.02, abs(b50) - 1047) * (2.0/2.02)) END, 6) AS p50,
   round(CASE WHEN b95 = 0 THEN 0.0
-             WHEN b95 > 0 THEN power(1.02, abs(b95)) * (2.0/2.02)
-             ELSE -(power(1.02, abs(b95)) * (2.0/2.02)) END, 6) AS p95
+             WHEN b95 > 0 THEN power(1.02, abs(b95) - 1047) * (2.0/2.02)
+             ELSE -(power(1.02, abs(b95) - 1047) * (2.0/2.02)) END, 6) AS p95
 FROM sel""",
         "gapfill_locf_1d": """
 WITH pts AS (

@@ -111,3 +111,94 @@ def test_flattener_matches_python_reference(spark, values, preds, lb):
                 assert got == pytest.approx(want, rel=1e-9), (key, agg, got, want)
             else:
                 assert got == want, (key, agg, got, want)
+
+
+# ------------------------------------------------- sessionize differential
+
+session_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # entity
+        st.integers(min_value=0, max_value=5000),  # minutes offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+gap_minutes = st.integers(min_value=1, max_value=120)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=session_rows, gap=gap_minutes)
+def test_sessionize_matches_python(spark, rows, gap):
+    """Spark sessionize vs an independent pure-Python pass: identical
+    session assignment for arbitrary event layouts (duplicates included
+    — same-instant events share a session by definition)."""
+    import datetime as dtm
+
+    from timeseriesflattener_spark.operators.sessions import sessionize
+
+    data = [
+        (str(e), i, BASE + dtm.timedelta(minutes=m))
+        for i, (e, m) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["session_id"]
+        for r in sessionize(df, dtm.timedelta(minutes=gap)).collect()
+    }
+
+    # pure-python reference: sort by (ts, turn_idx) per entity, open a
+    # session when the gap strictly exceeds the threshold
+    want = {}
+    by_entity = {}
+    for conv, idx, ts in data:
+        by_entity.setdefault(conv, []).append((ts, idx))
+    for conv, evs in by_entity.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, idx in evs:
+            if prev is not None and (ts - prev) > dtm.timedelta(minutes=gap):
+                sid += 1
+            want[(conv, idx)] = sid
+            prev = ts
+    assert got == want
+
+
+# ------------------------------------------------- DDSketch differential
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=1e-6, max_value=1e6, allow_nan=False),
+            st.floats(min_value=-1e6, max_value=-1e-6, allow_nan=False),
+            st.just(0.0),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    p=st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_sketch_quantile_error_bound_property(spark, vals, p):
+    """For ANY input and quantile, the sketch estimate is within the
+    DDSketch relative-error bound of the exact inverted-CDF quantile."""
+    import datetime as dtm
+
+    from timeseriesflattener_spark.plans.sketch import (
+        GAMMA,
+        partial_sketch,
+        quantiles_from_sketch,
+    )
+
+    rows = [
+        ("c", BASE + dtm.timedelta(seconds=13 * i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value double")
+    q = quantiles_from_sketch(
+        partial_sketch(df, "value", tier="1d"), ps=(p,)
+    ).collect()[0][f"p{int(p * 100)}"]
+    sorted_vals = sorted(vals)
+    exact = sorted_vals[max(0, math.ceil(p * len(vals)) - 1)]
+    rel = (GAMMA - 1) / (GAMMA + 1)
+    assert abs(q - exact) <= rel * abs(exact) * 1.0001 + 1e-9, (q, exact)

@@ -33,11 +33,21 @@ from .rollup import bucket_expr, tier_micros
 
 GAMMA = 1.02
 EPS = 1e-9
+#: most negative magnitude index reachable given the eps cutoff; bins
+#: shift by -(LOW-1) so every |v| >= eps lands on a STRICTLY POSITIVE
+#: magnitude and 0 stays reserved for the zero bucket (hypothesis found
+#: the collision: values in (1/gamma, 1] have ceil(log_gamma) == 0)
+LOW = math.ceil(math.log(EPS) / math.log(GAMMA))
 
 
 def dd_bin(v: Column, gamma: float = GAMMA, eps: float = EPS) -> Column:
     """Signed DDSketch bin index of ``v`` (0 reserved for |v| < eps)."""
-    mag = F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma))).cast("long")
+    low = math.ceil(math.log(eps) / math.log(gamma))
+    mag = (
+        F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma))).cast("long")
+        - F.lit(low)
+        + F.lit(1)
+    )
     return (
         F.when(F.abs(v) < F.lit(eps), F.lit(0).cast("long"))
         .when(v > 0, mag)
@@ -45,10 +55,14 @@ def dd_bin(v: Column, gamma: float = GAMMA, eps: float = EPS) -> Column:
     )
 
 
-def bin_representative(bin_col: Column, gamma: float = GAMMA) -> Column:
-    """Midpoint value represented by a bin: 2*gamma^b/(gamma+1), mirrored
-    for negative bins, 0 for the zero bucket."""
-    mag = F.pow(F.lit(gamma), F.abs(bin_col)) * F.lit(2.0 / (gamma + 1.0))
+def bin_representative(bin_col: Column, gamma: float = GAMMA, eps: float = EPS) -> Column:
+    """Midpoint value represented by a bin:
+    2*gamma^(|b| + LOW - 1)/(gamma+1), mirrored for negative bins, 0 for
+    the zero bucket."""
+    low = math.ceil(math.log(eps) / math.log(gamma))
+    mag = F.pow(F.lit(gamma), F.abs(bin_col) + F.lit(low) - F.lit(1)) * F.lit(
+        2.0 / (gamma + 1.0)
+    )
     return (
         F.when(bin_col == 0, F.lit(0.0))
         .when(bin_col > 0, mag)
