@@ -72,3 +72,18 @@ def test_extract_frames_fanout_and_determinism(spark):
     assert {(r["doc_id"], r["frame_idx"], tuple(r["frame_feature"])) for r in out} == {
         (r["doc_id"], r["frame_idx"], tuple(r["frame_feature"])) for r in out2
     }
+
+
+def test_resize_payloads_bounded_and_deterministic(spark):
+    from timeseriesflattener_spark.operators.multimodal import resize_payloads
+
+    payloads = spark.createDataFrame(
+        [(1, bytes(range(256)) * 40), (2, b"tiny")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: (bytes(r["payload"]), r["n_bytes"]) for r in
+           resize_payloads(payloads, target_bytes=1000).collect()}
+    assert out[1][1] <= 1000 and out[1][1] > 0
+    assert out[2][0] == b"tiny"  # already under target: identity
+    out2 = {r["doc_id"]: bytes(r["payload"]) for r in
+            resize_payloads(payloads, target_bytes=1000).collect()}
+    assert {k: v[0] for k, v in out.items()} == out2

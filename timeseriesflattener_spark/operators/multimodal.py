@@ -163,3 +163,42 @@ def extract_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_feature": feats})
 
     return df.select(id_col, payload_col).mapInPandas(frames, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, n_bytes int"
+
+
+def fake_resize(payload: bytes, target_bytes: int = 1024) -> bytes:
+    """Deterministic stand-in for image resize (PIL absent): byte-domain
+    downsample to ``target_bytes`` by stride sampling (or identity when
+    already smaller) — preserves determinism and size semantics; a real
+    impl decodes, resizes, re-encodes."""
+    b = bytes(payload)
+    if len(b) <= target_bytes:
+        return b
+    stride = len(b) // target_bytes
+    return b[::stride][:target_bytes]
+
+
+def resize_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target_bytes: int = 1024,
+) -> DataFrame:
+    """The resize pipeline shape: binary in -> transformed binary out,
+    same row count, bounded output width (so downstream Arrow batches
+    have a known size budget)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fake_resize(bytes(b), target_bytes) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "payload": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZE_SCHEMA)
