@@ -147,7 +147,11 @@ def run_headline() -> None:
 
     sf = _sf_from_dir(SF_DIR)
     n_convs = TRANSCRIPT_CONVS.get(sf, 30_000)
+    # min-of-2 (same steady-state rationale as the per-query loop; at
+    # 30k convs the job is fixed-cost-dominated and single runs jitter)
     points, wall = _tier_job(spark, n_convs)
+    points2, wall2 = _tier_job(spark, n_convs)
+    points, wall = (points, wall) if wall <= wall2 else (points2, wall2)
     per_query["transcript_tiers"] = round(wall, 3)
     total += per_query["transcript_tiers"]
 
