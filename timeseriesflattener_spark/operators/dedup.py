@@ -86,20 +86,11 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of the normalised text (array<string>).
-    Convenience wrapper; prefer ``_with_shingles`` on the hot path."""
+    """Distinct word k-shingles of the normalised text (array<string>)
+    — a public inspection/debugging utility. The dedup hot path never
+    materialises shingle strings; it uses the hash-native construction
+    in ``_hashed_exploded`` (identical sets modulo 64-bit collisions)."""
     return shingles_from_tokens(F.split(normalized_text(text), " "), k)
-
-
-def _with_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(doc, __sh: array<string>) with token binding done as a projection."""
-    return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
-        )
-        .select("doc", shingles_from_tokens(F.col("__toks"), k).alias("__sh"))
-    )
 
 
 def _hashed_exploded(
