@@ -188,3 +188,24 @@ def test_bucketed_flatten_join_has_no_join_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS tq_pred")
         spark.sql("DROP TABLE IF EXISTS tq_vals")
+
+
+def test_sketch_and_frequency_partials_hash_aggregate(spark):
+    """The new tier families must stay in codegen'd HashAggregate like
+    the moment partials (struct-free long/double schemas)."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.plans.sketch import partial_sketch
+    from timeseriesflattener_spark.plans.topk import partial_frequencies
+
+    df = spark.createDataFrame(
+        [("c", dt.datetime(2024, 1, 1), 1.5, "tool")],
+        "conv_id string, ts timestamp, value double, etype string",
+    )
+    for frame in (
+        partial_sketch(df, "value", tier="1m"),
+        partial_frequencies(df, "etype", tier="1m"),
+    ):
+        plan = _plan(frame)
+        assert "HashAggregate" in plan, plan
+        assert "SortAggregate" not in plan, plan
