@@ -122,3 +122,40 @@ def test_decode_time_range_pruning(spark, tmp_path):
 
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "chunk_start" in plan.split("PushedFilters")[1][:200]
+
+
+def test_decode_column_pruning(spark, tmp_path):
+    """Codec-level column pruning: values-only and ts-only decodes equal
+    the full decode's projections, and combine with time_range trimming
+    (which forces ts decoding internally but keeps it out of the output)."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.functions.gorilla import decode_chunks, encode_chunks
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("c", i, t0 + dt.timedelta(hours=i), float(i) * 1.5) for i in range(30)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, value double")
+    chunks = encode_chunks(df, "value", tier="1d")
+    chunks.write.parquet(str(tmp_path / "c"))
+    chunks = spark.read.parquet(str(tmp_path / "c"))
+
+    full = decode_chunks(chunks).collect()
+    vals_only = decode_chunks(chunks, columns=["conv_id", "value"]).collect()
+    ts_only = decode_chunks(chunks, columns=["conv_id", "ts"]).collect()
+    assert sorted(r["value"] for r in vals_only) == sorted(r["value"] for r in full)
+    assert sorted(r["ts"] for r in ts_only) == sorted(r["ts"] for r in full)
+    assert vals_only[0].asDict().keys() == {"conv_id", "value"}
+
+    lo, hi = t0 + dt.timedelta(hours=5), t0 + dt.timedelta(hours=10)
+    trimmed = decode_chunks(
+        chunks, columns=["conv_id", "value"], time_range=(lo, hi), tier="1d"
+    ).collect()
+    want = sorted(
+        r["value"] for r in full if lo <= r["ts"] < hi
+    )
+    assert sorted(r["value"] for r in trimmed) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown decode columns"):
+        decode_chunks(chunks, columns=["nope"])

@@ -150,30 +150,60 @@ def encode_series(ts_micros: np.ndarray, values: np.ndarray) -> bytes:
     return head + ts_stream + val_stream
 
 
-def decode_series(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+def _skip_stream(buf: bytes, offset: int) -> int:
+    """Advance past one block-packed stream WITHOUT unpacking it — the
+    header carries n_blocks and payload_len, so skipping is O(1)."""
+    _n, n_blocks = struct.unpack_from("<IH", buf, offset)
+    offset += 6 + n_blocks
+    (payload_len,) = struct.unpack_from("<I", buf, offset)
+    return offset + 4 + payload_len
+
+
+def decode_series(
+    buf: bytes, need_ts: bool = True, need_values: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a chunk. ``need_ts``/``need_values`` enable column-pruned
+    decoding: an unneeded stream is SKIPPED via its header (O(1)), not
+    unpacked — the codec-level counterpart of parquet column pruning
+    (a value-only read never pays the delta-of-delta cumsums; a
+    timestamp-only read never pays the XOR prefix scan). A skipped
+    side returns an empty array."""
     magic, version, n, first_ts, first_val = struct.unpack_from("<4sBIqQ", buf, 0)
     if magic != MAGIC or version != VERSION:
         raise ValueError("not a GORB v1 chunk")
+    empty_ts = np.zeros(0, dtype=np.int64)
+    empty_vals = np.zeros(0, dtype=np.float64)
     if n == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        return empty_ts, empty_vals
     offset = struct.calcsize("<4sBIqQ")
     if n == 1:
         return (
-            np.array([first_ts], dtype=np.int64),
-            np.array([first_val], dtype=np.uint64).view(np.float64),
+            np.array([first_ts], dtype=np.int64) if need_ts else empty_ts,
+            np.array([first_val], dtype=np.uint64).view(np.float64)
+            if need_values
+            else empty_vals,
         )
     (first_delta,) = struct.unpack_from("<q", buf, offset)
     offset += 8
-    dod_z, offset = _decode_stream(buf, offset)
-    xor, _ = _decode_stream(buf, offset)
-    dod = _unzigzag(dod_z)
-    deltas = np.concatenate(([first_delta], first_delta + np.cumsum(dod))) if n > 2 else np.array(
-        [first_delta], dtype=np.int64
-    )
-    ts = first_ts + np.concatenate(([0], np.cumsum(deltas)))
-    val_bits = np.concatenate(([np.uint64(first_val)], xor.astype(np.uint64)))
-    vals = np.bitwise_xor.accumulate(val_bits)  # vectorized XOR prefix scan
-    return ts.astype(np.int64), vals.view(np.float64)
+    if need_ts:
+        dod_z, offset = _decode_stream(buf, offset)
+        dod = _unzigzag(dod_z)
+        deltas = (
+            np.concatenate(([first_delta], first_delta + np.cumsum(dod)))
+            if n > 2
+            else np.array([first_delta], dtype=np.int64)
+        )
+        ts = (first_ts + np.concatenate(([0], np.cumsum(deltas)))).astype(np.int64)
+    else:
+        offset = _skip_stream(buf, offset)
+        ts = empty_ts
+    if need_values:
+        xor, _ = _decode_stream(buf, offset)
+        val_bits = np.concatenate(([np.uint64(first_val)], xor.astype(np.uint64)))
+        vals = np.bitwise_xor.accumulate(val_bits).view(np.float64)
+    else:
+        vals = empty_vals
+    return ts, vals
 
 
 # ------------------------------------------------------------ spark API
@@ -274,6 +304,7 @@ def decode_chunks(
     value_col: str = "value",
     time_range: "tuple | None" = None,
     tier: str | None = None,
+    columns: "list[str] | None" = None,
 ) -> DataFrame:
     """Chunk rows -> (conv_id, ts, value) points. ``mapInPandas``; the
     loop is per *chunk* (thousands of points each), numpy per point.
@@ -286,8 +317,23 @@ def decode_chunks(
     trimming then finishes inside the decoder. Without ``tier``, only
     the lower bound can prune chunks (an unknown chunk width leaves the
     upper extent open) and point-level trimming does the rest.
+
+    ``columns`` prunes at the CODEC level: a subset of
+    ``["conv_id", "ts", value_col]`` decodes only the needed Gorilla
+    stream(s) — the other stream is header-skipped, never unpacked
+    (parquet column pruning's counterpart inside the chunk). A
+    ``time_range`` forces timestamp decoding for trimming even when
+    ``ts`` is not in the output.
     """
-    out_schema = f"conv_id string, ts timestamp, {value_col} double"
+    columns = list(columns) if columns is not None else ["conv_id", "ts", value_col]
+    bad = [c for c in columns if c not in ("conv_id", "ts", value_col)]
+    if bad:
+        raise ValueError(f"unknown decode columns {bad}")
+    want_ts = "ts" in columns
+    want_vals = value_col in columns
+    need_ts = want_ts or time_range is not None
+    type_of = {"conv_id": "string", "ts": "timestamp", value_col: "double"}
+    out_schema = ", ".join(f"{c} {type_of[c]}" for c in columns)
     lo_us = hi_us = None
     if time_range is not None:
         from .timeutils import micros  # local import avoids cycle at module load
@@ -311,24 +357,30 @@ def decode_chunks(
         for pdf in batches:
             ts_parts, val_parts, conv_parts = [], [], []
             for conv_id, blob in zip(pdf["conv_id"], pdf["chunk"]):
-                ts, vals = decode_series(bytes(blob))
+                ts, vals = decode_series(
+                    bytes(blob), need_ts=need_ts, need_values=want_vals
+                )
                 if lo_us is not None:
                     mask = (ts >= lo_us) & (ts < hi_us)
-                    ts, vals = ts[mask], vals[mask]
-                if not len(ts):
+                    ts = ts[mask]
+                    if want_vals:
+                        vals = vals[mask]
+                n = len(ts) if need_ts else len(vals)
+                if not n:
                     continue
                 ts_parts.append(ts)
                 val_parts.append(vals)
-                conv_parts.append(np.repeat(conv_id, len(ts)))
-            if not ts_parts:
-                yield pd.DataFrame({"conv_id": [], "ts": [], value_col: []})
+                conv_parts.append(np.repeat(conv_id, n))
+            if not conv_parts:
+                yield pd.DataFrame({c: [] for c in columns})
                 continue
-            yield pd.DataFrame(
-                {
-                    "conv_id": np.concatenate(conv_parts),
-                    "ts": pd.to_datetime(np.concatenate(ts_parts), unit="us"),
-                    value_col: np.concatenate(val_parts),
-                }
-            )
+            data = {}
+            if "conv_id" in columns:
+                data["conv_id"] = np.concatenate(conv_parts)
+            if want_ts:
+                data["ts"] = pd.to_datetime(np.concatenate(ts_parts), unit="us")
+            if want_vals:
+                data[value_col] = np.concatenate(val_parts)
+            yield pd.DataFrame(data)[columns]
 
     return chunks.mapInPandas(dec, out_schema)
