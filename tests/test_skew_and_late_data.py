@@ -110,3 +110,58 @@ def test_duplicate_prediction_times_rejected(spark):
                 )
             ]
         )
+
+
+def test_flatten_under_extreme_entity_skew(spark):
+    """One entity owns ~95% of all events: the range-constrained flatten
+    join must stay correct under skew (AQE skew-join splits the hot
+    partition at runtime; correctness must not depend on it)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark import (
+        Flattener,
+        PredictionTimeFrame,
+        PredictorSpec,
+        ValueFrame,
+        strings_to_aggregators,
+    )
+
+    t0 = dt.datetime(2024, 1, 15)
+    hot = spark.range(20_000).select(
+        F.lit(1).alias("entity_id"),
+        (F.lit(t0) - (F.col("id") % 720) * F.expr("INTERVAL 1 HOUR")).alias("timestamp"),
+        F.lit(1.0).alias("value"),
+    )
+    cold = spark.range(100).select(
+        (F.col("id") + 2).alias("entity_id"),
+        F.lit(t0 - dt.timedelta(days=3)).alias("timestamp"),
+        F.lit(5.0).alias("value"),
+    )
+    values = hot.unionByName(cold)
+    pred = spark.createDataFrame(
+        [(e, t0) for e in range(1, 102)], "entity_id long, pred_timestamp timestamp"
+    )
+    out = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred)
+    ).aggregate_timeseries(
+        specs=[
+            PredictorSpec(
+                value_frame=ValueFrame(df=values),
+                lookbehind_distances=[dt.timedelta(days=30)],
+                aggregators=strings_to_aggregators(["count", "sum"]),
+                fallback=0,
+            )
+        ]
+    ).df
+    rows = {r["entity_id"]: r for r in out.collect()}
+    p = "pred_value_within_0_to_30_days"
+    # hot entity: events at t0 - (id%720) hours; id%720 spans 0..719,
+    # 20000 = 27*720 + 560 -> offsets 0..559 occur 28x, 560..719 27x;
+    # all offsets <= 719h < 30d so every event is in-window
+    assert rows[1][f"{p}_count_fallback_0"] == 20_000
+    assert rows[1][f"{p}_sum_fallback_0"] == 20_000.0
+    for e in range(2, 102):
+        assert rows[e][f"{p}_count_fallback_0"] == 1, e
+        assert rows[e][f"{p}_sum_fallback_0"] == 5.0, e

@@ -99,3 +99,48 @@ def test_retention_expiry(spark, channels, tmp_path):
     assert remaining_1m  # horizon day survives
     # coarse tiers untouched
     assert store.read_tier("1d").count() > 0
+
+
+def test_compact_day(spark, tmp_path):
+    """Many-file day (several incremental merges) compacts to one file
+    with identical points; resume still sees the unit as done."""
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.sources.transcripts import (
+        derive_channels,
+        synthesize_transcripts,
+    )
+    from timeseriesflattener_spark.streaming.incremental import merge_batch
+
+    ch = derive_channels(
+        synthesize_transcripts(spark, n_conversations=10, avg_turns=8, seed=9, span_days=1)
+    )
+    store = TierStore(spark, str(tmp_path / "cstore"), ["text_len"])
+    merge_batch(store, ch, batch_id=0)
+    day = store._raw_days(ch)[0]
+    # simulate a many-files day (high write parallelism / many appends)
+    from timeseriesflattener_spark.plans.tiers import _day_dir
+    import shutil as _sh
+
+    ddir = _day_dir(store.root, "1m", day)
+    many = store.read_tier_day("1m", day).repartition(4)
+    many.write.mode("overwrite").parquet(ddir + ".many")
+    _sh.rmtree(ddir)
+    import os as _os
+
+    _os.replace(ddir + ".many", ddir)
+    before_points = {
+        (r["conv_id"], r["bucket_start"]): (r["text_len_count"], r["text_len_sum"])
+        for r in store.read_points("1m").collect()
+    }
+    n_before, n_after = store.compact_day("1m", day, target_files=1)
+    assert n_before > 1 and n_after == 1
+    after_points = {
+        (r["conv_id"], r["bucket_start"]): (r["text_len_count"], r["text_len_sum"])
+        for r in store.read_points("1m").collect()
+    }
+    assert after_points == before_points
+    # the ledger records compact lineage and the unit stays done
+    assert ("1m", day) in store.completed_units()
+    sources = {r["source"] for r in store.read_ledger().collect()}
+    assert "compact" in sources

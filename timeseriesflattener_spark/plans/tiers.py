@@ -345,6 +345,56 @@ class TierStore:
         """Finalised rolled-up points for a tier."""
         return R.finalize(self.read_tier(tier), self.value_cols, entity_col=self.entity_col)
 
+    # ---------------- compaction ----------------
+
+    def compact_day(
+        self, tier: str, day: dt.date, target_files: int = 1
+    ) -> tuple[int, int]:
+        """Rewrite a (tier, day) partition into ``target_files`` files —
+        the small-files treatment: incremental merges and streaming
+        publishes each leave their own file set, and at 100 TB a day
+        touched by hundreds of micro-batches degrades every later scan
+        (footer opens + tiny row groups). Values are untouched (asserted
+        by count); the rewrite is partition-atomic like every publish,
+        and the ledger records it as source="compact" lineage. Returns
+        (files_before, files_after)."""
+        out_dir = _day_dir(self.root, tier, day)
+        before = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+        t0 = time.time()
+        df = self.spark.read.parquet(out_dir)
+        rows_before = df.count()
+        tmp = out_dir + f".compact-{uuidlib.uuid4().hex[:8]}"
+        (
+            df.coalesce(target_files)
+            .write.option("compression", self._codec(tier))
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        rows_after = self.spark.read.parquet(tmp).count()
+        if rows_after != rows_before:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row mismatch {rows_before} -> {rows_after} for {tier}/{day}"
+            )
+        shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        after = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+        self._append_ledger(
+            {
+                "tier": tier,
+                "day": day,
+                "state": "done",
+                "source": "compact",
+                "input_rows": rows_before,
+                "output_rows": rows_after,
+                "wall_s": time.time() - t0,
+                "attempt": 1,
+                "job_id": f"compact-{uuidlib.uuid4().hex[:8]}",
+                "finished_at": dt.datetime.now(),
+            }
+        )
+        return before, after
+
     # ---------------- retention ----------------
 
     def apply_retention(self, keep_days: dict[str, int], now: dt.date) -> list[tuple[str, str]]:
