@@ -450,6 +450,32 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_chunks(chunks, value_col="value")
 
 
+def q_asof_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of lookup: the latest event value at or before
+    each prediction time, via the union+window as-of join (no join
+    fan-out). Right side pre-deduped per (user, ts) so the match is
+    tie-free in both engines."""
+    from timeseriesflattener_spark.operators.asof import asof_join
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    pred = _pred_frame(spark, sf_dir).df.select("user_id", "pred_ts")
+    out = asof_join(
+        pred,
+        events,
+        entity_col="user_id",
+        left_ts="pred_ts",
+        right_ts="ts",
+        value_cols=["v"],
+    )
+    return out.select(
+        "user_id", "pred_ts", F.col("v_asof").alias("asof_value"), F.col("ts_asof")
+    )
+
+
 def q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) + per-session stats."""
     from timeseriesflattener_spark.operators.sessions import session_stats, sessionize
@@ -811,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1d": q_gapfill_locf_1d,
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "asof_latest_value": q_asof_latest_value,
         "sessionize_30m": q_sessionize_30m,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1010,6 +1037,12 @@ SELECT conv_id, b AS bucket_start,
 FROM br""",
         "gorilla_roundtrip": """
 SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, value FROM events""",
+        "asof_latest_value": f"""
+WITH {pred},
+ev AS (SELECT user_id, ts, max(value) AS v FROM events GROUP BY user_id, ts)
+SELECT p.user_id, p.pred_ts, e.v AS asof_value, e.ts AS ts_asof
+FROM pred p ASOF LEFT JOIN ev e
+  ON p.user_id = e.user_id AND p.pred_ts >= e.ts""",
         "sessionize_30m": """
 WITH o AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
