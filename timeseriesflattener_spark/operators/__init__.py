@@ -1,5 +1,14 @@
+from .asof import asof_join
+from .sessions import session_stats, sessionize
 from .static import process_static_spec
 from .temporal import process_temporal_spec
 from .timedelta import process_timedelta_spec
 
-__all__ = ["process_static_spec", "process_temporal_spec", "process_timedelta_spec"]
+__all__ = [
+    "asof_join",
+    "process_static_spec",
+    "process_temporal_spec",
+    "process_timedelta_spec",
+    "session_stats",
+    "sessionize",
+]
