@@ -67,3 +67,45 @@ def test_asof_plan_is_join_free(spark):
     )
     assert "Join" not in plan, plan  # union + window only
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_directions(spark):
+    """forward = earliest right at/after; nearest = closer side,
+    backward wins exact ties (pandas merge_asof semantics)."""
+    left = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5)),
+            (1, dt.datetime(2024, 1, 10)),
+            (1, dt.datetime(2024, 1, 20)),
+        ],
+        "entity_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 3), 10.0),
+            (1, dt.datetime(2024, 1, 10), 20.0),
+            (1, dt.datetime(2024, 1, 12), 30.0),
+        ],
+        "entity_id int, ts timestamp, value double",
+    )
+
+    def run(direction, **kw):
+        return {
+            r["ts"].day: r["value_asof"]
+            for r in asof_join(left, right, direction=direction, **kw).collect()
+        }
+
+    assert run("backward") == {5: 10.0, 10: 20.0, 20: 30.0}
+    assert run("forward") == {5: 20.0, 10: 20.0, 20: None}
+    # nearest: day 5 -> Jan 3 (2d back) beats Jan 10 (5d fwd); day 20 -> Jan 12
+    assert run("nearest") == {5: 10.0, 10: 20.0, 20: 30.0}
+    # forward tolerance: day 5 -> Jan 10 is 5 days ahead, too stale at 2d
+    assert run("forward", tolerance=dt.timedelta(days=2)) == {
+        5: None,
+        10: 20.0,
+        20: None,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown direction"):
+        asof_join(left, right, direction="sideways")

@@ -33,25 +33,90 @@ def asof_join(
     value_cols: Sequence[str] = ("value",),
     tolerance: dt.timedelta | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the latest right ``value_cols`` with
-    ``right.ts <= left.ts`` per entity (ties: the right row wins, i.e.
-    an exact-timestamp match is visible — merge_asof's default).
+    """Left rows + the matched right ``value_cols`` per entity (merge_asof
+    semantics; exact-timestamp matches are visible in every direction):
+
+    - ``backward`` (default): latest right with ``right.ts <= left.ts``;
+    - ``forward``: earliest right with ``right.ts >= left.ts`` (the same
+      window pass over the time-reversed stream);
+    - ``nearest``: whichever of the two is closer in time (backward wins
+      exact ties, like pandas).
+
     Unmatched (or out-of-tolerance) rows carry nulls. Output adds
     ``{col}{suffix}`` per value col and ``{right_ts}{suffix}`` (the
-    matched right timestamp)."""
+    matched right timestamp). One entity-window shuffle per direction
+    (two for ``nearest``), never a join."""
+    if direction == "forward":
+        return _asof_directional(
+            left, right, entity_col, left_ts, right_ts, value_cols, tolerance,
+            suffix, forward=True,
+        )
+    if direction == "nearest":
+        b = _asof_directional(
+            left, right, entity_col, left_ts, right_ts, value_cols, tolerance,
+            "__b", forward=False,
+        )
+        bf = _asof_directional(
+            b, right, entity_col, left_ts, right_ts, value_cols, tolerance,
+            "__f", forward=True,
+        )
+        lt = micros(F.col(left_ts))
+        back_age = lt - micros(F.col(f"{right_ts}__b"))
+        fwd_age = micros(F.col(f"{right_ts}__f")) - lt
+        # backward wins ties; a missing side loses automatically
+        use_back = F.col(f"{right_ts}__b").isNotNull() & (
+            F.col(f"{right_ts}__f").isNull() | (back_age <= fwd_age)
+        )
+        cols = [F.col(c) for c in left.columns]
+        for c in value_cols:
+            cols.append(
+                F.when(use_back, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")).alias(
+                    f"{c}{suffix}"
+                )
+            )
+        cols.append(
+            F.when(use_back, F.col(f"{right_ts}__b"))
+            .otherwise(F.col(f"{right_ts}__f"))
+            .alias(f"{right_ts}{suffix}")
+        )
+        return bf.select(*cols)
+    if direction != "backward":
+        raise ValueError(f"unknown direction {direction!r}")
+    return _asof_directional(
+        left, right, entity_col, left_ts, right_ts, value_cols, tolerance,
+        suffix, forward=False,
+    )
+
+
+def _asof_directional(
+    left: DataFrame,
+    right: DataFrame,
+    entity_col: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance: dt.timedelta | None,
+    suffix: str,
+    forward: bool,
+) -> DataFrame:
+    """Shared union+window kernel; ``forward`` flips the time axis by
+    negating the sort key (and the side order, so exact-ts right rows
+    still sort before the left rows that should see them)."""
+    sign = -1 if forward else 1
     lcols = left.columns
     l_tagged = left.select(
         F.col(entity_col).alias("__e"),
-        micros(F.col(left_ts)).alias("__t"),
-        F.lit(1).alias("__side"),  # left sorts AFTER right at equal ts
+        (micros(F.col(left_ts)) * sign).alias("__t"),
+        F.lit(1).alias("__side"),  # left sorts AFTER right at equal (signed) ts
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
         *[F.lit(None).cast("double").alias(f"__v_{c}") for c in value_cols],
         F.lit(None).cast("long").alias("__rt"),
     )
     r_tagged = right.select(
         F.col(entity_col).alias("__e"),
-        micros(F.col(right_ts)).alias("__t"),
+        (micros(F.col(right_ts)) * sign).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
         *[F.col(c).cast("double").alias(f"__v_{c}") for c in value_cols],
@@ -71,10 +136,12 @@ def asof_join(
         F.last("__rt", ignorenulls=True).over(w).alias("__crt"),
     )
     out = carried.filter(F.col("__side") == 1)
+    age = F.col("__t") * sign  # back to real micros
+    age = (F.col("__crt") - age) if forward else (age - F.col("__crt"))
     fresh = (
         F.lit(True)
         if tolerance is None
-        else (F.col("__t") - F.col("__crt")) <= F.lit(timedelta_to_micros(tolerance))
+        else age <= F.lit(timedelta_to_micros(tolerance))
     )
     cols = [F.col("__l").getField(c).alias(c) for c in lcols]
     cols += [
