@@ -1056,11 +1056,11 @@ s AS (
       OVER (PARTITION BY conv_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS session_id
   FROM o)
-SELECT conv_id, session_id,
+SELECT conv_id, CAST(session_id AS BIGINT) AS session_id,
   min(ts) AS session_start,
   max(ts) AS session_end,
-  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_micros,
-  count(*) AS n_events
+  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_micros,
+  CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY conv_id, session_id""",
         "text_stats": """
 SELECT doc_id,

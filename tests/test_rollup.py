@@ -208,3 +208,47 @@ def test_tier_matches_reference_semantics_flattener(spark, channels):
                     assert got == pytest.approx(want, rel=1e-9), (conv, bucket, vc, agg)
                 else:
                     assert got == want, (conv, bucket, vc, agg)
+
+
+def test_bucket_expr_floors_pre_epoch_timestamps(spark):
+    """bucket_expr must FLOOR, not truncate toward zero: 1969-12-31
+    23:59:30 belongs to the -60s 1m bucket, not bucket 0. Property-style
+    sweep of micros straddling the epoch for every tier width."""
+    import random
+
+    rng = random.Random(42)
+    widths = {t: R.tier_micros(t) for t in ("1m", "1h", "1d")}
+    micros_vals = [0, 1, -1, -30_000_000, 59_999_999, -59_999_999, -60_000_000]
+    micros_vals += [rng.randint(-3 * 86_400_000_000, 3 * 86_400_000_000) for _ in range(50)]
+    df = spark.createDataFrame(
+        [(m,) for m in micros_vals], "m long"
+    ).select("m", F.timestamp_micros(F.col("m")).alias("ts"))
+    for tier, w in widths.items():
+        got = {
+            r["m"]: r["b"]
+            for r in df.select("m", R.bucket_expr(F.col("ts"), tier).alias("b")).collect()
+        }
+        for m in micros_vals:
+            assert got[m] == (m // w) * w, (tier, m, got[m])
+    # named regression: 30s before the epoch, 1m tier
+    assert (
+        df.filter(F.col("m") == -30_000_000)
+        .select(R.bucket_expr(F.col("ts"), "1m").alias("b"))
+        .first()["b"]
+        == -60_000_000
+    )
+
+
+def test_floor_to_width_partial_rollup_pre_epoch(spark):
+    """rollup-to-coarser re-bucketing floors negative bucket_starts too."""
+    df = spark.createDataFrame(
+        [(-60_000_000,), (-3_600_000_000,), (59_000_000,)], "bucket_start long"
+    )
+    w = R.tier_micros("1h")
+    got = [
+        r["b"]
+        for r in df.select(
+            R.floor_to_width(F.col("bucket_start"), w).alias("b")
+        ).collect()
+    ]
+    assert got == [(-60_000_000 // w) * w, -3_600_000_000, 0]

@@ -165,3 +165,57 @@ def test_duplicate_clusters_transitivity(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
     kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
     assert kept == [0, 5, 6, 7, 9]
+
+
+def test_exact_dedup_doc_ids_bounded(spark, docs):
+    """doc_ids caps at max_ids with the LOWEST ids, while n_docs/keep_id
+    reflect the full group — the hot-fingerprint (boilerplate doc) guard."""
+    base = docs.limit(1)
+    clones = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000 + i))
+        for i in range(6)
+    ]
+    frame = base
+    for c in clones:
+        frame = frame.unionByName(c)
+    row = (
+        D.exact_duplicates(frame, max_ids=3)
+        .filter(F.col("n_docs") > 1)
+        .first()
+    )
+    assert row["n_docs"] == 7
+    assert len(row["doc_ids"]) == 3
+    assert row["doc_ids"] == sorted(row["doc_ids"])
+    assert row["keep_id"] == row["doc_ids"][0]
+    unbounded = (
+        D.exact_duplicates(frame, max_ids=None).filter(F.col("n_docs") > 1).first()
+    )
+    assert len(unbounded["doc_ids"]) == 7
+
+
+def test_cap_hot_shingles_no_window_skew(spark, docs):
+    """The stop-shingle cap must not use a count window partitioned by
+    the hot key (that materialises the hot partition on one task).
+    Plan shape: no Window node; a broadcast anti-join instead. Results
+    identical to the semantic definition (freq <= cap survives)."""
+    ex = D._hashed_exploded(docs.limit(50), "text", "doc_id", 3, persist=False)
+    capped = D._cap_hot_shingles(ex, 5)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    freq = {r["__h"]: r["cnt"] for r in ex.groupBy("__h").agg(F.count("*").alias("cnt")).collect()}
+    surviving = {r["__h"] for r in capped.select("__h").distinct().collect()}
+    expect = {h for h, c in freq.items() if c <= 5}
+    assert surviving == expect
+
+
+def test_release_shingle_caches(spark, docs):
+    D.release_shingle_caches()  # drain any prior state
+    pairs = D.minhash_dedup_pairs(docs.limit(30), threshold=0.9)
+    pairs.count()
+    assert len(D._SHINGLE_CACHES) == 1
+    cached = D._SHINGLE_CACHES[0]
+    assert cached.storageLevel.useMemory
+    released = D.release_shingle_caches()
+    assert released == 1 and not D._SHINGLE_CACHES
+    assert not cached.storageLevel.useMemory

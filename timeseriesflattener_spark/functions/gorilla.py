@@ -32,6 +32,7 @@ Chunk binary format (little-endian):
 
 from __future__ import annotations
 
+import datetime as dt
 import struct
 from typing import Iterator
 
@@ -339,8 +340,18 @@ def decode_chunks(
         from .timeutils import micros  # local import avoids cycle at module load
 
         lo, hi = time_range
-        lo_us = int(lo.timestamp() * 1_000_000) if hasattr(lo, "timestamp") else int(lo)
-        hi_us = int(hi.timestamp() * 1_000_000) if hasattr(hi, "timestamp") else int(hi)
+
+        def _to_us(b) -> int:
+            # Encoded micros are UTC wall-clock (session tz pinned UTC).
+            # Naive datetimes must be read as UTC too — datetime.timestamp()
+            # would apply the OS-local zone and shift the pruning window.
+            if hasattr(b, "timestamp"):
+                if b.tzinfo is None:
+                    b = b.replace(tzinfo=dt.timezone.utc)
+                return int(b.timestamp() * 1_000_000)
+            return int(b)
+
+        lo_us, hi_us = _to_us(lo), _to_us(hi)
         # chunk-level pruning on the chunk_start metadata column — this
         # filter reaches the parquet scan (PushedFilters), so untouched
         # chunks are never read, let alone decoded

@@ -33,23 +33,64 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+# Persisted shingle frames created by dedup calls. The functions here are
+# lazy (the consuming action runs in the caller), so they cannot unpersist
+# their own cache — without a release hook, repeated dedup calls in a
+# long-lived session accumulate cached blocks and squeeze executor storage
+# memory. Pipeline drivers call ``release_shingle_caches()`` after the
+# action that consumes a dedup result.
+_SHINGLE_CACHES: list[DataFrame] = []
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle frame cached by prior dedup calls in this
+    session; returns how many were released. Safe to call at any time —
+    an unpersisted plan silently recomputes."""
+    released = 0
+    while _SHINGLE_CACHES:
+        frame = _SHINGLE_CACHES.pop()
+        try:
+            frame.unpersist()
+            released += 1
+        except Exception:
+            pass
+    return released
+
+
 # ----------------------------------------------------------- exact
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_ids: int | None = 100
 ) -> DataFrame:
     """Groups of byte-identical (post-normalisation) documents.
-    Returns (fingerprint, n_docs, keep_id=min id, doc_ids)."""
+    Returns (fingerprint, n_docs, keep_id=min id, doc_ids).
+
+    ``doc_ids`` is capped at ``max_ids`` (lowest ids kept): a hot
+    fingerprint — empty or boilerplate docs, common at web scale —
+    would otherwise build one unbounded aggregation-buffer row on a
+    single task. The cap is enforced BEFORE collection (row_number
+    window, which shares the fingerprint exchange with the groupBy and
+    can spill its sort), so neither the output row nor the buffer grows
+    past ``max_ids``. ``n_docs``/``keep_id`` always reflect the FULL
+    group; pass ``max_ids=None`` only on corpora known to have small
+    groups."""
     fp = F.md5(normalized_text(F.col(text_col)))
-    return (
-        df.select(F.col(id_col), fp.alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+    keyed = df.select(F.col(id_col), fp.alias("fingerprint"))
+    if max_ids is not None:
+        rn = F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy(id_col)
         )
+        collected = F.sort_array(
+            F.collect_list(F.when(F.col("__rn") <= max_ids, F.col(id_col)))
+        )
+        keyed = keyed.withColumn("__rn", rn)
+    else:
+        collected = F.sort_array(F.collect_list(id_col))
+    return keyed.groupBy("fingerprint").agg(
+        F.count(id_col).alias("n_docs"),
+        F.min(id_col).alias("keep_id"),
+        collected.alias("doc_ids"),
     )
 
 
@@ -141,6 +182,7 @@ def _hashed_exploded(
     )
     if persist:
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHES.append(ex)
     return ex
 
 
@@ -150,12 +192,18 @@ def _cap_hot_shingles(ex: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     out quadratically in the self-join."""
     if not max_shingle_freq:
         return ex
-    w = Window.partitionBy("__h")
-    return (
-        ex.withColumn("__freq", F.count("*").over(w))
-        .filter(F.col("__freq") <= max_shingle_freq)
-        .drop("__freq")
+    # groupBy-count (map-side combined) instead of a count window
+    # partitioned by __h: the window would materialise the entire hot
+    # shingle's partition on one task — exactly the skew the cap exists
+    # to avoid. Hot hashes are by definition few (freq > cap), so the
+    # hot set is tiny: broadcast it and anti-join.
+    hot = (
+        ex.groupBy("__h")
+        .count()
+        .filter(F.col("count") > max_shingle_freq)
+        .select("__h")
     )
+    return ex.join(F.broadcast(hot), "__h", "left_anti")
 
 
 def ngram_jaccard_pairs(

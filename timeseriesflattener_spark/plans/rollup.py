@@ -59,10 +59,19 @@ def tier_micros(tier: str) -> int:
     return TIER_SECONDS[tier] * 1_000_000
 
 
+def floor_to_width(col: Column, width: int) -> Column:
+    """Floor an integer micros column to a multiple of `width`.
+
+    Exact integer arithmetic (`m - pmod(m, width)`): floors correctly for
+    pre-1970 (negative) timestamps where `(m / width).cast("long")`
+    truncates toward zero, and never routes through double precision.
+    """
+    return col - F.pmod(col, F.lit(width))
+
+
 def bucket_expr(ts_col: Column, tier: str) -> Column:
     """Floor the event time to its bucket start (micros since epoch)."""
-    width = tier_micros(tier)
-    return (micros(ts_col) / F.lit(width)).cast("long") * F.lit(width)
+    return floor_to_width(micros(ts_col), tier_micros(tier))
 
 
 def _pcol(value_col: str, suffix: str) -> str:
@@ -184,8 +193,7 @@ def rollup(
 ) -> DataFrame:
     """Re-bucket finer-tier partials into a coarser tier by combining —
     never touches raw data. Exact for every stat in the partial schema."""
-    width = tier_micros(to_tier)
-    coarser = (F.col("bucket_start") / F.lit(width)).cast("long") * F.lit(width)
+    coarser = floor_to_width(F.col("bucket_start"), tier_micros(to_tier))
     primitive = _is_primitive_schema(partials, value_cols)
     combine = [e for vc in value_cols for e in _combine_exprs(vc, primitive)]
     return (

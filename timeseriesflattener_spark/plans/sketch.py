@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .rollup import bucket_expr, tier_micros
+from .rollup import bucket_expr, floor_to_width, tier_micros
 
 GAMMA = 1.02
 EPS = 1e-9
@@ -98,7 +98,7 @@ def rollup_sketch(
     width = tier_micros(to_tier)
     return (
         partials.withColumn(
-            "bucket_start", (F.col("bucket_start") / width).cast("long") * width
+            "bucket_start", floor_to_width(F.col("bucket_start"), width)
         )
         .groupBy(entity_col, "bucket_start", "bin")
         .agg(F.sum("n").alias("n"))

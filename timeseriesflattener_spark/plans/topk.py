@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .rollup import bucket_expr, tier_micros
+from .rollup import bucket_expr, floor_to_width, tier_micros
 
 
 # ------------------------------------------------------ frequency/top-k
@@ -51,7 +51,7 @@ def rollup_frequencies(
     width = tier_micros(to_tier)
     return (
         partials.withColumn(
-            "bucket_start", (F.col("bucket_start") / width).cast("long") * width
+            "bucket_start", floor_to_width(F.col("bucket_start"), width)
         )
         .groupBy(entity_col, "bucket_start", "key")
         .agg(F.sum("n").alias("n"))
@@ -103,7 +103,7 @@ def rollup_hll(
     width = tier_micros(to_tier)
     return (
         partials.withColumn(
-            "bucket_start", (F.col("bucket_start") / width).cast("long") * width
+            "bucket_start", floor_to_width(F.col("bucket_start"), width)
         )
         .groupBy(entity_col, "bucket_start")
         .agg(F.hll_union_agg("hll").alias("hll"))
