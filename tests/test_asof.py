@@ -109,3 +109,49 @@ def test_asof_directions(spark):
 
     with _pytest.raises(ValueError, match="unknown direction"):
         asof_join(left, right, direction="sideways")
+
+
+def test_asof_join_preserves_string_payload(spark):
+    """The canonical 'state as of' use: a STRING config column rides
+    through unchanged (pandas merge_asof preserves dtype; the old
+    implementation cast to double -> every match looked unmatched)."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 1, 1)),
+         (2, dt.datetime(2024, 1, 5))],
+        "entity_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), "cfg-a", 1.5),
+         (1, dt.datetime(2024, 1, 4), "cfg-b", 2.5)],
+        "entity_id long, ts timestamp, config string, score double",
+    )
+    out = asof_join(left, right, value_cols=["config", "score"])
+    assert dict(out.dtypes)["config_asof"] == "string"
+    rows = {(r["entity_id"], r["ts"]): r for r in out.collect()}
+    assert rows[(1, dt.datetime(2024, 1, 5))]["config_asof"] == "cfg-b"
+    assert rows[(1, dt.datetime(2024, 1, 5))]["score_asof"] == 2.5
+    assert rows[(1, dt.datetime(2024, 1, 1))]["config_asof"] is None
+    assert rows[(2, dt.datetime(2024, 1, 5))]["config_asof"] is None
+    # nearest direction carries strings too
+    near = asof_join(left, right, value_cols=["config"], direction="nearest")
+    nrows = {(r["entity_id"], r["ts"]): r for r in near.collect()}
+    assert nrows[(1, dt.datetime(2024, 1, 1))]["config_asof"] == "cfg-a"
+
+
+def test_asof_join_unknown_value_col_raises(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from timeseriesflattener_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 5))], "entity_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), 1.0)], "entity_id long, ts timestamp, value double"
+    )
+    with _pt.raises(ValueError, match="value_cols"):
+        asof_join(left, right, value_cols=["nope"])

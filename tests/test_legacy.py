@@ -119,3 +119,162 @@ def test_legacy_v1_column_names(spark):
         )
     )
     assert "outc_value_within_1_to_10_days_maximum_fallback_0_dichotomous" in fl.get_df().columns
+
+
+def test_legacy_feature_cache(spark, tmp_path, monkeypatch):
+    """v1 cache contract (ref ``v1/flattened_dataset.py:53-100,388-421``,
+    goldens modeled on ``v1/tests/test_feature_cache/test_cache_to_disk.py``):
+    a cached get_df returns identical frames WITHOUT recompute (hit
+    asserted by counting Flattener invocations), and a data change
+    invalidates the fingerprint."""
+    import os
+
+    from timeseriesflattener_spark.sources.io import FeatureCache
+    import timeseriesflattener_spark.legacy as L
+
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-03\n2,2021-01-03")
+    values = str_to_df(
+        spark,
+        """entity_id,value,timestamp
+        1,1,2021-01-01
+        1,2,2021-01-02""",
+    )
+    sex = str_to_df(spark, "entity_id,female\n1,1\n2,0")
+    cache_dir = str(tmp_path / "feature_cache")
+
+    calls = {"n": 0}
+    real_agg = L.Flattener.aggregate_timeseries
+
+    def counting_agg(self, specs):
+        calls["n"] += 1
+        return real_agg(self, specs)
+
+    monkeypatch.setattr(L.Flattener, "aggregate_timeseries", counting_agg)
+
+    def build(vals):
+        fl = TimeseriesFlattener(
+            prediction_times_df=pred,
+            cache=FeatureCache(spark, cache_dir),
+        )
+        fl.add_spec(
+            PredictorSpec.from_primitives(
+                df=vals,
+                entity_id_col_name="entity_id",
+                lookbehind_days=[5],
+                aggregators=["latest"],
+                fallback=float("nan"),
+            )
+        )
+        fl.add_static_spec(sex, column_prefix="pred")
+        return fl
+
+    first = {r["entity_id"]: r for r in rows_as_dicts(build(values).get_df())}
+    assert calls["n"] == 1
+    assert len(os.listdir(cache_dir)) == 2  # one frame per spec
+
+    # second run: full hit -> identical frames, ZERO Flattener passes
+    second = {r["entity_id"]: r for r in rows_as_dicts(build(values).compute())}
+    assert calls["n"] == 1
+    assert set(first) == set(second)
+    for k in first:
+        for col, v in first[k].items():
+            w = second[k][col]
+            assert (v == w) or (
+                isinstance(v, float) and math.isnan(v) and math.isnan(w)
+            ), (k, col, v, w)
+
+    # changed input rows -> fingerprint miss -> recompute of that spec only
+    more = str_to_df(
+        spark,
+        """entity_id,value,timestamp
+        1,1,2021-01-01
+        1,2,2021-01-02
+        2,9,2021-01-02""",
+    )
+    third = {r["entity_id"]: r for r in rows_as_dicts(build(more).get_df())}
+    assert calls["n"] == 2
+    assert len(os.listdir(cache_dir)) == 3  # new predictor frame; static reused
+    assert third[1]["pred_value_within_5_days_latest_fallback_nan"] == 2.0
+    assert third[2]["pred_value_within_5_days_latest_fallback_nan"] == 9.0
+    assert third[1]["pred_female"] == 1
+
+
+def test_legacy_compute_alias(spark):
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-03")
+    fl = TimeseriesFlattener(prediction_times_df=pred)
+    assert fl.compute().collect() == fl.get_df().collect()
+
+
+def test_dichotomous_checks_batched(spark, monkeypatch):
+    """N outcome specs over one value frame trigger ONE eager
+    count_distinct job (v1 serialised one per column)."""
+    import datetime as dtm
+
+    from timeseriesflattener_spark.frames import ValueFrame
+    from timeseriesflattener_spark.specs import OutcomeSpec
+
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-11-05")
+    events = str_to_df(
+        spark,
+        "entity_id,timestamp,a,b,c\n1,2021-11-06,1,5,0\n1,2021-11-07,0,6,0",
+    )
+    fl = TimeseriesFlattener(prediction_times_df=pred)
+    # two specs over the SAME df object (disjoint value_cols subsets):
+    # the eager dichotomous check batches every column into one job
+    frame = ValueFrame(df=events, value_cols=["a"])
+    frame2 = ValueFrame(df=events, value_cols=["b", "c"])
+    for vf, days in ((frame, 2), (frame2, 5)):
+        fl.add_spec(
+            OutcomeSpec(
+                value_frame=vf,
+                lookahead_distances=[dtm.timedelta(days=days)],
+                aggregators=strings_to_aggregators(["max"]),
+                fallback=float("nan"),
+            )
+        )
+
+    agg_jobs = {"n": 0}
+    df_cls = type(frame.df)  # classic vs connect DataFrame both covered
+    real_agg = df_cls.agg
+
+    def counting(self, *a, **k):
+        agg_jobs["n"] += 1
+        return real_agg(self, *a, **k)
+
+    monkeypatch.setattr(df_cls, "agg", counting)
+    flags = fl._dichotomous_flags()
+    assert agg_jobs["n"] == 1
+    key = id(frame.df)
+    assert flags[(key, "a")] is True  # {0,1}
+    assert flags[(key, "b")] is True  # {5,6}
+    assert flags[(key, "c")] is True  # {0}
+    cols = set(fl.get_df().columns)
+    assert "outc_a_within_2_days_maximum_fallback_nan_dichotomous" in cols
+    assert "outc_b_within_5_days_maximum_fallback_nan_dichotomous" in cols
+
+
+def test_legacy_cache_dot_in_fallback_name(spark, tmp_path):
+    """Feature names with dots (fallback_0.5) survive the cache select."""
+    from timeseriesflattener_spark.sources.io import FeatureCache
+
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-03")
+    vals = str_to_df(spark, "entity_id,value,timestamp\n1,4,2021-01-02")
+
+    def run():
+        fl = TimeseriesFlattener(
+            prediction_times_df=pred,
+            cache=FeatureCache(spark, str(tmp_path / "c")),
+        )
+        fl.add_spec(
+            PredictorSpec.from_primitives(
+                df=vals,
+                entity_id_col_name="entity_id",
+                lookbehind_days=[5],
+                aggregators=["mean"],
+                fallback=0.5,
+            )
+        )
+        return fl.get_df().first()
+
+    assert run()["pred_value_within_5_days_mean_fallback_0.5"] == 4.0
+    assert run()["pred_value_within_5_days_mean_fallback_0.5"] == 4.0  # cache hit path

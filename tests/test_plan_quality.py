@@ -209,3 +209,71 @@ def test_sketch_and_frequency_partials_hash_aggregate(spark):
         plan = _plan(frame)
         assert "HashAggregate" in plan, plan
         assert "SortAggregate" not in plan, plan
+
+
+def test_fused_specs_share_one_join_and_agg(spark):
+    """Two specs over the SAME wide df (disjoint value_cols subsets)
+    collapse to ONE join + ONE aggregation; values match the unfused
+    per-spec computation exactly."""
+    from timeseriesflattener_spark.operators.temporal import process_temporal_spec
+
+    pred_frame = str_to_df(spark, "entity_id,pred_timestamp\n1,2021-01-03\n2,2021-01-03")
+    wide = str_to_df(
+        spark,
+        """entity_id,x,y,timestamp
+        1,1,10,2021-01-01
+        1,2,20,2021-01-02
+        2,5,50,2021-01-02""",
+    )
+    spec_x = PredictorSpec(
+        value_frame=ValueFrame(df=wide, value_cols=["x"]),
+        lookbehind_distances=[dt.timedelta(days=2)],
+        aggregators=strings_to_aggregators(["mean", "max"]),
+        fallback=0,
+    )
+    spec_y = PredictorSpec(
+        value_frame=ValueFrame(df=wide, value_cols=["y"]),
+        lookbehind_distances=[dt.timedelta(days=30)],
+        aggregators=strings_to_aggregators(["sum"]),
+        fallback=-1.0,
+    )
+    from timeseriesflattener_spark.operators.temporal import (
+        process_temporal_specs_fused,
+    )
+
+    pred0 = PredictionTimeFrame(df=pred_frame)
+    fused_plan = _plan(process_temporal_specs_fused([spec_x, spec_y], pred0))
+    assert fused_plan.count("Join") == 1, fused_plan  # ONE temporal join for both specs
+    n_aggs = (
+        fused_plan.count("HashAggregate")
+        + fused_plan.count("SortAggregate")
+        + fused_plan.count("ObjectHashAggregate")
+    )
+    assert n_aggs <= 2, fused_plan  # partial + final of ONE fused aggregation
+
+    fused = Flattener(
+        predictiontime_frame=PredictionTimeFrame(df=pred_frame)
+    ).aggregate_timeseries(specs=[spec_x, spec_y])
+    plan = _plan(fused.df)
+    # 1 temporal join + 1 assembly join (unfused would pay 2 + 2)
+    assert plan.count("Join") == 2, plan
+
+    pred = PredictionTimeFrame(df=pred_frame)
+    sep_x = process_temporal_spec(spec_x, pred)
+    sep_y = process_temporal_spec(spec_y, pred)
+    expect = {
+        r["prediction_time_uuid"]: r.asDict()
+        for r in sep_x.join(sep_y, "prediction_time_uuid").collect()
+    }
+    got = {r["prediction_time_uuid"]: r.asDict() for r in fused.df.collect()}
+    assert set(got) == set(expect)
+    for uuid, row in expect.items():
+        for col, v in row.items():
+            assert got[uuid][col] == v, (uuid, col, v, got[uuid][col])
+    # spec-order column contract preserved under fusion
+    feat_cols = [c for c in fused.df.columns if "_within_" in c]
+    assert feat_cols == [
+        "pred_x_within_0_to_2_days_mean_fallback_0",
+        "pred_x_within_0_to_2_days_max_fallback_0",
+        "pred_y_within_0_to_30_days_sum_fallback_-1.0",
+    ]

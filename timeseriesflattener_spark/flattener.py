@@ -31,9 +31,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .frames import PredictionTimeFrame, ValueFrame
-from .operators.static import process_static_spec
-from .operators.temporal import max_lookdistance, process_temporal_spec
-from .operators.timedelta import process_timedelta_spec
+from .operators.static import process_static_spec, static_feature_name
+from .operators.temporal import (
+    feature_col_name,
+    max_lookdistance,
+    process_temporal_spec,
+    process_temporal_specs_fused,
+)
+from .operators.timedelta import process_timedelta_spec, timedelta_feature_name
 from .specs import (
     BooleanOutcomeSpec,
     OutcomeSpec,
@@ -100,6 +105,59 @@ def _process_one(spec: ValueSpecification, pred: PredictionTimeFrame) -> DataFra
     raise TypeError(f"Unknown spec type {type(spec)}")
 
 
+def _spec_feature_names(spec: ValueSpecification) -> list[str]:
+    """Output feature column names of a spec, in its processor's order."""
+    if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+        return [
+            feature_col_name(spec.column_prefix, col, lp, agg, spec.fallback)
+            for lp in spec.normalised_lookperiod
+            for agg in spec.aggregators
+            for col in spec.value_frame.value_col_names
+        ]
+    if isinstance(spec, StaticSpec):
+        return [static_feature_name(spec, c) for c in spec.value_frame.value_col_names]
+    if isinstance(spec, TimeDeltaSpec):
+        return [timedelta_feature_name(spec)]
+    raise TypeError(f"Unknown spec type {type(spec)}")
+
+
+def _frame_key(spec: TemporalSpec) -> tuple:
+    """Fusion identity: temporal specs over the SAME df object with the
+    same id/ts/order column config compute from one scan and one join."""
+    vf = spec.value_frame
+    return (
+        id(vf.df),
+        vf.entity_id_col_name,
+        vf.value_timestamp_col_name,
+        vf.order_col_name,
+    )
+
+
+def _build_feature_dfs(
+    specs: Sequence[ValueSpecification], pred: PredictionTimeFrame
+) -> list[DataFrame]:
+    """One DataFrame per spec-or-fused-group: temporal specs sharing a
+    value frame (see ``_frame_key``) collapse into ONE join + ONE fused
+    aggregation (``process_temporal_specs_fused``) — group-spec
+    workloads pay a shuffle per frame, not per spec."""
+    groups: dict[tuple, list[TemporalSpec]] = {}
+    for spec in specs:
+        if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+            groups.setdefault(_frame_key(spec), []).append(spec)
+    emitted: set[tuple] = set()
+    feature_dfs: list[DataFrame] = []
+    for spec in specs:
+        if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+            key = _frame_key(spec)
+            if key in emitted:
+                continue
+            emitted.add(key)
+            feature_dfs.append(process_temporal_specs_fused(groups[key], pred))
+        else:
+            feature_dfs.append(_process_one(spec, pred))
+    return feature_dfs
+
+
 def _filtered_temporal_spec(spec: TemporalSpec, lo: dt.datetime, hi: dt.datetime) -> TemporalSpec:
     """Chunk pre-filter on the value frame — reference
     ``processors/temporal.py:174-215``: lookbehind keeps values in
@@ -154,7 +212,7 @@ class Flattener:
                 )
 
         if step_size is None:
-            feature_dfs = [_process_one(spec, pred) for spec in specs]
+            feature_dfs = _build_feature_dfs(specs, pred)
             out = reduce(
                 lambda acc, f: acc.join(f, on=pred.prediction_time_uuid_col_name, how="left"),
                 feature_dfs,
@@ -162,6 +220,13 @@ class Flattener:
             )
         else:
             out = self._aggregate_stepped(specs, step_size)
+        # spec-order column contract regardless of fusion grouping
+        # (backtick-quoted: feature names may contain dots, e.g. fallback_-1.0)
+        ordered = [
+            *pred.df.columns,
+            *[name for spec in specs for name in _spec_feature_names(spec)],
+        ]
+        out = out.select(*[F.col(f"`{c}`") for c in ordered])
 
         return AggregatedFrame(
             df=out,

@@ -95,14 +95,28 @@ class ValueFrame:
     entity_id_col_name: str = "entity_id"
     value_timestamp_col_name: str = "timestamp"
     order_col_name: str | None = None
+    #: explicit value-column subset. Default (None) infers every non-id/
+    #: non-timestamp column, like the reference. Passing a subset lets
+    #: several specs share ONE wide df object without a value-column
+    #: conflict — the Flattener then fuses them into a single join +
+    #: aggregation over that df (and Catalyst prunes the unused columns).
+    value_cols: Sequence[str] | None = None
     value_col_names: list[str] = field(init=False)
 
     def __post_init__(self) -> None:
         _require_columns(
             self.df, [self.entity_id_col_name, self.value_timestamp_col_name], type(self).__name__
         )
-        reserved = {self.entity_id_col_name, self.value_timestamp_col_name, self.order_col_name}
-        self.value_col_names = [c for c in self.df.columns if c not in reserved]
+        if self.value_cols is not None:
+            _require_columns(self.df, list(self.value_cols), type(self).__name__)
+            self.value_col_names = list(self.value_cols)
+        else:
+            reserved = {
+                self.entity_id_col_name,
+                self.value_timestamp_col_name,
+                self.order_col_name,
+            }
+            self.value_col_names = [c for c in self.df.columns if c not in reserved]
 
     def collect(self) -> DataFrame:
         return self.df

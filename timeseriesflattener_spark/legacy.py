@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .flattener import Flattener
 from .frames import PredictionTimeFrame, StaticFrame, TimestampValueFrame, ValueFrame
+from .sources.io import FeatureCache
 from .operators.incident import add_incident_outcome
 from .operators.static import static_feature_name
 from .operators.temporal import feature_col_name
@@ -157,6 +158,15 @@ class TimeseriesFlattener:
     one small aggregation job, as v1's eager ``is_dichotomous`` does),
     ``{prefix}_{base}`` for statics and ``{prefix}_{name}_in_years`` for
     age. ``naming="v2"`` keeps the v2 engine's names.
+
+    ``cache`` mirrors the reference v1 ctor's per-feature cache
+    (``v1/flattened_dataset.py:82,396-421``): on ``get_df``/``compute``
+    every queued spec is looked up by fingerprint (spec description +
+    input row counts); hits load their per-spec feature frame from
+    parquet and join in by prediction-time uuid, misses compute in ONE
+    fused Flattener pass and write back per spec. Cache mode pays one
+    count job per spec (the fingerprint's cheap change detector, like
+    v1's eager cache validation).
     """
 
     prediction_times_df: DataFrame
@@ -166,6 +176,7 @@ class TimeseriesFlattener:
     drop_pred_times_with_insufficient_look_distance: bool = False
     boundary: Boundary = "v1"
     naming: str = "v1"
+    cache: FeatureCache | None = None
     _specs: list[ValueSpecification] = field(default_factory=list)
     _incident_outcomes: list[dict] = field(default_factory=list)
 
@@ -241,12 +252,79 @@ class TimeseriesFlattener:
             }
         )
 
+    # ------------------------------------------------ cache plumbing
+
+    def _spec_out_cols(self, spec: ValueSpecification) -> list[str]:
+        """The v2-engine output column names a spec produces — the unit
+        the cache stores (per-spec frame keyed by prediction uuid)."""
+        if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+            return [
+                feature_col_name(spec.column_prefix, col, lp, agg, spec.fallback)
+                for col in spec.value_frame.value_col_names
+                for lp in spec.normalised_lookperiod
+                for agg in spec.aggregators
+            ]
+        if isinstance(spec, StaticSpec):
+            return [
+                static_feature_name(spec, col)
+                for col in spec.value_frame.value_col_names
+            ]
+        if isinstance(spec, TimeDeltaSpec):
+            return [timedelta_feature_name(spec)]
+        raise TypeError(f"unknown spec type {type(spec).__name__}")
+
+    def _cache_key(self, spec: ValueSpecification, pred_rows: int) -> str:
+        desc: dict = {
+            "type": type(spec).__name__,
+            "prefix": spec.column_prefix,
+            "fallback": spec.fallback,
+            "pred_rows": pred_rows,
+            "out_cols": self._spec_out_cols(spec),
+        }
+        if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+            desc["boundary"] = spec.boundary
+            desc["direction"] = spec.direction
+            desc["lookperiods"] = [
+                (lp.first_micros, lp.last_micros) for lp in spec.normalised_lookperiod
+            ]
+            desc["aggregators"] = [a.name for a in spec.aggregators]
+            input_rows = spec.value_frame.df.count()
+        elif isinstance(spec, StaticSpec):
+            input_rows = spec.value_frame.df.count()
+        else:  # TimeDeltaSpec
+            desc["time_format"] = spec.time_format
+            input_rows = spec.init_frame.df.count()
+        return FeatureCache.fingerprint(desc, input_rows)
+
     # ------------------------------------------------ compute
+
+    def _dichotomous_flags(self) -> dict[tuple[int, str], bool]:
+        """v1's eager ``is_dichotomous`` (``single_specs.py:148-150``)
+        for every non-boolean outcome column, batched into ONE
+        ``agg(*count_distinct)`` job per distinct value frame (v1 ran one
+        eager job per column — wide group specs serialised N tiny jobs)."""
+        by_frame: dict[int, tuple[DataFrame, list[str]]] = {}
+        for spec in self._specs:
+            if isinstance(spec, OutcomeSpec) and not isinstance(spec, BooleanOutcomeSpec):
+                vdf = spec.value_frame.df
+                cols = by_frame.setdefault(id(vdf), (vdf, []))[1]
+                for col in spec.value_frame.value_col_names:
+                    if col not in cols:
+                        cols.append(col)
+        flags: dict[tuple[int, str], bool] = {}
+        for key, (vdf, cols) in by_frame.items():
+            row = vdf.agg(
+                *[F.count_distinct(F.col(c)).alias(c) for c in cols]
+            ).first()
+            for c in cols:
+                flags[(key, c)] = row[c] <= 2
+        return flags
 
     def _v1_rename_map(self) -> dict[str, str]:
         """v2 engine column name -> v1 column name, for every queued spec."""
         day = dt.timedelta(days=1)
         renames: dict[str, str] = {}
+        dicho = self._dichotomous_flags()
         for spec in self._specs:
             if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
                 is_outcome = isinstance(spec, (OutcomeSpec, BooleanOutcomeSpec))
@@ -254,14 +332,7 @@ class TimeseriesFlattener:
                     if isinstance(spec, BooleanOutcomeSpec):
                         dichotomous = True  # lit(1) column by construction
                     elif is_outcome:
-                        # v1's eager is_dichotomous (single_specs.py:148-150):
-                        # one small countDistinct job per outcome column
-                        n = (
-                            spec.value_frame.df.select(
-                                F.count_distinct(F.col(col)).alias("n")
-                            ).first()["n"]
-                        )
-                        dichotomous = n <= 2
+                        dichotomous = dicho[(id(spec.value_frame.df), col)]
                     else:
                         dichotomous = False
                     for lp in spec.normalised_lookperiod:
@@ -304,8 +375,7 @@ class TimeseriesFlattener:
             )
         if not self._specs:
             return pred.df
-        out = Flattener(predictiontime_frame=pred).aggregate_timeseries(self._specs)
-        df = out.df
+        df = self._compute_specs(pred)
         if self.naming == "v1":
             df = df.withColumnsRenamed(self._v1_rename_map())
         if self.drop_pred_times_with_insufficient_look_distance:
@@ -333,4 +403,41 @@ class TimeseriesFlattener:
                         lookahead=None if behind else maxd,
                     )
                     df = kept
+        return df
+
+    def compute(self) -> DataFrame:
+        """Alias for :meth:`get_df` — the reference v1 exposes both
+        (``v1/flattened_dataset.py:813-833``)."""
+        return self.get_df()
+
+    def _compute_specs(self, pred: PredictionTimeFrame) -> DataFrame:
+        """Flatten every queued spec; with a cache, load hits per spec
+        and compute only the misses (still one fused Flattener pass)."""
+        uuid = pred.prediction_time_uuid_col_name
+        if self.cache is None:
+            return Flattener(predictiontime_frame=pred).aggregate_timeseries(
+                self._specs
+            ).df
+        pred_rows = pred.df.count()
+        hits: list[DataFrame] = []
+        misses: list[tuple[ValueSpecification, str]] = []
+        for spec in self._specs:
+            key = self._cache_key(spec, pred_rows)
+            cached = self.cache.get(key)
+            if cached is not None:
+                hits.append(cached)
+            else:
+                misses.append((spec, key))
+        if misses:
+            df = Flattener(predictiontime_frame=pred).aggregate_timeseries(
+                [s for s, _ in misses]
+            ).df
+            for spec, key in misses:
+                # backtick-quoted: names may contain dots (fallback_0.0)
+                cols = [F.col(f"`{c}`") for c in (uuid, *self._spec_out_cols(spec))]
+                self.cache.put(key, df.select(*cols))
+        else:
+            df = pred.df
+        for cached in hits:
+            df = df.join(cached, uuid, "left")
         return df

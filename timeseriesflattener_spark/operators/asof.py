@@ -106,12 +106,19 @@ def _asof_directional(
     still sort before the left rows that should see them)."""
     sign = -1 if forward else 1
     lcols = left.columns
+    # Carry right values in their OWN types (string state columns are the
+    # canonical "config as of" use; pandas merge_asof preserves dtype) —
+    # the union's left side projects typed nulls per value column.
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    missing = [c for c in value_cols if c not in rtypes]
+    if missing:
+        raise ValueError(f"value_cols {missing} not in right frame {right.columns}")
     l_tagged = left.select(
         F.col(entity_col).alias("__e"),
         (micros(F.col(left_ts)) * sign).alias("__t"),
         F.lit(1).alias("__side"),  # left sorts AFTER right at equal (signed) ts
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        *[F.lit(None).cast("double").alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"__v_{c}") for c in value_cols],
         F.lit(None).cast("long").alias("__rt"),
     )
     r_tagged = right.select(
@@ -119,7 +126,7 @@ def _asof_directional(
         (micros(F.col(right_ts)) * sign).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).cast("double").alias(f"__v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         micros(F.col(right_ts)).alias("__rt"),
     )
     w = (

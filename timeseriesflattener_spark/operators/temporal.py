@@ -27,7 +27,7 @@ Column-name contract (part of the output equality surface, reference
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -130,17 +130,40 @@ def process_temporal_spec(
     n_unique compat ``unique_count_with_null``, whose null bucket comes
     from exactly the rows the pushdown would prune).
     """
-    if any(getattr(a, "needs_full_history", False) for a in spec.aggregators):
+    return process_temporal_specs_fused([spec], predictiontime_frame, push_range_into_join)
+
+
+def process_temporal_specs_fused(
+    specs: Sequence[TemporalSpec],
+    predictiontime_frame: PredictionTimeFrame,
+    push_range_into_join: bool = True,
+) -> DataFrame:
+    """Flatten N temporal specs that share ONE value frame (same df
+    object + id/ts/order column config) with a single range-constrained
+    join and a single fused aggregation — group-spec workloads (hundreds
+    of features over a few wide frames) pay one shuffle per FRAME, not
+    one per spec. Callers group by frame identity (``Flattener``); specs
+    may differ in direction, boundary, lookperiods, aggregators, and
+    fallbacks, since every aggregate expression carries its own window
+    predicate. The pushed-down join range is the union over all specs.
+    """
+    if any(
+        getattr(a, "needs_full_history", False) for s in specs for a in s.aggregators
+    ):
         push_range_into_join = False
     pred = predictiontime_frame
-    vf = spec.value_frame
+    vf = specs[0].value_frame
 
     pred_df = pred.df.select(
         F.col(pred.prediction_time_uuid_col_name),
         F.col(pred.entity_id_col_name),
         micros(F.col(pred.timestamp_col_name)).alias("__pred_micros"),
     )
-    value_cols = [vf.value_timestamp_col_name, *vf.value_col_names]
+    value_cols = [vf.value_timestamp_col_name]
+    for s in specs:
+        for c in s.value_frame.value_col_names:
+            if c not in value_cols:
+                value_cols.append(c)
     if vf.order_col_name:
         value_cols.append(vf.order_col_name)
     value_df = vf.df.select(
@@ -152,10 +175,11 @@ def process_temporal_spec(
     td = F.col("__value_micros") - F.col("__pred_micros")
     join_cond = pred_df[pred.entity_id_col_name] == value_df["__value_entity_id"]
     if push_range_into_join:
-        lo, hi = max_lookdistance(spec)
+        ranges = [max_lookdistance(s) for s in specs]
+        lo, hi = min(r[0] for r in ranges), max(r[1] for r in ranges)
         join_cond = join_cond & (td >= F.lit(lo)) & (td <= F.lit(hi))
 
     joined = pred_df.join(value_df, on=join_cond, how="left").withColumn(TIMEDELTA_COL, td)
 
-    exprs = build_agg_exprs(spec, F.col(TIMEDELTA_COL))
+    exprs = [e for s in specs for e in build_agg_exprs(s, F.col(TIMEDELTA_COL))]
     return joined.groupBy(pred.prediction_time_uuid_col_name).agg(*exprs)
