@@ -380,9 +380,14 @@ def q_topk_event_types_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hll_unique_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct counts per (user, day), rolled up from 1m
-    sketches WITHOUT re-reading raw. No DuckDB twin for the Datasketches
-    binary — in-query evidence instead: the exact distinct count and a
-    within-5%% flag ride along (rows-only check sees any violation)."""
+    sketches WITHOUT re-reading raw. The Datasketches binary itself has
+    no DuckDB twin, so the HASHED columns are deterministic derivatives
+    the oracle reproduces exactly: ``exact_unique`` (SQL count distinct)
+    and ``within_5pct`` — computed HERE from the sketch estimate, while
+    the oracle emits literal TRUE. A broken sketch (estimate drifting
+    past max(3, 5%%)) flips the flag and fails the value hash. The raw
+    estimate itself stays out of the hash (tested in pytest
+    test_topk_hll instead)."""
     from timeseriesflattener_spark.plans.topk import (
         hll_estimates,
         partial_hll,
@@ -404,7 +409,6 @@ def q_hll_unique_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, ["conv_id", "bucket_start"]).select(
         "conv_id",
         "bucket_start",
-        "unique_estimate",
         "exact_unique",
         (
             F.abs(F.col("unique_estimate") - F.col("exact_unique"))
@@ -540,33 +544,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (64-bit simhash has no DuckDB twin) but the query
-    carries an IN-QUERY containment check: every exact-duplicate pair
-    (md5-equal normalised text) in the subset MUST appear in the simhash
-    output at hamming 0 — misses are emitted as sentinel rows with
-    hamming = -1, so a recall violation is visible in the recorded
-    row count/values, plus the exact n-gram Jaccard of every reported
-    pair as evidence that hamming <= 3 pairs are true near-dups."""
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    """Oracle-checkable simhash containment: every exact-duplicate pair
+    (md5-equal normalised text) MUST be found by the simhash 4-block
+    join at hamming 0. The output is exactly those pairs with the
+    hamming the simhash path measured (a miss surfaces as sentinel -1);
+    the oracle derives the same pairs from md5 in SQL with literal 0.
+    Near-dup behaviour at hamming 1-3 stays covered in pytest
+    (test_simhash_identical_docs_collide) — it has no SQL twin.
+
+    The synthetic documents table has no natural exact dups at small sf,
+    which would make the check vacuous — so docs with id < 10 are cloned
+    under id + 1_000_000 (deterministic; the oracle SQL applies the
+    identical injection)."""
+    base = _t(spark, sf_dir, "documents")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
     pairs = D.simhash_near_pairs(docs, max_hamming=3)
-    # evidence column: exact Jaccard of each reported pair
-    jac = D.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_freq=None).select(
-        "doc_a", "doc_b", "jaccard"
-    )
-    out = pairs.join(jac, ["doc_a", "doc_b"], "left").select(
-        "doc_a", "doc_b", "hamming", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
-    )
-    # containment: exact-dup pairs missed by simhash surface as hamming=-1
-    fp = D.exact_duplicates(docs).filter(F.col("n_docs") > 1)
+    fp = D.exact_duplicates(docs, max_ids=None).filter(F.col("n_docs") > 1)
     dup_pairs = (
         fp.select(F.explode("doc_ids").alias("doc_a"), F.col("doc_ids"))
         .select("doc_a", F.explode("doc_ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
-    missed = dup_pairs.join(pairs, ["doc_a", "doc_b"], "left_anti").select(
-        "doc_a", "doc_b", F.lit(-1).alias("hamming"), F.lit(1.0).alias("jaccard")
+    return dup_pairs.join(pairs, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("hamming", F.lit(-1)).cast("int").alias("hamming"),
     )
-    return out.unionByName(missed)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,80 +600,67 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(queries, embs, k=10)
 
 
+_ANN_DOMINANCE_ORACLE = """
+WITH brute AS (
+  SELECT q.vec_id AS query_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim_exact,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+SELECT query_id, rank, cos_sim_exact, TRUE AS dominated
+FROM brute WHERE rank <= 10"""
+
+
+def _ann_dominance_frame(approx: DataFrame, brute: DataFrame) -> DataFrame:
+    """Oracle-checkable shape shared by the approximate ANN queries:
+    one row per exact brute-force (query, rank) — reproducible in SQL —
+    carrying ``cos_sim_exact`` and ``dominated`` = (the approximate
+    rank-r similarity <= the exact rank-r similarity). Dominance is a
+    true invariant of ANY k-subset re-ranked by similarity, so every row
+    must say TRUE (the oracle emits literal TRUE); a False fails the
+    value hash and means the re-rank is broken. A rank the approximate
+    index did not fill is vacuously dominated (recall itself is
+    approximate by construction on isotropic synthetic vectors — it is
+    asserted with thresholds in pytest, not hashed)."""
+    b = brute.select(
+        "query_id", "rank", F.round(F.col("cos_sim"), 6).alias("cos_sim_exact")
+    )
+    a = approx.select("query_id", "rank", F.col("cos_sim").alias("__ac"))
+    return b.join(a, ["query_id", "rank"], "left").select(
+        "query_id",
+        "rank",
+        "cos_sim_exact",
+        F.coalesce(
+            F.round(F.col("__ac"), 6) <= F.col("cos_sim_exact"), F.lit(True)
+        ).alias("dominated"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (approximate by construction: the synthetic
-    embeddings are isotropic noise, where sign-LSH recall is bounded by
-    bucket-collision probability — no parameterisation short of brute
-    force changes that). Carries IN-QUERY checks instead:
-    - ``dominated``: each LSH rank-r similarity must be <= the exact
-      brute-force rank-r similarity for that query (true invariant of
-      any k-subset; a False here means the re-rank is broken);
-    - ``recall_10``: per-query recall vs the in-query brute-force top-k,
-      recorded as evidence in the rows-only check."""
+    """Sign-LSH ANN, verified against the exact brute-force ranking the
+    oracle recomputes in SQL (see ``_ann_dominance_frame``)."""
     embs = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = embs.filter(F.col("vec_id") < 20)
     lsh = S.lsh_topk(queries, embs, k=10, dim=64, bits=6, tables=12)
-    brute = S.cosine_topk(queries, embs, k=10).select(
-        F.col("query_id"),
-        F.col("neighbor_id").alias("__bn"),
-        F.col("cos_sim").alias("__bc"),
-        F.col("rank"),
-    )
-    hits = lsh.join(
-        brute.select(F.col("query_id"), F.col("__bn").alias("neighbor_id")),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    ).groupBy("query_id").agg((F.count("*") / 10.0).alias("recall_10"))
-    return (
-        lsh.join(brute, ["query_id", "rank"])
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos_sim",
-            "rank",
-            (F.col("cos_sim") <= F.col("__bc")).alias("dominated"),
-            F.coalesce("recall_10", F.lit(0.0)).alias("recall_10"),
-        )
-    )
+    brute = S.cosine_topk(queries, embs, k=10)
+    return _ann_dominance_frame(lsh, brute)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (coarse-quantizer cells, nprobe/nlist of the corpus
-    scanned per query). No SQL oracle — approximate by construction on
-    isotropic synthetic vectors, where recall is bounded by the scanned
-    fraction. In-query checks as for ann_lsh: per-rank dominance vs
-    brute force and per-query recall@10."""
+    """IVF-flat ANN (coarse-quantizer cells, ~nprobe/nlist of the corpus
+    scanned per query), verified against the exact brute-force ranking
+    the oracle recomputes in SQL (see ``_ann_dominance_frame``)."""
     embs = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = embs.filter(F.col("vec_id") < 20)
     ivf = S.ivf_topk(queries, embs, k=10, nlist=16, nprobe=4)
-    brute = S.cosine_topk(queries, embs, k=10).select(
-        F.col("query_id"),
-        F.col("neighbor_id").alias("__bn"),
-        F.col("cos_sim").alias("__bc"),
-        F.col("rank"),
-    )
-    hits = ivf.join(
-        brute.select(F.col("query_id"), F.col("__bn").alias("neighbor_id")),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    ).groupBy("query_id").agg((F.count("*") / 10.0).alias("recall_10"))
-    return (
-        ivf.join(brute, ["query_id", "rank"])
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos_sim",
-            "rank",
-            (F.col("cos_sim") <= F.col("__bc")).alias("dominated"),
-            F.coalesce("recall_10", F.lit(0.0)).alias("recall_10"),
-        )
-    )
+    brute = S.cosine_topk(queries, embs, k=10)
+    return _ann_dominance_frame(ivf, brute)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +959,14 @@ SELECT conv_id, bucket_start, key, n, rank FROM (
                        ORDER BY n DESC, key ASC) AS rank
   FROM f)
 WHERE rank <= 2""",
+        # exact distinct per (user, day); within_5pct is computed Spark-side
+        # FROM the HLL estimate — a drifting sketch flips it and fails the hash
+        "hll_unique_1d": """
+SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       (epoch_us(ts)//86400000000)*86400000000 AS bucket_start,
+       count(DISTINCT CAST(round(value*100, 0) AS BIGINT)) AS exact_unique,
+       TRUE AS within_5pct
+FROM events GROUP BY 1, 2""",
         "sketch_quantiles_1h": """
 WITH b AS (
   -- bins shift by -(LOW-1) = +1047 so magnitudes are strictly positive
@@ -1160,6 +1162,19 @@ SELECT c.doc_a, c.doc_b,
        round(c.n_common / (sa.n + sb.n - c.n_common), 6) AS jaccard
 FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5""",
+        # exact-dup containment: every md5-equal pair (incl. the
+        # deterministic id<10 clone injection) must be found by simhash
+        # at hamming 0; a Spark-side miss shows as sentinel -1
+        "dedup_simhash": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10),
+f AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM aug)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id""",
         "embedding_near_dup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
@@ -1175,6 +1190,11 @@ SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
 FROM embeddings q, embeddings c
 WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
 QUALIFY rank <= 10""",
+        # approximate ANN queries: the hashed shape is the EXACT brute-force
+        # (query, rank, cos_sim) ranking — SQL-reproducible — plus the
+        # dominance invariant computed Spark-side (oracle emits TRUE)
+        "ann_lsh_topk": _ANN_DOMINANCE_ORACLE,
+        "ann_ivf_topk": _ANN_DOMINANCE_ORACLE,
         "multimodal_meta": """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256_hex
