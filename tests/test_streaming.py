@@ -137,3 +137,93 @@ def test_snapshot_diff_ingest(spark, channels, tmp_path):
     ref.materialize(channels)
     for tier in ("1m", "1h", "1d"):
         assert _count_sums(store, tier) == _count_sums(ref, tier), tier
+
+
+def test_ingest_crash_between_merge_and_manifest(spark, channels, tmp_path):
+    """ADVICE r2 #2: a crash AFTER merge but BEFORE the manifest append,
+    with MORE files landing before the retry, must not double-count the
+    already-merged files — the pending record fixes the replay key."""
+    import os
+
+    from timeseriesflattener_spark.streaming import incremental as I
+
+    in_dir = str(tmp_path / "crash_in")
+    even = channels.filter(F.col("turn_idx") % 2 == 0)
+    odd = channels.filter(F.col("turn_idx") % 2 == 1)
+    even.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    store = TierStore(spark, str(tmp_path / "crash_store"), VALUE_COLS)
+
+    # simulate the crash: run ingest but blow up inside _commit_batch
+    real_commit = I._commit_batch
+
+    def exploding_commit(manifest, pending_path, files):
+        raise RuntimeError("crash before manifest append")
+
+    I._commit_batch = exploding_commit
+    try:
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError):
+            I.ingest_new_files(store, in_dir)
+    finally:
+        I._commit_batch = real_commit
+    # merge completed, manifest did NOT; pending record exists
+    assert os.path.isfile(os.path.join(store.root, "ingest_pending.json"))
+    assert not os.path.isfile(os.path.join(store.root, "ingest_manifest.txt"))
+
+    # more files land BEFORE the retry — the old bug: a fresh file-set
+    # hash re-merges the even files on top of the crashed (completed) merge
+    odd.coalesce(1).write.mode("append").parquet(in_dir)
+    ingested = I.ingest_new_files(store, in_dir)
+    # retry ingests the pending set (as a ledgered no-op) plus the new file
+    assert len(ingested) >= 2
+
+    ref = TierStore(spark, str(tmp_path / "crash_ref"), VALUE_COLS)
+    ref.materialize(channels)
+    for tier in ("1m", "1h", "1d"):
+        assert _count_sums(store, tier) == _count_sums(ref, tier), tier
+    # steady state: no pending left, repeat is a no-op
+    assert not os.path.isfile(os.path.join(store.root, "ingest_pending.json"))
+    assert I.ingest_new_files(store, in_dir) == []
+
+
+def test_publish_crash_before_ledger_append_replays_as_noop(
+    spark, channels, tmp_path
+):
+    """ADVICE r2 #3: the job marker published atomically with the data
+    dir covers the publish->ledger-append crash window — the replay of
+    the same batch_id sees the marker and skips the 1m re-combine."""
+    from timeseriesflattener_spark.plans import tiers as T_
+    from timeseriesflattener_spark.streaming import incremental as I
+
+    even = channels.filter(F.col("turn_idx") % 2 == 0)
+    store = TierStore(spark, str(tmp_path / "pub_store"), VALUE_COLS)
+
+    # crash: ledger append raises AFTER the data dir swap
+    real_append = type(store)._append_ledger
+    calls = {"n": 0}
+
+    def exploding_append(self, row):
+        calls["n"] += 1
+        if calls["n"] == 1 and row["tier"] == "1m":
+            raise RuntimeError("crash before ledger append")
+        return real_append(self, row)
+
+    import pytest as _pt
+
+    type(store)._append_ledger = exploding_append
+    try:
+        with _pt.raises(RuntimeError):
+            I.merge_batch(store, even, batch_id=7)
+    finally:
+        type(store)._append_ledger = real_append
+
+    # replay of batch 7 (foreachBatch at-least-once): must be a no-op
+    # for the published 1m unit despite the missing ledger row
+    I.merge_batch(store, even, batch_id=7)
+
+    once = TierStore(spark, str(tmp_path / "pub_once"), VALUE_COLS)
+    I.merge_batch(once, even, batch_id=7)
+    for tier in ("1m", "1h", "1d"):
+        assert _count_sums(store, tier) == _count_sums(once, tier), tier

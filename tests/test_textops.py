@@ -219,3 +219,35 @@ def test_release_shingle_caches(spark, docs):
     released = D.release_shingle_caches()
     assert released == 1 and not D._SHINGLE_CACHES
     assert not cached.storageLevel.useMemory
+
+
+def test_star_components_match_labelprop_on_chains(spark):
+    """large-star/small-star and min-label propagation agree on chains,
+    cliques, and singletons; star converges on a 64-node path (which
+    would need ~64 label-prop rounds) well inside its O(log n) budget."""
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n + 3)], "doc_id long")
+    # one long path 0-1-...-63, plus a triangle clique {64,65,66}... as pairs
+    chain = [(i, i + 1) for i in range(n - 1)]
+    clique = [(n, n + 1), (n + 1, n + 2), (n, n + 2)]
+    pairs = spark.createDataFrame(chain + clique, "doc_a long, doc_b long")
+    star = {
+        (r["doc"], r["cluster"])
+        for r in D.duplicate_clusters(docs, pairs, algorithm="star", max_iterations=10).collect()
+    }
+    lp = {
+        (r["doc"], r["cluster"])
+        for r in D.duplicate_clusters(docs, pairs, algorithm="labelprop", max_iterations=100).collect()
+    }
+    assert star == lp
+    assert all(c == 0 for d, c in star if d < n)  # the chain collapses to 0
+    assert all(c == n for d, c in star if d >= n)  # clique to its min
+
+
+def test_duplicate_clusters_unknown_algorithm(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="algorithm"):
+        D.duplicate_clusters(docs, pairs, algorithm="nope")

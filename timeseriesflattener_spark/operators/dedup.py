@@ -452,11 +452,89 @@ def simhash_near_pairs(
 # ------------------------------------------------------------ clusters
 
 
+def _star_edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # xor-fold: order-independent, no overflow under ANSI (edges are distinct)
+    row = edges.select(F.xxhash64("src", "dst").alias("__h")).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(__h)"), F.lit(0)).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node connects its LARGER neighbours to
+    the minimum of its neighbourhood (incl. itself)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select("src", F.least(F.col("src"), F.col("__mn")).alias("__m"))
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large->small, then every node
+    connects its smaller neighbourhood (and itself) to its minimum."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = directed.groupBy("src").agg(F.min("dst").alias("__m"))
+    relinked = directed.join(m, "src").select(
+        F.col("dst").alias("src"), F.col("__m").alias("dst")
+    )
+    self_links = m.select("src", F.col("__m").alias("dst"))
+    return (
+        relinked.unionByName(self_links)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def star_connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(doc, cluster=component min) for every non-singleton node, via
+    alternating large-star/small-star rounds — the out-of-the-box scale
+    path for connected components: per-round cost is two keyed
+    aggregations + joins over the CURRENT edge set (which contracts
+    geometrically toward one star edge per node), no giant neighbour
+    lists on one task, convergence in O(log n) rounds even on long
+    chains (min-label propagation needs O(diameter) rounds and keeps
+    the full label frame live every round). Fixpoint = edge multiset
+    stable (count + order-independent hash). Each round
+    localCheckpoints — required lineage truncation."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _star_edge_fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _star_edge_fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged star: every non-min node points straight at its component min
+    return edges.select(F.col("src").alias("doc"), F.col("dst").alias("cluster"))
+
+
 def duplicate_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into CLUSTERS: (doc, cluster) where
     ``cluster`` is the minimum doc id in the pair graph's connected
@@ -464,15 +542,24 @@ def duplicate_clusters(
     dedup pipeline, where "keep one per cluster" needs components, not
     pairs (A~B, B~C must drop two docs, not one per pair).
 
-    Min-label propagation as a driver-side loop of DataFrame joins:
-    each round every node takes the min label among itself and its
-    neighbours; converged when no label changes. Near-dup components
-    are clique-ish (diameter 1-2), so 2-3 rounds suffice in practice;
-    ``max_iterations`` bounds pathological chains. Each round
-    localCheckpoints the label frame — REQUIRED lineage truncation, or
-    the plan doubles every iteration. At extreme scale swap in the
-    large-star/small-star variant; the loop shape is identical.
+    ``algorithm="star"`` (default) runs alternating large-star/
+    small-star rounds (see ``star_connected_components``) and joins the
+    resulting star edges back onto the full doc set (singletons label
+    themselves). ``algorithm="labelprop"`` keeps the min-label
+    propagation loop: each round every node takes the min label among
+    itself and its neighbours, converged when no label changes —
+    simpler, O(diameter) rounds, and it drags the full O(docs) label
+    frame through every round, which is why star is the default at
+    scale. Both localCheckpoint per round — REQUIRED lineage
+    truncation, or the plan doubles every iteration.
     """
+    if algorithm == "star":
+        labels = star_connected_components(pairs, max_iterations)
+        return df.select(F.col(id_col).alias("doc")).join(
+            labels, "doc", "left"
+        ).select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+    if algorithm != "labelprop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

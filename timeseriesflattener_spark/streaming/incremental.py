@@ -77,6 +77,16 @@ def merge_batch(
                 .select("tier", "day")
                 .collect()
             }
+        # the job marker travels INSIDE the published data directory
+        # (written before the atomic os.replace), so a crash in the
+        # window between publish and ledger append still leaves proof —
+        # without it, a replay would re-combine already-published 1m
+        # partials and double-count
+        for day in days:
+            if ("1m", day) not in already and os.path.isfile(
+                os.path.join(_day_dir(store.root, "1m", day), f"_job-{job_id}")
+            ):
+                already.add(("1m", day))
 
     for day in days:
         if ("1m", day) in already:
@@ -139,6 +149,11 @@ def _publish(
     tmp = out_dir + f".tmp-{uuidlib.uuid4().hex[:8]}"
     df.write.option("compression", store._codec(tier)).mode("overwrite").parquet(tmp)
     rows = store.spark.read.parquet(tmp).count()
+    # job marker inside the data dir, atomically published with it:
+    # 'this job already produced this unit' survives a crash before the
+    # ledger append (parquet readers ignore _-prefixed files)
+    with open(os.path.join(tmp, f"_job-{job_id}"), "w") as fh:
+        fh.write(source)
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
@@ -209,29 +224,88 @@ def ingest_new_files(
     drops, upstream compactions landing new partitions) re-open exactly
     the (tier, day) units they touch, without rescanning ingested data.
 
-    Crash-safe: the merge runs under a batch id derived from the sorted
-    new-file set, so a crash between merge and manifest write replays as
-    a no-op (see ``merge_batch``); the manifest is appended only after
-    the merge completes. Returns the newly ingested file paths.
+    Crash-safe: the pending file list (and its batch token) is recorded
+    DURABLY before the merge starts, so the replay key cannot depend on
+    files that arrive later — a crash between merge and manifest append
+    resumes from the recorded pending set (whose token matches the
+    half-done merge, making the replay a no-op via ``merge_batch``) and
+    only then diffs for newer files. Returns the newly ingested paths.
     """
-    import hashlib
-
     manifest = os.path.join(store.root, "ingest_manifest.txt")
+    pending_path = os.path.join(store.root, "ingest_pending.json")
     seen: set[str] = set()
     if os.path.isfile(manifest):
         with open(manifest) as fh:
             seen = {line.strip() for line in fh if line.strip()}
+
+    ingested: list[str] = []
+    # resume a crashed batch first: its token was fixed when it was
+    # recorded, so later arrivals cannot change the replay key
+    pending = _read_pending(pending_path)
+    if pending is not None:
+        files = [f for f in pending["files"] if f not in seen]
+        if files:
+            _merge_files(store, files, pending["token"], schema)
+            _commit_batch(manifest, pending_path, files)
+            seen.update(files)
+            ingested.extend(files)
+        else:
+            os.remove(pending_path)
+
     new = [f for f in list_data_files(input_dir) if f not in seen]
     if not new:
-        return []
-    batch_token = hashlib.sha256("\n".join(new).encode()).hexdigest()[:16]
+        return ingested
+    batch_token = _batch_token(new)
+    _write_pending(pending_path, {"token": batch_token, "files": new})
+    _merge_files(store, new, batch_token, schema)
+    _commit_batch(manifest, pending_path, new)
+    return ingested + new
+
+
+def _batch_token(files: Sequence[str]) -> str:
+    import hashlib
+
+    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+
+
+def _read_pending(path: str) -> dict | None:
+    import json
+
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as fh:
+            pending = json.load(fh)
+        if isinstance(pending.get("files"), list) and pending.get("token"):
+            return pending
+    except (ValueError, OSError):
+        pass
+    return None  # torn write before the batch started: nothing was merged
+
+
+def _write_pending(path: str, pending: dict) -> None:
+    import json
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(pending, fh)
+    os.replace(tmp, path)
+
+
+def _merge_files(
+    store: TierStore, files: Sequence[str], token: str, schema: str | None
+) -> None:
     reader = store.spark.read
     if schema:
         reader = reader.schema(schema)
-    batch = reader.parquet(*new)
-    # the file-set hash keys idempotent replay exactly like a streaming
-    # batch id
-    merge_batch(store, batch, batch_id=batch_token)
+    # the recorded file-set hash keys idempotent replay exactly like a
+    # streaming batch id
+    merge_batch(store, reader.parquet(*files), batch_id=token)
+
+
+def _commit_batch(manifest: str, pending_path: str, files: Sequence[str]) -> None:
     with open(manifest, "a") as fh:
-        fh.writelines(f + "\n" for f in new)
-    return new
+        fh.writelines(f + "\n" for f in files)
+    if os.path.isfile(pending_path):
+        os.remove(pending_path)
