@@ -155,20 +155,105 @@ def run_headline() -> None:
     per_query["transcript_tiers"] = round(wall, 3)
     total += per_query["transcript_tiers"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "rolled_points": points,
-                "rolled_points_per_sec": round(points / wall, 1),
-                "cpus": int(CPUS),
-            }
+    # 10x leg over the WHOLE headline suite (VERDICT r2 #10): guards the
+    # suite itself against superlinear surprises, not just the scale-risk
+    # families. Single timed pass per query (the base leg already proved
+    # steady state; ratios are indicative, the scaleup mode has min-of-N).
+    factor = int(os.environ.get("SPARK_GRAFT_HEADLINE_FACTOR", "10"))
+    queries_10x: dict[str, float] = {}
+    if factor > 1:
+        big_dir = _scaled_dir(spark, factor)
+        for name in HEADLINE:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            queries[name](spark, big_dir).count()
+            queries_10x[name] = round(time.time() - t0, 3)
+        _, wall10 = _tier_job(spark, n_convs * factor)
+        queries_10x["transcript_tiers"] = round(wall10, 3)
+
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "rolled_points": points,
+        "rolled_points_per_sec": round(points / wall, 1),
+        "cpus": int(CPUS),
+    }
+    if queries_10x:
+        payload["scaleup_factor"] = factor
+        payload["queries_10x"] = queries_10x
+        payload["ratio_10x"] = {
+            k: round(queries_10x[k] / max(per_query[k], 1e-9), 2) for k in queries_10x
+        }
+    print(json.dumps(payload))
+
+
+def _scaled_dir(spark, factor: int) -> str:
+    """Build (once, cached in /tmp) a ``factor``x blow-up of every table
+    the headline suite touches. Construction preserves each family's
+    work shape without manufacturing cross-copy duplicates:
+
+    - documents: every token gets a per-copy suffix, so within-copy
+      near-dup structure is identical and cross-copy Jaccard is 0 —
+      pair output scales exactly by ``factor``;
+    - embeddings/events: id-offset copies (vector/value payloads reused);
+    - lineitem/orders: orderkey-stride copies (custkeys reused — the
+      fact tables grow, the dims stay dims, as at a real 10x);
+    - customer/nation: copied through unchanged (dimension tables).
+    """
+    from pyspark.sql import functions as F
+
+    big_dir = os.path.join("/tmp", f"tsf-scaleup-{factor}x")
+    done_marker = os.path.join(big_dir, "_DONE")
+    if os.path.isfile(done_marker):
+        return big_dir
+    os.makedirs(big_dir, exist_ok=True)
+    base = {
+        t: spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        for t in ("documents", "embeddings", "events", "lineitem", "orders",
+                  "customer", "nation")
+    }
+    n_docs = base["documents"].count()
+    docs = [
+        base["documents"]
+        .withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        .withColumn("text", F.regexp_replace("text", r"(\S+)", r"$1" + str(i)))
+        for i in range(factor)
+    ]
+    d = docs[0]
+    for x in docs[1:]:
+        d = d.unionByName(x)
+    d.write.mode("overwrite").parquet(os.path.join(big_dir, "documents.parquet"))
+
+    def _offset_copies(df, col, stride):
+        out = df
+        for i in range(1, factor):
+            out = out.unionByName(df.withColumn(col, F.col(col) + F.lit(i * stride)))
+        return out
+
+    n_vec = base["embeddings"].count()
+    _offset_copies(base["embeddings"], "vec_id", n_vec).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(big_dir, "embeddings.parquet"))
+    _offset_copies(base["events"], "user_id", 100_000).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(big_dir, "events.parquet"))
+    stride = base["orders"].agg(F.max("o_orderkey")).first()[0] + 1
+    _offset_copies(base["lineitem"], "l_orderkey", stride).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(big_dir, "lineitem.parquet"))
+    _offset_copies(base["orders"], "o_orderkey", stride).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(big_dir, "orders.parquet"))
+    for dim in ("customer", "nation"):
+        base[dim].write.mode("overwrite").parquet(
+            os.path.join(big_dir, f"{dim}.parquet")
         )
-    )
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+    return big_dir
 
 
 def run_one_leg(cores: str, n_convs: int) -> None:
@@ -270,36 +355,7 @@ def run_scaleup(factor: int = 10) -> None:
     queries["tpch_pricing_summary"](spark, SF_DIR).count()
     spark.range(1).mapInPandas(lambda it: it, "id long").count()
 
-    base = {t: spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
-            for t in ("documents", "embeddings", "events")}
-    big_dir = os.path.join("/tmp", f"tsf-scaleup-{factor}x")
-    if not os.path.isdir(big_dir):
-        os.makedirs(big_dir, exist_ok=True)
-        n_docs = base["documents"].count()
-        docs = [
-            base["documents"]
-            .withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
-            .withColumn("text", F.regexp_replace("text", r"(\S+)", r"$1" + str(i)))
-            for i in range(factor)
-        ]
-        d = docs[0]
-        for x in docs[1:]:
-            d = d.unionByName(x)
-        d.write.mode("overwrite").parquet(os.path.join(big_dir, "documents.parquet"))
-        n_vec = base["embeddings"].count()
-        e = base["embeddings"]
-        big_e = e
-        for i in range(1, factor):
-            big_e = big_e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vec)))
-        big_e.write.mode("overwrite").parquet(os.path.join(big_dir, "embeddings.parquet"))
-        n_users = 100_000  # id headroom; offsets just need to be disjoint
-        ev = base["events"]
-        big_ev = ev
-        for i in range(1, factor):
-            big_ev = big_ev.unionByName(
-                ev.withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
-            )
-        big_ev.write.mode("overwrite").parquet(os.path.join(big_dir, "events.parquet"))
+    big_dir = _scaled_dir(spark, factor)
 
     fams = [
         "dedup_minhash",
