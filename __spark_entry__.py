@@ -4,16 +4,19 @@
 SURVEY.md §2 (flattening semantics, continuous-aggregate rollup,
 gap-fill, Gorilla chunks, dedup, similarity search, text analysis,
 TPC-H-style scan/join/agg), each runnable at any sf_dir; ``oracle_sql``
-gives the DuckDB-equivalent ANSI SQL. dedup_minhash carries a FULL
-oracle (its verify step computes exact Jaccard and LSH recall on this
-corpus is 100%, checked at sf0.01 and sf0.1); dedup_clusters is
-oracle-checked against a recursive-CTE connected-components query. The
-four ops without a DuckDB twin carry IN-QUERY checks instead:
-simhash emits sentinel rows if any exact-duplicate pair is missed plus
-exact-Jaccard evidence per pair; ann_lsh/ann_ivf emit per-rank
-dominance flags vs in-query brute force plus per-query recall@10;
-hll_unique_1d rides the in-query exact distinct count and a within-5pct
-flag.
+gives the DuckDB-equivalent ANSI SQL — since r3 for ALL 38 queries.
+dedup_minhash carries a FULL oracle (its verify step computes exact
+Jaccard and LSH recall on this corpus is 100%, checked at sf0.01 and
+sf0.1); dedup_clusters is oracle-checked against a recursive-CTE
+connected-components query. The four ops whose core state has no DuckDB
+twin hash deterministic derivatives the oracle reproduces exactly:
+dedup_simhash returns the md5 exact-dup containment pairs with the
+simhash-measured hamming (sentinel -1 on a miss; oracle emits 0);
+ann_lsh/ann_ivf return the exact brute-force (query, rank, cos_sim)
+ranking plus a Spark-computed dominance invariant (oracle emits TRUE);
+hll_unique_1d returns the exact distinct count plus a within-5pct flag
+computed FROM the sketch estimate (oracle emits TRUE — estimate drift
+fails the hash). Raw sketch estimates/recall live in pytest.
 
 Float columns that accumulate (sum/mean/var/slope/cosine) are rounded
 identically on both sides (accumulation-order noise << rounding step);

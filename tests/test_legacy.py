@@ -278,3 +278,43 @@ def test_legacy_cache_dot_in_fallback_name(spark, tmp_path):
 
     assert run()["pred_value_within_5_days_mean_fallback_0.5"] == 4.0
     assert run()["pred_value_within_5_days_mean_fallback_0.5"] == 4.0  # cache hit path
+
+
+def test_expand_group_spec_multiple_fallbacks_fused(spark):
+    """Reference v1 group specs accept MULTIPLE fallbacks per df
+    (``v1/feature_specs/group_specs.py:39``); the facade aliases the
+    value column per fallback on ONE shared df so the specs pass
+    validation AND fuse to one join per source df. Output names carry
+    the v1 scheme with the alias marker stripped."""
+    a = str_to_df(
+        spark,
+        "entity_id,value,timestamp\n1,3,2021-01-01\n2,7,2021-01-02",
+    )
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-05\n3,2021-01-05")
+    specs = expand_group_spec(
+        {"hba1c": a},
+        lookdistance_days=[30],
+        aggregators=["mean"],
+        fallbacks=[0, float("nan")],
+    )
+    assert len(specs) == 2
+    # both specs share ONE df object -> Flattener fuses them
+    assert specs[0].value_frame.df is specs[1].value_frame.df
+
+    fl = TimeseriesFlattener(prediction_times_df=pred)
+    fl.add_spec(specs)
+    out = fl.get_df()
+    cols = set(out.columns)
+    assert "pred_hba1c_within_30_days_mean_fallback_0" in cols
+    assert "pred_hba1c_within_30_days_mean_fallback_nan" in cols
+    assert not any("__fb" in c for c in cols)
+    rows = {r["entity_id"]: r for r in rows_as_dicts(out)}
+    assert rows[1]["pred_hba1c_within_30_days_mean_fallback_0"] == 3.0
+    assert rows[3]["pred_hba1c_within_30_days_mean_fallback_0"] == 0.0
+    assert math.isnan(rows[3]["pred_hba1c_within_30_days_mean_fallback_nan"])
+
+    # optimized logical plan (the AQE executed-plan string repeats
+    # initial+final sections and double-counts nodes):
+    # 1 temporal join + 1 assembly join — NOT one temporal join per fallback
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 2, plan

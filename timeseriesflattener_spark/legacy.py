@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import datetime as dt
 import itertools
+import re
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -46,6 +47,11 @@ from .specs import (
 from .aggregators import strings_to_aggregators
 
 
+#: marker for per-fallback value-column aliases (``{base}__fb{i}``),
+#: stripped from output column names by the legacy facade
+_FB_SUFFIX = re.compile(r"__fb\d+(?=_|$)")
+
+
 def expand_group_spec(
     dfs: dict[str, DataFrame],
     lookdistance_days: Sequence[float | tuple[float, float]],
@@ -58,40 +64,69 @@ def expand_group_spec(
     """Cartesian product of {named df x lookdistance x aggregator x
     fallback} -> one spec per (df, fallback); lookdistances and
     aggregators fan out *within* a spec (they produce distinct columns),
-    matching ``v1/feature_specs/group_specs.py:112-130``."""
+    matching ``v1/feature_specs/group_specs.py:112-130``.
+
+    Multiple fallbacks over one df (legal in reference v1 group specs,
+    ``group_specs.py:39``) alias the value column once per fallback
+    (``{name}__fb{i}``) on a SINGLE shared df, so the per-fallback specs
+    pass the unique-value-column validation AND fuse into one join + one
+    aggregation in the Flattener (the ``__fb{i}`` marker is stripped
+    from output names by the facade)."""
     specs: list[ValueSpecification] = []
-    for (name, df), fallback in itertools.product(dfs.items(), fallbacks):
-        renamed = df.withColumnRenamed("value", name) if "value" in df.columns else df
-        frame = ValueFrame(
-            df=renamed,
-            entity_id_col_name=entity_id_col_name,
-            value_timestamp_col_name=value_timestamp_col_name,
-        )
-        lookdistances = [
-            (dt.timedelta(days=d[0]), dt.timedelta(days=d[1]))
-            if isinstance(d, tuple)
-            else dt.timedelta(days=d)
-            for d in lookdistance_days
-        ]
-        aggs = strings_to_aggregators(aggregators)
-        if direction == "behind":
-            specs.append(
-                PredictorSpec(
-                    value_frame=frame,
-                    lookbehind_distances=lookdistances,
-                    aggregators=aggs,
-                    fallback=fallback,
-                )
-            )
+    lookdistances = [
+        (dt.timedelta(days=d[0]), dt.timedelta(days=d[1]))
+        if isinstance(d, tuple)
+        else dt.timedelta(days=d)
+        for d in lookdistance_days
+    ]
+    aggs = strings_to_aggregators(aggregators)
+    for name, df in dfs.items():
+        src = df.withColumnRenamed("value", name) if "value" in df.columns else df
+        if len(fallbacks) == 1:
+            frames = [(
+                ValueFrame(
+                    df=src,
+                    entity_id_col_name=entity_id_col_name,
+                    value_timestamp_col_name=value_timestamp_col_name,
+                ),
+                fallbacks[0],
+            )]
         else:
-            specs.append(
-                OutcomeSpec(
-                    value_frame=frame,
-                    lookahead_distances=lookdistances,
-                    aggregators=aggs,
-                    fallback=fallback,
+            wide = src
+            for i in range(len(fallbacks)):
+                wide = wide.withColumn(f"{name}__fb{i}", F.col(name))
+            wide = wide.drop(name)
+            frames = [
+                (
+                    ValueFrame(
+                        df=wide,
+                        entity_id_col_name=entity_id_col_name,
+                        value_timestamp_col_name=value_timestamp_col_name,
+                        value_cols=[f"{name}__fb{i}"],
+                    ),
+                    fb,
                 )
-            )
+                for i, fb in enumerate(fallbacks)
+            ]
+        for frame, fallback in frames:
+            if direction == "behind":
+                specs.append(
+                    PredictorSpec(
+                        value_frame=frame,
+                        lookbehind_distances=lookdistances,
+                        aggregators=aggs,
+                        fallback=fallback,
+                    )
+                )
+            else:
+                specs.append(
+                    OutcomeSpec(
+                        value_frame=frame,
+                        lookahead_distances=lookdistances,
+                        aggregators=aggs,
+                        fallback=fallback,
+                    )
+                )
     return specs
 
 
@@ -378,6 +413,13 @@ class TimeseriesFlattener:
         df = self._compute_specs(pred)
         if self.naming == "v1":
             df = df.withColumnsRenamed(self._v1_rename_map())
+        # strip the per-fallback alias markers expand_group_spec injects
+        # (safe: the fallback itself is part of every output name)
+        fb_renames = {
+            c: _FB_SUFFIX.sub("", c) for c in df.columns if "__fb" in c
+        }
+        if fb_renames:
+            df = df.withColumnsRenamed(fb_renames)
         if self.drop_pred_times_with_insufficient_look_distance:
             # conservative variant of v1's drop (:629-666): bound by the
             # union of all temporal specs' value-frame ranges
