@@ -492,6 +492,17 @@ def q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(sess)
 
 
+def q_sessionize_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessionization via Spark's built-in ``session_window`` — the
+    streaming-ready formulation; checked against the SAME SQL oracle as
+    the lag+cumsum path (boundary semantics proven equal in
+    test_session_window_stats_matches_sessionize)."""
+    from timeseriesflattener_spark.operators.sessions import session_window_stats
+
+    conv = _events_as_conv(spark, sf_dir)
+    return session_window_stats(conv, dt.timedelta(minutes=30))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -836,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "asof_latest_value": q_asof_latest_value,
         "sessionize_30m": q_sessionize_30m,
+        "sessionize_window_30m": q_sessionize_window_30m,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
@@ -865,7 +877,7 @@ def oracle_sql() -> dict[str, str]:
     pred = _ORACLE_PRED
     jb30 = _LOOKBEHIND_JOIN.format(days=30)
     jb7 = _LOOKBEHIND_JOIN.format(days=7)
-    return {
+    oracles = {
         "flatten_mean_30d": f"""
 WITH {pred},
 ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
@@ -1268,6 +1280,10 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name ORDER BY revenue DESC""",
     }
+    # the built-in session_window formulation computes the same sessions
+    # (boundary equality proven in tests) — identical oracle
+    oracles["sessionize_window_30m"] = oracles["sessionize_30m"]
+    return oracles
 
 
 def _rollup_oracle(width: int) -> str:

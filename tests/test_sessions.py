@@ -60,3 +60,47 @@ def test_sessionize_plan_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session_window_stats_matches_sessionize(spark):
+    """The built-in session_window formulation equals lag+cumsum
+    sessionize + session_stats — including the exact-gap boundary
+    (an event at exactly `gap` after its predecessor stays in-session)."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.operators.sessions import (
+        session_stats,
+        session_window_stats,
+        sessionize,
+    )
+    from timeseriesflattener_spark.sources.transcripts import (
+        derive_channels,
+        synthesize_transcripts,
+    )
+
+    ch = derive_channels(
+        synthesize_transcripts(spark, n_conversations=30, avg_turns=15, seed=5)
+    )
+    gap = dt.timedelta(minutes=30)
+    a = {
+        (r["conv_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["duration_micros"], r["n_events"]
+        )
+        for r in session_stats(sessionize(ch, gap)).collect()
+    }
+    b = {
+        (r["conv_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["duration_micros"], r["n_events"]
+        )
+        for r in session_window_stats(ch, gap).collect()
+    }
+    assert a == b
+
+    # boundary golden: second event EXACTLY gap after the first -> one session
+    base = dt.datetime(2025, 1, 1)
+    edge = spark.createDataFrame(
+        [("c", 0, base), ("c", 1, base + gap), ("c", 2, base + gap * 2 + dt.timedelta(microseconds=1))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    got = {r["session_id"]: r["n_events"] for r in session_window_stats(edge, gap).collect()}
+    assert got == {0: 2, 1: 1}

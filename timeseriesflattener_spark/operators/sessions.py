@@ -63,3 +63,41 @@ def session_stats(
         (micros(F.max(ts_col)) - micros(F.min(ts_col))).alias("duration_micros"),
         F.count("*").alias("n_events"),
     )
+
+
+def session_window_stats(
+    df: DataFrame,
+    gap: dt.timedelta,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Same result shape as ``sessionize`` + ``session_stats`` via
+    Spark's built-in ``session_window`` — the streaming-ready form (the
+    identical expression runs under ``readStream`` with a watermark,
+    where the lag+cumsum window formulation cannot).
+
+    Boundary alignment (verified by golden test): ``session_window``
+    merges an event landing exactly ON the previous window's end —
+    i.e. ties at exactly ``gap`` stay in-session — which is precisely
+    ``sessionize``'s ``td > gap`` opening rule, so the gap passes
+    through unchanged. ``session_id`` is re-derived as the 0-based
+    per-entity index of the window start, matching ``sessionize``."""
+    gap_expr = f"{timedelta_to_micros(gap)} microseconds"
+    agg = (
+        df.groupBy(entity_col, F.session_window(F.col(ts_col), gap_expr).alias("__sw"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (micros(F.max(ts_col)) - micros(F.min(ts_col))).alias("duration_micros"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    idx = Window.partitionBy(entity_col).orderBy(F.col("__sw.start"))
+    return agg.select(
+        entity_col,
+        (F.row_number().over(idx) - 1).cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "duration_micros",
+        "n_events",
+    )
