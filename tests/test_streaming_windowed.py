@@ -73,3 +73,61 @@ def test_watermarked_stream_finalises_closed_windows(spark, tmp_path):
     # and nothing emitted twice (append-only sink, one row per bucket)
     n_rows = spark.read.parquet(out_dir).count()
     assert n_rows == len(streamed)
+
+
+def test_streaming_session_windows_finalise_and_match_batch(spark, tmp_path):
+    """Gap sessions under readStream: every emitted session is
+    value-exact vs the batch session_window_stats result, sessions only
+    finalise once the watermark passes, and nothing emits twice."""
+    from timeseriesflattener_spark.operators.sessions import session_window_stats
+    from timeseriesflattener_spark.streaming.windowed import start_session_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    # conv "a": two sessions split by a 2h silence; arrival over 3 files
+    # so the watermark advances between micro-batches
+    files = [
+        [("a", t0 + dt.timedelta(minutes=m), 1.0) for m in (0, 10, 20)],
+        [("a", t0 + dt.timedelta(minutes=m), 1.0) for m in (150, 160)],
+        [("a", t0 + dt.timedelta(hours=12), 1.0)],  # watermark pusher
+    ]
+    in_dir = str(tmp_path / "sess_in")
+    for rows in files:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "sess_out")
+    q = start_session_stream(
+        spark,
+        in_dir,
+        SCHEMA,
+        out_dir,
+        str(tmp_path / "sess_ckpt"),
+        gap="30 minutes",
+        watermark="30 minutes",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        (r["conv_id"], r["session_start"]): (
+            r["session_end"], r["duration_micros"], r["n_events"]
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["conv_id"], r["session_start"]): (
+            r["session_end"], r["duration_micros"], r["n_events"]
+        )
+        for r in session_window_stats(
+            spark.read.parquet(in_dir), dt.timedelta(minutes=30)
+        ).collect()
+    }
+    assert streamed, "stream emitted nothing"
+    for k, v in streamed.items():
+        assert batch[k] == v, k
+    # the two closed sessions must have finalised (the 12h event's
+    # watermark passed both); the trailing single-event session may
+    # stay open at availableNow stream end
+    assert ("a", t0) in streamed
+    assert ("a", t0 + dt.timedelta(minutes=150)) in streamed
+    assert streamed[("a", t0)] == (t0 + dt.timedelta(minutes=20), 1_200_000_000, 3)
+    assert spark.read.parquet(out_dir).count() == len(streamed)

@@ -62,6 +62,69 @@ def windowed_partials(
     )
 
 
+def session_partials(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked gap-based sessionization over a streaming DataFrame —
+    the streaming twin of ``operators.sessions.session_window_stats``
+    (same ``F.session_window`` expression, same merge semantics; the
+    equality is proven batch-side by the sessions golden tests). In
+    append mode a session emits exactly once, when the watermark passes
+    ``session_end + gap`` (no more events can merge into it). The
+    0-based per-entity ``session_id`` index is a batch-side concept
+    (global sort per entity); streaming sessions are keyed by
+    ``session_start``.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(entity_col), F.session_window(F.col(ts_col), gap).alias("__sw"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias(
+                "duration_micros"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .select(entity_col, "session_start", "session_end", "duration_micros", "n_events")
+    )
+
+
+def start_session_stream(
+    spark,
+    input_path: str,
+    schema: str,
+    out_path: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """readStream(parquet dir) -> watermarked session windows ->
+    append-mode parquet sink of finalised sessions."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    out = session_partials(stream, gap, entity_col, ts_col, watermark)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_windowed_stream(
     spark,
     input_path: str,
