@@ -155,3 +155,28 @@ def test_asof_join_unknown_value_col_raises(spark):
     )
     with _pt.raises(ValueError, match="value_cols"):
         asof_join(left, right, value_cols=["nope"])
+
+
+def test_asof_join_multi_key(spark):
+    """entity_col accepts a list (pandas merge_asof by=[...] parity):
+    matches require BOTH keys equal."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "x", dt.datetime(2024, 1, 5)), (1, "y", dt.datetime(2024, 1, 5))],
+        "user long, device string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", dt.datetime(2024, 1, 2), 10.0),
+         (1, "y", dt.datetime(2024, 1, 3), 20.0)],
+        "user long, device string, ts timestamp, value double",
+    )
+    out = asof_join(left, right, entity_col=["user", "device"])
+    rows = {(r["user"], r["device"]): r["value_asof"] for r in out.collect()}
+    assert rows == {(1, "x"): 10.0, (1, "y"): 20.0}
+    # nearest works across the multi-key path too
+    near = asof_join(left, right, entity_col=["user", "device"], direction="nearest")
+    nrows = {(r["user"], r["device"]): r["value_asof"] for r in near.collect()}
+    assert nrows == rows

@@ -27,7 +27,7 @@ from ..specs import timedelta_to_micros
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    entity_col: str = "entity_id",
+    entity_col: str | Sequence[str] = "entity_id",
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: Sequence[str] = ("value",),
@@ -36,7 +36,9 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """Left rows + the matched right ``value_cols`` per entity (merge_asof
-    semantics; exact-timestamp matches are visible in every direction):
+    semantics; exact-timestamp matches are visible in every direction).
+    ``entity_col`` accepts a single column or a list (pandas
+    ``merge_asof(by=[...])`` parity — e.g. match on (user, device)):
 
     - ``backward`` (default): latest right with ``right.ts <= left.ts``;
     - ``forward``: earliest right with ``right.ts >= left.ts`` (the same
@@ -93,7 +95,7 @@ def asof_join(
 def _asof_directional(
     left: DataFrame,
     right: DataFrame,
-    entity_col: str,
+    entity_col: str | Sequence[str],
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
@@ -105,6 +107,8 @@ def _asof_directional(
     negating the sort key (and the side order, so exact-ts right rows
     still sort before the left rows that should see them)."""
     sign = -1 if forward else 1
+    entity_cols = [entity_col] if isinstance(entity_col, str) else list(entity_col)
+    ekeys = [f"__e{i}" for i in range(len(entity_cols))]
     lcols = left.columns
     # Carry right values in their OWN types (string state columns are the
     # canonical "config as of" use; pandas merge_asof preserves dtype) —
@@ -114,7 +118,7 @@ def _asof_directional(
     if missing:
         raise ValueError(f"value_cols {missing} not in right frame {right.columns}")
     l_tagged = left.select(
-        F.col(entity_col).alias("__e"),
+        *[F.col(c).alias(k) for c, k in zip(entity_cols, ekeys)],
         (micros(F.col(left_ts)) * sign).alias("__t"),
         F.lit(1).alias("__side"),  # left sorts AFTER right at equal (signed) ts
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
@@ -122,7 +126,7 @@ def _asof_directional(
         F.lit(None).cast("long").alias("__rt"),
     )
     r_tagged = right.select(
-        F.col(entity_col).alias("__e"),
+        *[F.col(c).alias(k) for c, k in zip(entity_cols, ekeys)],
         (micros(F.col(right_ts)) * sign).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
@@ -130,12 +134,12 @@ def _asof_directional(
         micros(F.col(right_ts)).alias("__rt"),
     )
     w = (
-        Window.partitionBy("__e")
+        Window.partitionBy(*ekeys)
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "__e",
+        *ekeys,
         "__t",
         "__side",
         "__l",
