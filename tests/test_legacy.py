@@ -318,3 +318,39 @@ def test_expand_group_spec_multiple_fallbacks_fused(spark):
     # 1 temporal join + 1 assembly join — NOT one temporal join per fallback
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") == 2, plan
+
+
+def test_predictor_group_spec_create_combinations(spark):
+    """Top-level PredictorGroupSpec parity (ref ``specs/from_legacy.py:
+    45-110``): v1 fn names map to v2 aggregators, entity col inferred
+    ('entity'/'borger' substring) and renamed, one spec per
+    (df, fallback), specs per df share ONE frame (fusable). The
+    reference's latest->Earliest mapping bug is NOT replicated."""
+    from timeseriesflattener_spark import NamedDataframe, PredictorGroupSpec
+
+    hba1c = str_to_df(spark, "borger_id,value,timestamp\n1,4,2021-01-02")
+    hdl = str_to_df(spark, "entityID,value,timestamp\n1,2,2021-01-02")
+    specs = PredictorGroupSpec(
+        lookbehind_days=[30, (30, 90)],
+        named_dataframes=[NamedDataframe(hba1c, "hba1c"), NamedDataframe(hdl, "hdl")],
+        aggregation_fns=["maximum", "change_per_day"],
+        fallback=[0, float("nan")],
+    ).create_combinations()
+    assert len(specs) == 4  # 2 dfs x 2 fallbacks
+    assert all(s.value_frame.entity_id_col_name == "entity_id" for s in specs)
+    assert {a.name for s in specs for a in s.aggregators} == {"max", "slope"}
+    by_base = {}
+    for s in specs:
+        base = s.value_frame.value_col_names[0].split("__fb")[0]
+        by_base.setdefault(base, []).append(s)
+    assert set(by_base) == {"hba1c", "hdl"}
+    for base, group in by_base.items():
+        assert group[0].value_frame.df is group[1].value_frame.df  # fusable
+
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-05")
+    fl = TimeseriesFlattener(prediction_times_df=pred)
+    fl.add_spec(specs)
+    row = fl.get_df().first().asDict()
+    assert row["pred_hba1c_within_30_days_maximum_fallback_0"] == 4.0
+    assert row["pred_hdl_within_30_days_maximum_fallback_0"] == 2.0
+    assert math.isnan(row["pred_hba1c_within_30_to_90_days_maximum_fallback_nan"])

@@ -32,6 +32,7 @@ from .aggregators import (
 )
 from .flattener import AggregatedFrame, Flattener, SpecError
 from .frames import PredictionTimeFrame, StaticFrame, TimestampValueFrame, ValueFrame
+from .legacy import NamedDataframe, PredictorGroupSpec
 from .session import get_spark
 from .specs import (
     BooleanOutcomeSpec,
@@ -60,8 +61,10 @@ __all__ = [
     "MaxAggregator",
     "MeanAggregator",
     "MinAggregator",
+    "NamedDataframe",
     "OutcomeSpec",
     "PredictionTimeFrame",
+    "PredictorGroupSpec",
     "PredictorSpec",
     "SlopeAggregator",
     "SpecError",

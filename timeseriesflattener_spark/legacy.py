@@ -51,6 +51,74 @@ from .aggregators import strings_to_aggregators
 #: stripped from output column names by the legacy facade
 _FB_SUFFIX = re.compile(r"__fb\d+(?=_|$)")
 
+#: v1 aggregation-fn names -> v2 aggregator registry names
+#: (``specs/from_legacy.py:69-81``). Known reference bug NOT replicated:
+#: the reference maps ``latest`` to EarliestAggregator; here latest
+#: means latest (see module docstring).
+_V1_FN_TO_V2 = {
+    "maximum": "max",
+    "minimum": "min",
+    "summed": "sum",
+    "variance": "var",
+    "boolean": "bool",
+    "change_per_day": "slope",
+}
+
+
+@dataclass(frozen=True)
+class NamedDataframe:
+    """(df, name) pair for group specs — reference
+    ``v1/feature_specs/group_specs.py`` NamedDataframe."""
+
+    df: DataFrame
+    name: str
+
+
+@dataclass
+class PredictorGroupSpec:
+    """Top-level group-spec API mirroring reference
+    ``specs/from_legacy.py:45-110``: ``create_combinations()`` expands
+    {named df x fallback} into v2 ``PredictorSpec``s (lookdistances and
+    aggregators fan out within each spec). ``aggregation_fns`` takes
+    the v1 function NAMES as strings (maximum/minimum/summed/variance/
+    boolean/change_per_day, plus any v2 registry name); the entity id
+    column is inferred like the reference (first column containing
+    "entity" or "borger") and renamed to ``entity_id_col_name_out``.
+    Specs sharing a source df are built over ONE shared frame, so the
+    Flattener fuses them into a single join + aggregation."""
+
+    lookbehind_days: Sequence[float | tuple[float, float]]
+    named_dataframes: Sequence[NamedDataframe]
+    aggregation_fns: Sequence[str]
+    fallback: Sequence[int | float | str]
+    prefix: str = "pred"
+    entity_id_col_name_out: str = "entity_id"
+
+    @staticmethod
+    def _infer_entity_id_col_name(df: DataFrame) -> str:
+        return next(
+            c for c in df.columns if "entity" in c.lower() or "borger" in c.lower()
+        )
+
+    def create_combinations(self) -> list[PredictorSpec]:
+        aggs = [_V1_FN_TO_V2.get(fn, fn) for fn in self.aggregation_fns]
+        dfs: dict[str, DataFrame] = {}
+        for ndf in self.named_dataframes:
+            df = ndf.df.withColumnsRenamed(
+                {self._infer_entity_id_col_name(ndf.df): self.entity_id_col_name_out}
+            )
+            dfs[ndf.name] = df
+        specs = expand_group_spec(
+            dfs,
+            lookdistance_days=list(self.lookbehind_days),
+            aggregators=aggs,
+            fallbacks=list(self.fallback),
+            entity_id_col_name=self.entity_id_col_name_out,
+        )
+        if self.prefix != "pred":
+            specs = [dataclasses.replace(s, column_prefix=self.prefix) for s in specs]
+        return specs
+
 
 def expand_group_spec(
     dfs: dict[str, DataFrame],
@@ -256,6 +324,17 @@ class TimeseriesFlattener:
                 column_prefix=output_prefix,
                 time_format="years",
             )
+        )
+
+    def add_age(
+        self,
+        date_of_birth_df: DataFrame,
+        date_of_birth_col_name: str = "date_of_birth",
+        output_prefix: str = "pred",
+    ) -> None:
+        """Exact v1 method name (``v1/flattened_dataset.py:760``)."""
+        self.add_age_from_date_of_birth(
+            date_of_birth_df, date_of_birth_col_name, output_prefix
         )
 
     def add_static_spec(self, df: DataFrame, column_prefix: str = "pred", fallback=None) -> None:
