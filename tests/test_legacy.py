@@ -354,3 +354,52 @@ def test_predictor_group_spec_create_combinations(spark):
     assert row["pred_hba1c_within_30_days_maximum_fallback_0"] == 4.0
     assert row["pred_hdl_within_30_days_maximum_fallback_0"] == 2.0
     assert math.isnan(row["pred_hba1c_within_30_to_90_days_maximum_fallback_nan"])
+
+
+def test_v1_spec_factories(spark):
+    """v1 ctor-shaped spec factories produce v1 column names through the
+    facade, including the classic main_test golden value 3.0
+    (ref ``main_test.py:62-103`` shape)."""
+    import pytest as _pt
+
+    from timeseriesflattener_spark.legacy import v1_outcome_spec, v1_predictor_spec
+
+    pred = str_to_df(spark, "entity_id,timestamp\n1,2021-01-03")
+    values = str_to_df(
+        spark,
+        "entity_id,value,timestamp\n1,1,2021-01-01\n1,2,2021-01-02\n1,4,2021-01-03",
+    )
+    fl = TimeseriesFlattener(prediction_times_df=pred, boundary="v2")
+    fl.add_spec(
+        v1_predictor_spec(
+            timeseries_df=values,
+            feature_base_name="value",
+            lookbehind_days=1,
+            aggregation_fn="mean",
+            fallback=float("nan"),
+        )
+    )
+    fl.add_spec(
+        v1_outcome_spec(
+            timeseries_df=values,
+            feature_base_name="happened",
+            lookahead_days=2,
+            aggregation_fn="maximum",
+            fallback=0,
+        )
+    )
+    row = fl.get_df().first().asDict()
+    # v2 closed window: (2 + 4) / 2
+    assert row["pred_value_within_1_days_mean_fallback_nan"] == 3.0
+    # 3 distinct outcome values -> not dichotomous, no suffix
+    assert row["outc_happened_within_2_days_maximum_fallback_0"] == 4.0
+
+    with _pt.raises(NotImplementedError, match="add_incident_outcome"):
+        v1_outcome_spec(
+            timeseries_df=values,
+            feature_base_name="x",
+            lookahead_days=2,
+            aggregation_fn="maximum",
+            fallback=0,
+            incident=True,
+        )

@@ -65,6 +65,90 @@ _V1_FN_TO_V2 = {
 }
 
 
+def v1_predictor_spec(
+    timeseries_df: DataFrame,
+    feature_base_name: str,
+    lookbehind_days: float | tuple[float, float],
+    aggregation_fn: str,
+    fallback: float,
+    prefix: str = "pred",
+    entity_id_col_name: str = "entity_id",
+    timestamp_col_name: str = "timestamp",
+) -> PredictorSpec:
+    """v1 ``PredictorSpec`` ctor shape (``v1/feature_specs/
+    single_specs.py:152-176``) mapped onto a v2 spec: the ``value``
+    column is renamed to ``feature_base_name`` and ``aggregation_fn``
+    takes the v1 function name (or the function object)."""
+    name = (
+        aggregation_fn
+        if isinstance(aggregation_fn, str)
+        else getattr(aggregation_fn, "__name__", str(aggregation_fn))
+    )
+    df = timeseries_df
+    if "value" in df.columns:
+        df = df.withColumnRenamed("value", feature_base_name)
+    return PredictorSpec(
+        value_frame=ValueFrame(
+            df=df,
+            entity_id_col_name=entity_id_col_name,
+            value_timestamp_col_name=timestamp_col_name,
+        ),
+        lookbehind_distances=[
+            (dt.timedelta(days=lookbehind_days[0]), dt.timedelta(days=lookbehind_days[1]))
+            if isinstance(lookbehind_days, tuple)
+            else dt.timedelta(days=lookbehind_days)
+        ],
+        aggregators=strings_to_aggregators([_V1_FN_TO_V2.get(name, name)]),
+        fallback=fallback,
+        column_prefix=prefix,
+    )
+
+
+def v1_outcome_spec(
+    timeseries_df: DataFrame,
+    feature_base_name: str,
+    lookahead_days: float | tuple[float, float],
+    aggregation_fn: str,
+    fallback: float,
+    incident: bool = False,
+    prefix: str = "outc",
+    entity_id_col_name: str = "entity_id",
+    timestamp_col_name: str = "timestamp",
+) -> OutcomeSpec:
+    """v1 ``OutcomeSpec`` ctor shape (``single_specs.py:96-121``).
+    ``incident=True`` changes resolution semantics entirely in v1
+    (endpoint-exact vectorised join + post-outcome drop) — use
+    ``TimeseriesFlattener.add_incident_outcome`` for that path."""
+    if incident:
+        raise NotImplementedError(
+            "incident outcomes resolve through "
+            "TimeseriesFlattener.add_incident_outcome (v1-exact endpoints)"
+        )
+    name = (
+        aggregation_fn
+        if isinstance(aggregation_fn, str)
+        else getattr(aggregation_fn, "__name__", str(aggregation_fn))
+    )
+    df = timeseries_df
+    if "value" in df.columns:
+        df = df.withColumnRenamed("value", feature_base_name)
+    return OutcomeSpec(
+        value_frame=ValueFrame(
+            df=df,
+            entity_id_col_name=entity_id_col_name,
+            value_timestamp_col_name=timestamp_col_name,
+        ),
+        lookahead_distances=[
+            (dt.timedelta(days=lookahead_days[0]), dt.timedelta(days=lookahead_days[1]))
+            if isinstance(lookahead_days, tuple)
+            else dt.timedelta(days=lookahead_days)
+        ],
+        aggregators=strings_to_aggregators([_V1_FN_TO_V2.get(name, name)]),
+        fallback=fallback,
+        column_prefix=prefix,
+    )
+
+
 @dataclass(frozen=True)
 class NamedDataframe:
     """(df, name) pair for group specs — reference
@@ -101,7 +185,13 @@ class PredictorGroupSpec:
         )
 
     def create_combinations(self) -> list[PredictorSpec]:
-        aggs = [_V1_FN_TO_V2.get(fn, fn) for fn in self.aggregation_fns]
+        # accept v1 aggregation-fn OBJECTS too (reference callers pass
+        # the functions themselves; their __name__ is the v1 name)
+        names = [
+            fn if isinstance(fn, str) else getattr(fn, "__name__", str(fn))
+            for fn in self.aggregation_fns
+        ]
+        aggs = [_V1_FN_TO_V2.get(fn, fn) for fn in names]
         dfs: dict[str, DataFrame] = {}
         for ndf in self.named_dataframes:
             df = ndf.df.withColumnsRenamed(
