@@ -521,6 +521,30 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-2-gram repetition stats per document (the
+    synthetic docs carry no newlines, so word 2-grams are the unit —
+    the same operator takes physical lines on real corpora)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, lines=T.word_ngrams(F.col("text"), 2))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing >= 1 word 3-gram with the
+    'benchmark' (stand-in: docs with id < 20), benchmark side broadcast.
+    Self-pairs excluded so the overlap is between DIFFERENT docs."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    pairs = D.contamination_pairs(
+        docs, bench, n=3, bench_id_col="bench_id"
+    )
+    return pairs.filter(F.col("doc_id") != F.col("bench_id")).select(
+        "doc_id", "bench_id", "n_shared"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "fingerprint", "n_docs", "keep_id"
@@ -850,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_window_30m": q_sessionize_window_30m,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1096,6 +1122,42 @@ SELECT doc_id,
             / greatest(length(text), 1)) * 5, 1.0)), 6) AS quality
 FROM documents""",
         "lang_id": _lang_id_oracle(),
+        "text_repetition": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+l AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+    ELSE [] END) AS line
+  FROM t),
+pl AS (SELECT doc_id, line, count(*) AS k FROM l GROUP BY 1, 2),
+pd AS (SELECT doc_id,
+    CAST(sum(k) AS BIGINT) AS n_lines,
+    CAST(sum(k) - count(*) AS BIGINT) AS n_dup_lines,
+    CAST(sum(CASE WHEN k > 1 THEN k * length(line) ELSE 0 END) AS BIGINT) AS dup_chars,
+    CAST(sum(k * length(line)) AS BIGINT) AS total_chars
+  FROM pl GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(n_lines, 0) AS n_lines,
+  coalesce(n_dup_lines, 0) AS n_dup_lines,
+  round(coalesce(n_dup_lines / greatest(n_lines, 1), 0), 9) AS dup_line_ratio,
+  round(coalesce(dup_chars / greatest(total_chars, 1), 0), 9) AS dup_char_ratio
+FROM documents d LEFT JOIN pd USING (doc_id)""",
+        "decontaminate": """
+WITH norm AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(CASE WHEN len(toks) >= 3
+      THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM norm),
+b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20)
+SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh d JOIN b ON d.shingle = b.shingle
+WHERE d.doc_id <> b.bench_id
+GROUP BY 1, 2""",
         "dedup_exact": """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_id

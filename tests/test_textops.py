@@ -251,3 +251,68 @@ def test_duplicate_clusters_unknown_algorithm(spark):
 
     with _pt.raises(ValueError, match="algorithm"):
         D.duplicate_clusters(docs, pairs, algorithm="nope")
+
+
+def test_repetition_stats_lines_golden(spark):
+    """Hand-computed line-repetition golden incl. empty doc and
+    whitespace-only lines."""
+    from timeseriesflattener_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\n  \ncc"),   # 4 non-empty lines, 'aa' x2
+            (2, "unique\nlines\nonly"),
+            (3, ""),                      # no lines at all
+            (4, "x\nx\nx"),               # everything duplicate
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_dup_lines"] == 1
+    assert rows[1]["dup_line_ratio"] == 0.25
+    # dup chars: 'aa' occurs twice -> 4 of 8 total chars (aa,bb,aa,cc)
+    assert rows[1]["dup_char_ratio"] == 0.5
+    assert rows[2]["n_dup_lines"] == 0 and rows[2]["dup_char_ratio"] == 0.0
+    assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_ratio"] == 0.0
+    assert rows[4]["dup_line_ratio"] == round(2 / 3, 9)
+    assert rows[4]["dup_char_ratio"] == 1.0
+
+
+def test_repetition_stats_ngram_unit(spark):
+    """word_ngrams override: Gopher duplicate-2-gram fraction."""
+    from timeseriesflattener_spark.operators.text import repetition_stats, word_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a")],  # bigrams: [a b, b a, a b, b a] -> all dup
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(
+            docs, lines=word_ngrams(F.col("text"), 2)
+        ).collect()
+    }
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_dup_lines"] == 2
+    assert rows[1]["dup_line_ratio"] == 0.5 and rows[1]["dup_char_ratio"] == 1.0
+    assert rows[2]["n_lines"] == 0  # shorter than n -> empty unit array
+
+
+def test_contamination_pairs_and_drop(spark, docs):
+    """Docs sharing a 3-gram with the benchmark are flagged (benchmark
+    side broadcast — asserted in the plan); drop_contaminated removes
+    exactly the flagged ids."""
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    pairs = D.contamination_pairs(docs, bench, n=3, bench_id_col="bench_id")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {(r["doc_id"], r["bench_id"]) for r in pairs.collect()}
+    # every benchmark doc trivially matches itself (>= 3 tokens each)
+    for i in range(5):
+        assert (i, i) in got
+    flagged = {p[0] for p in got}
+    kept = D.drop_contaminated(docs, bench, n=3, bench_id_col="bench_id")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - flagged

@@ -240,6 +240,68 @@ def ngram_jaccard_pairs(
     )
 
 
+# -------------------------------------------------- decontamination
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, bench_id, n_shared) for every
+    training doc sharing >= 1 word ``n``-gram with a benchmark/eval doc
+    — the standard pre-training hygiene pass (e.g. 8-gram overlap
+    against eval sets) that keeps test data out of the corpus.
+
+    Scale shape: both sides reduce to (id, 64-bit shingle hash) via the
+    same hash-native construction as the dedup family; the benchmark
+    side is tiny relative to a 100 TB corpus, so it BROADCASTS and the
+    corpus is matched in a single map-side pass — no shuffle of corpus
+    shingles at all (set ``broadcast_benchmark=False`` if the benchmark
+    is itself huge). ``n_shared`` counts DISTINCT shared n-grams.
+    """
+    d = _hashed_exploded(docs, text_col, id_col, n, persist=False)
+    b = _hashed_exploded(benchmark, bench_text_col, bench_id_col, n, persist=False)
+    b = b.select(F.col("doc").alias("bench_id"), "__h")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        d.join(b, "__h")
+        .groupBy(F.col("doc").alias(id_col), "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def drop_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove training docs sharing >= ``min_shared`` distinct word
+    n-grams (summed over benchmark docs) with the benchmark set
+    (anti-join on the flagged ids)."""
+    flagged = (
+        contamination_pairs(
+            docs, benchmark, n, text_col, id_col, bench_text_col, bench_id_col
+        )
+        .groupBy(id_col)
+        .agg(F.sum("n_shared").alias("__total"))
+        .filter(F.col("__total") >= min_shared)
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
 # -------------------------------------------------------- minhash
 
 

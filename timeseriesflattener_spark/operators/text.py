@@ -117,3 +117,94 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(t).alias("lang_guess"),
         fingerprint64(t).alias("fingerprint"),
     )
+
+
+# --------------------------------------------- repetition (Gopher-style)
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Overlapping word ``n``-gram strings of the whitespace-tokenised
+    text (positions 1..len-n+1) — the unit for Gopher's duplicate-n-gram
+    fraction. Returns an empty array for docs shorter than ``n``."""
+    toks = tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lines: Column | None = None,
+) -> DataFrame:
+    """Intra-document repetition signals (Gopher / MassiveText quality
+    rules): the fraction of duplicate LINES and the fraction of
+    characters sitting inside those duplicate lines. High values mark
+    boilerplate / templated pages that poison training data.
+
+    Linear shape: explode trimmed non-empty lines, count per
+    (doc, line) with a map-side-combined hash aggregation, then reduce
+    per doc — two keyed aggregations, both spill-safe, no per-row
+    quadratic higher-order expressions (an array-based formulation
+    would re-scan the line array per distinct line: O(lines²) on a
+    pathological 10k-line page). Docs with no non-empty lines emit
+    zeros.
+
+    ``lines`` overrides the repetition unit: pass e.g.
+    ``word_ngrams(F.col("text"), 2)`` for Gopher's duplicate-2-gram
+    fraction instead of physical lines.
+    """
+    t = F.col(text_col)
+    if lines is None:
+        lines = F.filter(
+            F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    per_line = (
+        df.select(F.col(id_col), F.explode(lines).alias("__line"))
+        .groupBy(id_col, "__line")
+        .agg(F.count("*").alias("__k"))
+        .withColumn("__len", F.length("__line"))
+    )
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("__k").alias("n_lines"),
+        (F.sum("__k") - F.count("*")).alias("n_dup_lines"),
+        F.sum(F.when(F.col("__k") > 1, F.col("__k") * F.col("__len")).otherwise(0)).alias(
+            "__dup_chars"
+        ),
+        F.sum(F.col("__k") * F.col("__len")).alias("__total_chars"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
+            # round 9: tie-free for ratios whose denominator < 1024
+            # (only terminating binary/decimal expansions can land a
+            # .5 tie; the longest such expansion below 1024 is 1/512 =
+            # 9 digits, where round 9 is a no-op)
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_lines") / F.greatest(F.col("n_lines"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("dup_line_ratio"),
+            F.round(
+                F.coalesce(
+                    F.col("__dup_chars") / F.greatest(F.col("__total_chars"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("dup_char_ratio"),
+        )
+    )
