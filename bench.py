@@ -360,6 +360,8 @@ def run_scaleup(factor: int = 10) -> None:
     fams = [
         "dedup_minhash",
         "dedup_clusters",
+        "decontaminate",
+        "text_repetition",
         "ann_cosine_topk",
         "rollup_1h",
         "gorilla_roundtrip",
