@@ -545,6 +545,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/phone/long-digit-run -> <KIND> tokens). The
+    synthetic docs carry no PII, so deterministic doc_id-derived PII is
+    injected on BOTH sides (Spark and oracle SQL append the identical
+    suffix); the oracle re-runs the same RE2/Java-compatible patterns
+    and the hashed output is the scrubbed text + per-kind counts."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" acct "),
+        F.lpad(F.col("doc_id").cast("string"), 12, "7"),
+    )
+    return docs.select(
+        "doc_id",
+        *T.pii_counts(injected),
+        T.scrub_pii(injected).alias("scrubbed"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "fingerprint", "n_docs", "keep_id"
@@ -876,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "scrub_pii": q_scrub_pii,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1158,6 +1182,24 @@ SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM sh d JOIN b ON d.shingle = b.shingle
 WHERE d.doc_id <> b.bench_id
 GROUP BY 1, 2""",
+        "scrub_pii": """
+WITH inj AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example or +1 (555) 010-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '7') AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t, '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) AS n_phone,
+  len(regexp_extract_all(t, '[0-9]{9,}')) AS n_digits,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '[0-9]{9,}', '<DIGITS>', 'g'),
+    '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM inj""",
         "dedup_exact": """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_id

@@ -316,3 +316,33 @@ def test_contamination_pairs_and_drop(spark, docs):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert kept_ids == all_ids - flagged
+
+
+def test_scrub_pii_golden(spark):
+    """Email, phone, and digit-run redaction goldens; order matters
+    (emails first so digits inside them aren't half-eaten)."""
+    from timeseriesflattener_spark.operators.text import pii_counts, scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp.example.com today"),
+            (2, "call +1 (555) 010-1234 or 555-010-9876 now"),
+            (3, "card 4111111111111111 and id 123456789"),
+            (4, "clean text, no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select(
+            "doc_id", *pii_counts(F.col("text")), scrub_pii(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["s"]
+    assert "alice" not in out[1]["s"]
+    assert out[2]["n_phone"] >= 1 and "<PHONE>" in out[2]["s"]
+    assert "555" not in out[2]["s"]
+    assert out[3]["n_digits"] == 2 and out[3]["s"].count("<DIGITS>") == 2
+    assert "4111" not in out[3]["s"]
+    assert out[4]["s"] == "clean text, no pii here"
+    assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_digits"] == 0

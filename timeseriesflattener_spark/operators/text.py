@@ -10,6 +10,8 @@ builds (single pass over the text column).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -208,3 +210,43 @@ def repetition_stats(
             ).alias("dup_char_ratio"),
         )
     )
+
+
+# ------------------------------------------------------- PII scrubbing
+
+
+#: conservative patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB/Go scrubbers): no backreferences, no lookaround
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone: 8+ chars of digits/separators between digits
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    # bare long digit runs (account/card numbers)
+    "digits": r"[0-9]{9,}",
+}
+
+
+def scrub_pii(
+    text: Column, kinds: Sequence[str] = ("email", "digits", "phone")
+) -> Column:
+    """Redact PII-looking spans with ``<KIND>`` tokens — the standard
+    pre-training hygiene pass. Pure ``regexp_replace`` chain (JVM-side,
+    codegen'd). Order matters: emails first (so their digit runs stay
+    intact inside <EMAIL>), then bare digit runs (account/card numbers,
+    which the broader phone pattern would otherwise swallow), then
+    separator-formatted phones."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column, kinds: Sequence[str] = ("email", "phone", "digits")) -> list[Column]:
+    """One match-count column per PII kind (pre-scrub audit metric)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[k]), 0)).alias(
+            f"n_{k}"
+        )
+        for k in kinds
+    ]
