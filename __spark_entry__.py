@@ -568,6 +568,20 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate (first-failed-rule audit frame):
+    thresholds chosen so each rule fires on a real slice of the corpus
+    (too_short ~10%, stopword ~10%, repetition ~15%)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_filter(
+        docs,
+        min_tokens=25,
+        min_stopword_ratio=0.02,
+        max_dup_line_ratio=0.08,
+        lines=T.word_ngrams(F.col("text"), 2),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "fingerprint", "n_docs", "keep_id"
@@ -900,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
+        "quality_filter": q_quality_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1182,6 +1197,39 @@ SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM sh d JOIN b ON d.shingle = b.shingle
 WHERE d.doc_id <> b.bench_id
 GROUP BY 1, 2""",
+        "quality_filter": """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+  FROM documents),
+base AS (
+  SELECT doc_id,
+    len(toks) AS nt,
+    length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / greatest(length(text), 1) AS pr,
+    len(list_filter(ltoks, x -> list_contains(
+      ['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], x)))
+      / greatest(len(ltoks), 1) AS sr
+  FROM t),
+l AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+    ELSE [] END) AS line
+  FROM t),
+pl AS (SELECT doc_id, line, count(*) AS k FROM l GROUP BY 1, 2),
+rep AS (SELECT doc_id, (sum(k) - count(*)) / greatest(sum(k), 1) AS dl FROM pl GROUP BY 1),
+j AS (
+  SELECT b.doc_id, nt, pr, sr, coalesce(dl, 0) AS dl
+  FROM base b LEFT JOIN rep USING (doc_id)),
+r AS (
+  SELECT doc_id,
+    CASE WHEN nt < 25 THEN 'too_short'
+         WHEN nt > 100000 THEN 'too_long'
+         WHEN pr > 0.3 THEN 'punct'
+         WHEN sr < 0.02 THEN 'stopword'
+         WHEN dl > 0.08 THEN 'repetition'
+    END AS fail_reason
+  FROM j)
+SELECT doc_id, fail_reason IS NULL AS passed, fail_reason FROM r""",
         "scrub_pii": """
 WITH inj AS (
   SELECT doc_id,

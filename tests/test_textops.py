@@ -346,3 +346,41 @@ def test_scrub_pii_golden(spark):
     assert "4111" not in out[3]["s"]
     assert out[4]["s"] == "clean text, no pii here"
     assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_digits"] == 0
+
+
+def test_quality_filter_golden(spark):
+    """Each rule fires in order (first failed rule wins); drop_low_quality
+    keeps exactly the passers."""
+    from timeseriesflattener_spark.operators.text import drop_low_quality, quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "the cat sat on the mat and it was a very good mat indeed"),
+            (3, "a a a a a a a a a a a a"),            # heavy 2-gram repetition
+            (4, "!!! ??? ... ,,, ;;; ::: !!! ??? ... ,,,"),  # punct AND repetition -> punct first
+        ],
+        "doc_id long, text string",
+    )
+    from timeseriesflattener_spark.operators.text import word_ngrams
+
+    out = {
+        r["doc_id"]: (r["passed"], r["fail_reason"])
+        for r in quality_filter(
+            docs,
+            min_tokens=5,
+            max_punct_ratio=0.3,
+            min_stopword_ratio=0.01,
+            max_dup_line_ratio=0.5,
+            lines=word_ngrams(F.col("text"), 2),
+        ).collect()
+    }
+    assert out[1] == (False, "too_short")
+    assert out[2] == (True, None)
+    assert out[3] == (False, "stopword") or out[3] == (False, "repetition")
+    assert out[4] == (False, "punct")  # rule order: punct precedes repetition
+    kept = {r["doc_id"] for r in drop_low_quality(
+        docs, min_tokens=5, max_punct_ratio=0.3, min_stopword_ratio=0.01,
+        max_dup_line_ratio=0.5, lines=word_ngrams(F.col("text"), 2),
+    ).collect()}
+    assert kept == {2}

@@ -250,3 +250,57 @@ def pii_counts(text: Column, kinds: Sequence[str] = ("email", "phone", "digits")
         )
         for k in kinds
     ]
+
+
+# ------------------------------------------------- quality filtering
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.0,
+    max_dup_line_ratio: float = 0.3,
+    lines: Column | None = None,
+) -> DataFrame:
+    """C4/Gopher-style document quality gate: (id, passed, fail_reason)
+    where ``fail_reason`` is the FIRST failed rule in a fixed order
+    (too_short, too_long, punct, stopword, repetition) and null when the
+    doc passes. ``lines`` sets the repetition unit (see
+    ``repetition_stats``). Keep the decision frame instead of filtering
+    in place so pipelines can audit drop rates per rule before
+    committing — ``drop_low_quality`` applies it."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        token_count(t).alias("__nt"),
+        punct_ratio(t).alias("__pr"),
+        stopword_ratio(t).alias("__sr"),
+    )
+    rep = repetition_stats(df, text_col, id_col, lines=lines).select(
+        F.col(id_col), F.col("dup_line_ratio").alias("__dl")
+    )
+    reason = (
+        F.when(F.col("__nt") < min_tokens, F.lit("too_short"))
+        .when(F.col("__nt") > max_tokens, F.lit("too_long"))
+        .when(F.col("__pr") > max_punct_ratio, F.lit("punct"))
+        .when(F.col("__sr") < min_stopword_ratio, F.lit("stopword"))
+        .when(F.col("__dl") > max_dup_line_ratio, F.lit("repetition"))
+    )
+    return (
+        base.join(rep, id_col)
+        .select(
+            F.col(id_col),
+            reason.isNull().alias("passed"),
+            reason.alias("fail_reason"),
+        )
+    )
+
+
+def drop_low_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kwargs) -> DataFrame:
+    """Keep only docs passing ``quality_filter`` (left-semi join)."""
+    keep = quality_filter(df, text_col, id_col, **kwargs).filter("passed").select(id_col)
+    return df.join(keep, id_col, "left_semi")
