@@ -277,3 +277,50 @@ def test_fused_specs_share_one_join_and_agg(spark):
         "pred_x_within_0_to_2_days_max_fallback_0",
         "pred_y_within_0_to_30_days_sum_fallback_-1.0",
     ]
+
+
+def test_stepped_path_fuses_shared_frames(spark):
+    """step_size chunking keeps frame identity: specs sharing a df fuse
+    inside each chunk (one temporal join per chunk, not one per spec),
+    and stepped output equals the unstepped output exactly."""
+    import datetime as dtm
+
+    pred_frame = str_to_df(
+        spark,
+        "entity_id,pred_timestamp\n1,2021-01-03\n1,2021-02-10\n2,2021-02-11",
+    )
+    wide = str_to_df(
+        spark,
+        """entity_id,x,y,timestamp
+        1,1,10,2021-01-01
+        1,2,20,2021-02-08
+        2,5,50,2021-02-09""",
+    )
+    spec_x = PredictorSpec(
+        value_frame=ValueFrame(df=wide, value_cols=["x"]),
+        lookbehind_distances=[dt.timedelta(days=7)],
+        aggregators=strings_to_aggregators(["mean"]),
+        fallback=-1.0,
+    )
+    spec_y = PredictorSpec(
+        value_frame=ValueFrame(df=wide, value_cols=["y"]),
+        lookbehind_distances=[dt.timedelta(days=40)],
+        aggregators=strings_to_aggregators(["sum"]),
+        fallback=0.0,
+    )
+    fl = Flattener(predictiontime_frame=PredictionTimeFrame(df=pred_frame))
+    plain = {
+        r["prediction_time_uuid"]: r.asDict()
+        for r in fl.aggregate_timeseries([spec_x, spec_y]).df.collect()
+    }
+    stepped_df = fl.aggregate_timeseries(
+        [spec_x, spec_y], step_size=dtm.timedelta(days=20)
+    ).df
+    stepped = {r["prediction_time_uuid"]: r.asDict() for r in stepped_df.collect()}
+    assert stepped == plain
+    # 2 chunks (39 days / 20-day steps) x (1 fused temporal join + 1
+    # assembly join); an unfused stepped plan would pay 3 joins per chunk
+    plan = stepped_df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 2 * 2, plan
+    # the fused join carries the UNION lookdistance range (40 days)
+    assert plan.count("-3456000000000") >= 2, plan

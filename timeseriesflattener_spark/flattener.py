@@ -164,6 +164,12 @@ def _filtered_temporal_spec(spec: TemporalSpec, lo: dt.datetime, hi: dt.datetime
     ``[chunk_start - lookdistance, chunk_end)``, lookahead
     ``[chunk_start, chunk_end + lookdistance)``."""
     first, last = max_lookdistance(spec)
+    return _filtered_with_range(spec, lo, hi, first, last)
+
+
+def _filtered_with_range(
+    spec: TemporalSpec, lo: dt.datetime, hi: dt.datetime, first: int, last: int
+) -> TemporalSpec:
     lo_bound = lo + dt.timedelta(microseconds=first)
     hi_bound = hi + dt.timedelta(microseconds=last)
     vf = spec.value_frame
@@ -174,10 +180,57 @@ def _filtered_temporal_spec(spec: TemporalSpec, lo: dt.datetime, hi: dt.datetime
         entity_id_col_name=vf.entity_id_col_name,
         value_timestamp_col_name=vf.value_timestamp_col_name,
         order_col_name=vf.order_col_name,
+        value_cols=list(vf.value_col_names),
     )
     clone = object.__new__(type(spec))
     clone.__dict__ = {**spec.__dict__, "value_frame": new_vf}
     return clone
+
+
+def _chunk_filtered_specs(
+    specs: Sequence[ValueSpecification], lo: dt.datetime, hi: dt.datetime
+) -> list[ValueSpecification]:
+    """Per-chunk spec clones whose value frames are pre-filtered to the
+    chunk's reachable range. Specs sharing a frame (``_frame_key``) get
+    ONE shared filtered df — filtered to the UNION of their lookdistance
+    ranges (safe: the window predicate re-masks per spec) — so the
+    chunk's specs still fuse into one join + one aggregation in
+    ``_build_feature_dfs``; a per-spec clone would break frame identity
+    and silently unfuse the chunked path."""
+    ranges: dict[tuple, tuple[int, int]] = {}
+    for spec in specs:
+        if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+            key = _frame_key(spec)
+            first, last = max_lookdistance(spec)
+            if key in ranges:
+                f0, l0 = ranges[key]
+                ranges[key] = (min(f0, first), max(l0, last))
+            else:
+                ranges[key] = (first, last)
+    shared_frames: dict[tuple, ValueFrame] = {}
+    out: list[ValueSpecification] = []
+    for spec in specs:
+        if not isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
+            out.append(spec)
+            continue
+        key = _frame_key(spec)
+        first, last = ranges[key]
+        clone = _filtered_with_range(spec, lo, hi, first, last)
+        if key in shared_frames:
+            # re-point at the group's one filtered frame object, but keep
+            # this spec's own value-column subset
+            base = shared_frames[key]
+            clone.value_frame = ValueFrame(
+                df=base.df,
+                entity_id_col_name=base.entity_id_col_name,
+                value_timestamp_col_name=base.value_timestamp_col_name,
+                order_col_name=base.order_col_name,
+                value_cols=list(spec.value_frame.value_col_names),
+            )
+        else:
+            shared_frames[key] = clone.value_frame
+        out.append(clone)
+    return out
 
 
 @dataclass
@@ -264,11 +317,8 @@ class Flattener:
                 timestamp_col_name=ts_col,
                 prediction_time_uuid_col_name=pred.prediction_time_uuid_col_name,
             )
-            feature_dfs = []
-            for spec in specs:
-                if isinstance(spec, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)):
-                    spec = _filtered_temporal_spec(spec, lo, hi)
-                feature_dfs.append(_process_one(spec, chunk_pred))
+            chunk_specs = _chunk_filtered_specs(specs, lo, hi)
+            feature_dfs = _build_feature_dfs(chunk_specs, chunk_pred)
             chunk_outs.append(
                 reduce(
                     lambda acc, f: acc.join(
