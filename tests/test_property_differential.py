@@ -202,3 +202,63 @@ def test_sketch_quantile_error_bound_property(spark, vals, p):
     exact = sorted_vals[max(0, math.ceil(p * len(vals)) - 1)]
     rel = (GAMMA - 1) / (GAMMA + 1)
     assert abs(q - exact) <= rel * abs(exact) * 1.0001 + 1e-9, (q, exact)
+
+
+doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c\nd.!@0189+-()")),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_repetition_stats_matches_python_reference(spark, texts):
+    """repetition_stats == a pure-Python Counter reference on arbitrary
+    newline/whitespace-soup strings."""
+    from collections import Counter
+
+    from timeseriesflattener_spark.operators.text import repetition_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    for i, t in rows:
+        lines = [s.strip() for s in t.split("\n")]
+        lines = [s for s in lines if s != ""]
+        c = Counter(lines)
+        n = len(lines)
+        dup = n - len(c)
+        dup_chars = sum(k * len(line) for line, k in c.items() if k > 1)
+        total = sum(len(line) for line in lines)
+        assert got[i]["n_lines"] == n, (i, t)
+        assert got[i]["n_dup_lines"] == dup, (i, t)
+        assert got[i]["dup_line_ratio"] == round(dup / max(n, 1), 9), (i, t)
+        assert got[i]["dup_char_ratio"] == round(dup_chars / max(total, 1), 9), (i, t)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_scrub_pii_matches_python_re(spark, texts):
+    """scrub_pii's Java-regex chain == Python re with identical patterns
+    (patterns are deliberately backreference/lookaround-free)."""
+    import re as pyre
+
+    from timeseriesflattener_spark.operators.text import PII_PATTERNS, scrub_pii
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()
+    }
+    for i, t in rows:
+        expect = t
+        for kind in ("email", "digits", "phone"):
+            expect = pyre.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", expect)
+        assert got[i] == expect, (i, t)
