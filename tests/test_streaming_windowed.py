@@ -131,3 +131,43 @@ def test_streaming_session_windows_finalise_and_match_batch(spark, tmp_path):
     assert ("a", t0 + dt.timedelta(minutes=150)) in streamed
     assert streamed[("a", t0)] == (t0 + dt.timedelta(minutes=20), 1_200_000_000, 3)
     assert spark.read.parquet(out_dir).count() == len(streamed)
+
+
+def test_stream_drop_exact_duplicates_across_batches(spark, tmp_path):
+    """A duplicate text arriving in a LATER micro-batch (within the
+    watermark) is dropped; distinct texts all survive."""
+    from timeseriesflattener_spark.streaming.windowed import (
+        stream_drop_exact_duplicates,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string"
+    batches = [
+        [(1, t0, "alpha beta"), (2, t0 + dt.timedelta(minutes=1), "gamma")],
+        # 3 duplicates 1 (same normalised text) in the NEXT batch
+        [(3, t0 + dt.timedelta(minutes=2), "  Alpha   Beta "),
+         (4, t0 + dt.timedelta(minutes=3), "delta")],
+    ]
+    in_dir = str(tmp_path / "dd_in")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "dd_out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_drop_exact_duplicates(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert 3 not in kept          # cross-batch duplicate dropped
+    assert {1, 2, 4} <= kept

@@ -157,3 +157,25 @@ def start_windowed_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_drop_exact_duplicates(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-arriving doc per normalised
+    text fingerprint ACROSS micro-batches, with state bounded by the
+    event-time watermark (``dropDuplicatesWithinWatermark`` — a
+    duplicate arriving later than ``watermark`` after the original may
+    pass; that is the bounded-state contract, same trade as the
+    windowed tier path). The fingerprint is the same 64-bit
+    ``xxhash64(normalised text)`` the batch dedup family keys on, so
+    batch and stream agree on what counts as a duplicate."""
+    from ..operators.dedup import normalized_text
+
+    keyed = stream_df.withColumn(
+        "__fp", F.xxhash64(normalized_text(F.col(text_col)))
+    ).withWatermark(ts_col, watermark)
+    return keyed.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
