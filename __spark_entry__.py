@@ -356,6 +356,155 @@ def q_rollup_unique_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.exact_unique_count(_events_as_conv(spark, sf_dir), ["value"], tier="1h")
 
 
+# ------------------------- streaming twins (VERDICT r3 #3: put streaming
+# under the driver gate — each runs a real availableNow stream to a sink,
+# reads the sink back, and must reproduce the batch/DuckDB semantics)
+
+_STREAM_CUTOFF = "2024-01-04 00:00:00"  # 3-day slice keeps per-day publishes bounded
+
+
+def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of rollup_1h via the PRODUCTION ingest path
+    (readStream -> foreachBatch merge_batch -> ledgered TierStore): the
+    3-day event slice is split into 4 hash-partitioned input files,
+    streamed one file per micro-batch (so every batch re-opens days the
+    previous batches already published and the idempotent combine is
+    actually exercised), then the stored 1h partials are finalized.
+    Oracle: the batch rollup SQL over the same slice — stream output ==
+    batch semantics, exactly."""
+    import tempfile
+
+    from timeseriesflattener_spark.plans.tiers import TierStore
+    from timeseriesflattener_spark.streaming.incremental import stream_into_store
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-tiers-")
+    src = _events_as_conv(spark, sf_dir, cents=True).filter(
+        F.col("ts") < F.lit(_STREAM_CUTOFF).cast("timestamp")
+    )
+    src.repartition(4).write.parquet(f"{work}/input")
+    store = TierStore(
+        spark, root=f"{work}/store", value_cols=["value"], tiers=["1m", "1h"]
+    )
+    stream_into_store(
+        spark,
+        f"{work}/input",
+        store,
+        schema="conv_id string, ts timestamp, turn_idx long, value long",
+        checkpoint_dir=f"{work}/ckpt",
+        max_files_per_trigger=1,
+    ).awaitTermination()
+    return _rollup_select(
+        R.finalize(store.read_tier("1h"), ["value"], include_bucket_ts=False)
+    )
+
+
+def q_stream_windowed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native watermarked windowed aggregation (streaming/windowed.py):
+    readStream -> withWatermark -> window(1h) groupBy -> append-mode
+    parquet sink. A sentinel row timestamped past the corpus pushes the
+    final watermark over every real window so append mode flushes them
+    all (otherwise the last windows stay in state forever under
+    availableNow); the sentinel's own window stays unflushed and is
+    filtered out. Values are exact cent longs — no float drift across
+    the state-store merge order."""
+    import tempfile
+
+    from timeseriesflattener_spark.streaming.windowed import start_windowed_stream
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-win-")
+    src = _events_as_conv(spark, sf_dir, cents=True)
+    sentinel = spark.createDataFrame(
+        [("__sentinel",)], "conv_id string"
+    ).select(
+        "conv_id",
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("turn_idx"),
+        F.lit(0).cast("long").alias("value"),
+    )
+    src.unionByName(sentinel).repartition(4).write.parquet(f"{work}/input")
+
+    def _run() -> None:
+        start_windowed_stream(
+            spark,
+            f"{work}/input",
+            schema="conv_id string, ts timestamp, turn_idx long, value long",
+            out_path=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            value_cols=["value"],
+            tier="1h",
+            watermark="1 hour",
+        ).awaitTermination()
+
+    _run()
+    # Second availableNow pass over one later sentinel file: run 1's
+    # checkpointed watermark (sentinel-1 minus delay) already clears
+    # every real window, so run 2's batch flushes them all even if the
+    # engine skipped the trailing no-data batch; exactly-once either way
+    # (windows run 1 already emitted are committed in the checkpoint).
+    sentinel.withColumn(
+        "ts", F.lit("2024-07-01 00:00:00").cast("timestamp")
+    ).coalesce(1).write.mode("append").parquet(f"{work}/input")
+    _run()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .filter(F.col("conv_id") != "__sentinel")
+        .select("conv_id", "bucket_start", "value_count", "value_sum", "value_min", "value_max")
+    )
+
+
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming exact dedup (dropDuplicatesWithinWatermark,
+    streaming/windowed.py): batch-1 file carries the corpus, batch-2
+    file carries clones (identical text, offset ids, 10 min later) — a
+    clone only gets dropped if batch-1's fingerprint STATE survived into
+    batch 2. Output per fingerprint: n_survivors (1 proves exactly-once
+    emission) and clone_survived (FALSE proves cross-batch state); the
+    oracle emits the constants from the batch corpus."""
+    import tempfile
+    import time as _time
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-dedup-")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    clones = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.lit("2024-01-01 00:10:00").cast("timestamp").alias("ts"),
+    )
+    base.coalesce(1).write.parquet(f"{work}/input")
+    _time.sleep(1.05)  # file-source ordering is by modification time
+    clones.coalesce(1).write.mode("append").parquet(f"{work}/input")
+    from timeseriesflattener_spark.streaming.windowed import (
+        stream_drop_exact_duplicates,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/input")
+    )
+    (
+        stream_drop_exact_duplicates(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    survivors = spark.read.parquet(f"{work}/out")
+    return (
+        survivors.select(
+            F.md5(D.normalized_text(F.col("text"))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.max(F.col("doc_id") >= 10_000_000).alias("clone_survived"),
+        )
+    )
+
+
 def _daily_points(spark, sf_dir):
     p = R.partial_aggregate(_events_as_conv(spark, sf_dir, cents=True), ["value"], tier="1d")
     pts = R.finalize(p, ["value"], include_bucket_ts=False)
@@ -568,16 +717,55 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: crafted docs that exercise the Gopher rules the synthetic corpus
+#: never triggers (no '#'/'...', no bullets, single-line docs, all-alpha
+#: tokens); each passes every EARLIER rule so the expected fail_reason
+#: is exactly the targeted one. Shared verbatim with the DuckDB oracle.
+_QUALITY_INJECT: list[tuple[int, str]] = [
+    (  # symbol: 4x '#' over 25 tokens = 0.16 > 0.1
+        9_000_001,
+        "the quick brown vixen jumps # over lazily dozing hounds # while "
+        "keen birds circle # above misty ridges and # vast silent valleys tonight",
+    ),
+    (  # bullet: 5/5 non-empty lines start with '-' > 0.9
+        9_000_002,
+        "- morning fog settles gently across the quiet harbors\n"
+        "- golden light spreads slowly over distant meadows\n"
+        "- evening breeze carries softly through ancient forests\n"
+        "- winter frost glitters brightly upon silent rooftops\n"
+        "- summer rain patters warmly against wooden shutters",
+    ),
+    (  # ellipsis: 2/3 lines end '...' > 0.3 (symbol stays 2/32 <= 0.1)
+        9_000_003,
+        "travelers wander far beyond familiar roads seeking something new "
+        "and the journey continues...\n"
+        "strange cities reveal hidden corners where old stories linger quietly...\n"
+        "finally weary wanderers return home carrying memories worth keeping",
+    ),
+    (  # alpha: 6/26 tokens contain a letter = 0.23 < 0.5
+        9_000_004,
+        "the survey recorded 48213 59630 71425 83047 92158 60371 54892 "
+        "67210 78534 81956 90763 43125 56789 64208 75310 86421 97532 "
+        "40826 51937 62048 readings overall yesterday",
+    ),
+]
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/Gopher-style quality gate (first-failed-rule audit frame):
-    thresholds chosen so each rule fires on a real slice of the corpus
-    (too_short ~10%, stopword ~10%, repetition ~15%)."""
-    docs = _t(spark, sf_dir, "documents")
+    """C4/Gopher-style quality gate (first-failed-rule audit frame) over
+    the FULL rule set: thresholds chosen so each rule fires on a real
+    slice of the corpus (too_short ~10%, stopword ~10%, repetition ~15%,
+    word_length ~5% via the min-4.2 band) plus four injected docs that
+    deterministically exercise symbol / bullet / ellipsis / alpha."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = spark.createDataFrame(_QUALITY_INJECT, "doc_id long, text string")
     return T.quality_filter(
-        docs,
+        docs.unionByName(injected),
         min_tokens=25,
         min_stopword_ratio=0.02,
         max_dup_line_ratio=0.08,
+        min_mean_word_length=4.2,
+        min_alpha_word_ratio=0.5,
         lines=T.word_ngrams(F.col("text"), 2),
     )
 
@@ -776,6 +964,85 @@ def q_flatten_incident_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "pred_ts", "incident_30d")
 
 
+def q_legacy_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 facade FeatureCache path under the driver gate (VERDICT r3
+    #7): a legacy GROUP-spec workload (PredictorGroupSpec -> v1 names,
+    v1 boundary) is computed twice against one cache dir. Run 2 must be
+    served from cache — proven by the cache directory being byte-stable
+    (no new entries, no rewrites) across run 2 — and value-identical to
+    run 1 (exceptAll both ways). ``cache_hit_ok`` carries that proof;
+    the oracle reproduces the feature values from raw events and emits
+    TRUE."""
+    import tempfile
+
+    from timeseriesflattener_spark.legacy import (
+        NamedDataframe,
+        PredictorGroupSpec,
+        TimeseriesFlattener,
+    )
+    from timeseriesflattener_spark.sources.io import FeatureCache
+
+    cache_dir = tempfile.mkdtemp(prefix="tsf-feature-cache-")
+    events = _t(spark, sf_dir, "events")
+    pred_df = events.select(F.col("user_id").alias("entity_id")).distinct().select(
+        "entity_id",
+        F.explode(
+            F.array(*[F.lit(d).cast("timestamp") for d in PRED_DATES])
+        ).alias("timestamp"),
+    )
+    cents_df = events.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("timestamp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value"),
+    )
+
+    def build() -> DataFrame:
+        fl = TimeseriesFlattener(
+            prediction_times_df=pred_df,
+            cache=FeatureCache(spark, cache_dir),
+        )
+        fl.add_spec(
+            PredictorGroupSpec(
+                lookbehind_days=[7, 30],
+                named_dataframes=[NamedDataframe(df=cents_df, name="cents")],
+                aggregation_fns=["mean", "maximum"],
+                fallback=[0],
+            ).create_combinations()
+        )
+        return fl.get_df()
+
+    def snapshot() -> dict[str, float]:
+        return {
+            name: os.path.getmtime(os.path.join(cache_dir, name))
+            for name in os.listdir(cache_dir)
+        }
+
+    run1 = build()
+    run1_rows = run1.count()  # materialise so the cache is fully written
+    state1 = snapshot()
+    run2 = build()
+    keep = ["entity_id", "timestamp"] + [
+        f"pred_cents_within_{d}_days_{fn}_fallback_0"
+        for d in (7, 30)
+        for fn in ("mean", "maximum")
+    ]
+    a, b = run1.select(*keep), run2.select(*keep)
+    identical = (
+        a.exceptAll(b).isEmpty()
+        and b.exceptAll(a).isEmpty()
+        and run2.count() == run1_rows
+    )
+    ok = identical and snapshot() == state1
+    cols = [F.col("entity_id").alias("user_id"), F.col("timestamp").alias("pred_ts")]
+    for d in (7, 30):
+        p = f"pred_cents_within_{d}_days"
+        cols += [
+            (F.col(f"{p}_mean_fallback_0") / 100.0).alias(f"mean_{d}d"),
+            (F.col(f"{p}_maximum_fallback_0") / 100.0).alias(f"max_{d}d"),
+        ]
+    return run2.select(*cols, F.lit(bool(ok)).alias("cache_hit_ok"))
+
+
 def q_flatten_v1_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v1 window-endpoint semantics (``v1/flattened_dataset.py:266-273``):
     the endpoint nearest the prediction instant is EXCLUSIVE —
@@ -900,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "rollup_unique_1h": q_rollup_unique_1h,
+        "stream_rollup_1h": q_stream_rollup_1h,
+        "stream_windowed_1h": q_stream_windowed_1h,
+        "stream_dedup_exact": q_stream_dedup_exact,
         "topk_event_types_1h": q_topk_event_types_1h,
         "hll_unique_1d": q_hll_unique_1d,
         "sketch_quantiles_1h": q_sketch_quantiles_1h,
@@ -926,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "flatten_v1_boundary": q_flatten_v1_boundary,
+        "legacy_cache_roundtrip": q_legacy_cache_roundtrip,
         "flatten_incident_outcome": q_flatten_incident_outcome,
         "rollup_aligned_window": q_rollup_aligned_window,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -1022,6 +1293,22 @@ SELECT p.user_id, p.pred_ts,
 FROM pred p LEFT JOIN firsts f ON p.user_id = f.user_id""",
         "rollup_1h": _rollup_oracle(3_600_000_000),
         "rollup_1d_from_1h": _rollup_oracle(86_400_000_000),
+        "stream_rollup_1h": _rollup_oracle(
+            3_600_000_000, where="WHERE ts < TIMESTAMP '2024-01-04 00:00:00'"
+        ),
+        "stream_windowed_1h": """
+SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
+       CAST(count(*) AS BIGINT) AS value_count,
+       CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_sum,
+       min(CAST(round(value*100, 0) AS BIGINT)) AS value_min,
+       max(CAST(round(value*100, 0) AS BIGINT)) AS value_max
+FROM events GROUP BY 1, 2""",
+        "stream_dedup_exact": """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(1 AS BIGINT) AS n_survivors,
+       FALSE AS clone_survived
+FROM documents GROUP BY 1""",
         "rollup_unique_1h": """
 SELECT CAST(user_id AS VARCHAR) AS conv_id,
        (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
@@ -1198,17 +1485,36 @@ FROM sh d JOIN b ON d.shingle = b.shingle
 WHERE d.doc_id <> b.bench_id
 GROUP BY 1, 2""",
         "quality_filter": """
-WITH t AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES """
+        + ", ".join(
+            "(" + str(i) + ", '" + s.replace("'", "''") + "')"
+            for i, s in _QUALITY_INJECT
+        )
+        + """) v(doc_id, text)),
+t AS (
   SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
-    string_split_regex(trim(lower(text)), '\\s+') AS ltoks
-  FROM documents),
+    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                s -> s <> '') AS nlines
+  FROM corpus),
 base AS (
   SELECT doc_id,
     len(toks) AS nt,
     length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / greatest(length(text), 1) AS pr,
     len(list_filter(ltoks, x -> list_contains(
       ['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], x)))
-      / greatest(len(ltoks), 1) AS sr
+      / greatest(len(ltoks), 1) AS sr,
+    (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+      / greatest(len(toks), 1) AS sw,
+    length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1) AS mwl,
+    len(list_filter(nlines, s -> regexp_matches(s, '^[-*•]')))
+      / greatest(len(nlines), 1) AS bl,
+    len(list_filter(nlines, s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
+      / greatest(len(nlines), 1) AS el,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+      / greatest(len(toks), 1) AS aw
   FROM t),
 l AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
@@ -1218,7 +1524,7 @@ l AS (
 pl AS (SELECT doc_id, line, count(*) AS k FROM l GROUP BY 1, 2),
 rep AS (SELECT doc_id, (sum(k) - count(*)) / greatest(sum(k), 1) AS dl FROM pl GROUP BY 1),
 j AS (
-  SELECT b.doc_id, nt, pr, sr, coalesce(dl, 0) AS dl
+  SELECT b.doc_id, nt, pr, sr, coalesce(dl, 0) AS dl, sw, mwl, bl, el, aw
   FROM base b LEFT JOIN rep USING (doc_id)),
 r AS (
   SELECT doc_id,
@@ -1227,6 +1533,11 @@ r AS (
          WHEN pr > 0.3 THEN 'punct'
          WHEN sr < 0.02 THEN 'stopword'
          WHEN dl > 0.08 THEN 'repetition'
+         WHEN sw > 0.1 THEN 'symbol'
+         WHEN mwl < 4.2 OR mwl > 12.0 THEN 'word_length'
+         WHEN bl > 0.9 THEN 'bullet'
+         WHEN el > 0.3 THEN 'ellipsis'
+         WHEN aw < 0.5 THEN 'alpha'
     END AS fail_reason
   FROM j)
 SELECT doc_id, fail_reason IS NULL AS passed, fail_reason FROM r""",
@@ -1366,6 +1677,19 @@ QUALIFY rank <= 10""",
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256_hex
 FROM documents""",
+        "legacy_cache_roundtrip": f"""
+WITH {pred},
+ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
+SELECT p.user_id, p.pred_ts,
+  coalesce(avg(CASE WHEN e.ts >= p.pred_ts - INTERVAL 7 DAY THEN e.cents END), 0) / 100.0 AS mean_7d,
+  coalesce(max(CASE WHEN e.ts >= p.pred_ts - INTERVAL 7 DAY THEN e.cents END), 0) / 100.0 AS max_7d,
+  coalesce(avg(e.cents), 0) / 100.0 AS mean_30d,
+  coalesce(max(e.cents), 0) / 100.0 AS max_30d,
+  TRUE AS cache_hit_ok
+FROM pred p LEFT JOIN ev e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.pred_ts - INTERVAL 30 DAY AND e.ts < p.pred_ts
+GROUP BY p.user_id, p.pred_ts""",
         "flatten_v1_boundary": f"""
 WITH {pred},
 ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
@@ -1438,10 +1762,11 @@ GROUP BY n.n_name ORDER BY revenue DESC""",
     return oracles
 
 
-def _rollup_oracle(width: int) -> str:
+def _rollup_oracle(width: int, where: str = "") -> str:
     """Mirrors plans.rollup.finalize EXACTLY (same formulas, same
     floating-point operation order) over the exact cents sums, then the
-    same constant rescale — bit-identical doubles, no rounding."""
+    same constant rescale — bit-identical doubles, no rounding.
+    ``where`` optionally restricts the event slice (streaming twin)."""
     return f"""
 WITH e AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -1449,7 +1774,7 @@ WITH e AS (
          ts,
          CAST(round(value*100, 0) AS BIGINT) AS cents,
          CAST(epoch_us(ts)//86400000000 AS DOUBLE) AS xd
-  FROM events),
+  FROM events {where}),
 agg AS (
   SELECT conv_id, bucket_start,
     count(cents) AS n,

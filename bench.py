@@ -111,7 +111,27 @@ def _session(cores: str, app: str):
     )
 
 
-def run_headline() -> None:
+def _machine_state() -> dict:
+    """Marker recorded per leg so regressions can be attributed to
+    machine state vs code (VERDICT r3 #3): load average plus page-cache
+    size (Cached from /proc/meminfo, kB)."""
+    state = {"load1": round(os.getloadavg()[0], 2)}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("Cached:"):
+                    state["page_cache_kb"] = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return state
+
+
+def run_headline_leg() -> None:
+    """Headline suite + tier throughput, ONE fresh process, NO 10x work
+    — so `value` and per-query minima are round-comparable (VERDICT r3:
+    r3 ran the 10x leg in the same process/page-cache window, making
+    r2/r3 numbers incomparable)."""
     import __spark_entry__ as entrymod
 
     spark = _session(CPUS, "tsf-bench")
@@ -155,38 +175,81 @@ def run_headline() -> None:
     per_query["transcript_tiers"] = round(wall, 3)
     total += per_query["transcript_tiers"]
 
-    # 10x leg over the WHOLE headline suite (VERDICT r2 #10): guards the
-    # suite itself against superlinear surprises, not just the scale-risk
-    # families. Single timed pass per query (the base leg already proved
-    # steady state; ratios are indicative, the scaleup mode has min-of-N).
-    factor = int(os.environ.get("SPARK_GRAFT_HEADLINE_FACTOR", "10"))
-    queries_10x: dict[str, float] = {}
-    if factor > 1:
-        big_dir = _scaled_dir(spark, factor)
-        for name in HEADLINE:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            queries[name](spark, big_dir).count()
-            queries_10x[name] = round(time.time() - t0, 3)
-        _, wall10 = _tier_job(spark, n_convs * factor)
-        queries_10x["transcript_tiers"] = round(wall10, 3)
-
-    payload = {
-        "metric": "headline_suite_seconds",
+    print(json.dumps({
         "value": round(total, 3),
-        "unit": "sec",
         "queries": per_query,
         "sf": sf,
         "rolled_points": points,
         "rolled_points_per_sec": round(points / wall, 1),
+    }))
+
+
+def run_tenx_leg(factor: int) -> None:
+    """10x leg over the WHOLE headline suite (VERDICT r2 #10) in its own
+    fresh process: guards the suite against superlinear surprises
+    without contaminating the headline pass's page-cache/JVM window.
+    Single timed pass per query (ratios are indicative; the scaleup
+    mode has min-of-N)."""
+    import __spark_entry__ as entrymod
+
+    spark = _session(CPUS, "tsf-bench-10x")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    queries["tpch_pricing_summary"](spark, SF_DIR).count()
+    spark.range(1).mapInPandas(lambda it: it, "id long").count()
+
+    big_dir = _scaled_dir(spark, factor)
+    queries_10x: dict[str, float] = {}
+    for name in HEADLINE:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        queries[name](spark, big_dir).count()
+        queries_10x[name] = round(time.time() - t0, 3)
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = TRANSCRIPT_CONVS.get(sf, 30_000)
+    _, wall10 = _tier_job(spark, n_convs * factor)
+    queries_10x["transcript_tiers"] = round(wall10, 3)
+    print(json.dumps({"queries_10x": queries_10x}))
+
+
+def run_headline() -> None:
+    """Driver entrypoint: headline leg and 10x leg each in a fresh
+    subprocess (separate JVM + page-cache window), merged into ONE JSON
+    line with per-leg machine-state markers."""
+    import subprocess
+
+    def leg(args: list[str]) -> dict:
+        state = _machine_state()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            capture_output=True, text=True, check=True,
+        )
+        parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        parsed["__machine_before"] = state
+        return parsed
+
+    head = leg(["--headline-leg"])
+    payload = {
+        "metric": "headline_suite_seconds",
+        "value": head["value"],
+        "unit": "sec",
+        "queries": head["queries"],
+        "sf": head["sf"],
+        "rolled_points": head["rolled_points"],
+        "rolled_points_per_sec": head["rolled_points_per_sec"],
         "cpus": int(CPUS),
+        "machine_headline": head["__machine_before"],
     }
-    if queries_10x:
+    factor = int(os.environ.get("SPARK_GRAFT_HEADLINE_FACTOR", "10"))
+    if factor > 1:
+        tenx = leg(["--tenx-leg", str(factor)])
         payload["scaleup_factor"] = factor
-        payload["queries_10x"] = queries_10x
+        payload["queries_10x"] = tenx["queries_10x"]
         payload["ratio_10x"] = {
-            k: round(queries_10x[k] / max(per_query[k], 1e-9), 2) for k in queries_10x
+            k: round(v / max(payload["queries"][k], 1e-9), 2)
+            for k, v in tenx["queries_10x"].items()
         }
+        payload["machine_10x"] = tenx["__machine_before"]
     print(json.dumps(payload))
 
 
@@ -205,7 +268,18 @@ def _scaled_dir(spark, factor: int) -> str:
     """
     from pyspark.sql import functions as F
 
-    big_dir = os.path.join("/tmp", f"tsf-scaleup-{factor}x")
+    # cache key includes the SOURCE identity (sf dir name + parquet
+    # mtimes), not just the factor: a factor-only key silently reuses
+    # data blown up from a previous $SPARK_GRAFT_SF_DIR and corrupts
+    # every 10x ratio (ADVICE r3)
+    import hashlib
+
+    sig = hashlib.md5(SF_DIR.encode())
+    for t in sorted(os.listdir(SF_DIR)):
+        p = os.path.join(SF_DIR, t)
+        sig.update(f"{t}:{int(os.path.getmtime(p))}".encode())
+    key = f"{os.path.basename(SF_DIR.rstrip('/'))}-{sig.hexdigest()[:10]}"
+    big_dir = os.path.join("/tmp", f"tsf-scaleup-{factor}x-{key}")
     done_marker = os.path.join(big_dir, "_DONE")
     if os.path.isfile(done_marker):
         return big_dir
@@ -395,6 +469,10 @@ if __name__ == "__main__":
     if "--one-leg" in sys.argv:
         i = sys.argv.index("--one-leg")
         run_one_leg(sys.argv[i + 1], int(sys.argv[i + 2]))
+    elif "--headline-leg" in sys.argv:
+        run_headline_leg()
+    elif "--tenx-leg" in sys.argv:
+        run_tenx_leg(int(sys.argv[sys.argv.index("--tenx-leg") + 1]))
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--scaleup" in sys.argv:

@@ -403,3 +403,30 @@ def test_v1_spec_factories(spark):
             fallback=0,
             incident=True,
         )
+
+
+def test_expand_group_spec_duplicate_fallbacks_deduped(spark):
+    """Repeated fallback values (legal in v1 group specs) are
+    de-duplicated by their column-name rendering — duplicates would
+    collide into identical output names once the __fb marker is
+    stripped (ADVICE r3). 2.0 and 2 render the same -> one spec."""
+    vals = str_to_df(
+        spark,
+        """entity_id,value,timestamp
+        1,1,2021-01-01""",
+    )
+    specs = expand_group_spec(
+        {"val": vals},
+        lookdistance_days=[5],
+        aggregators=["mean"],
+        fallbacks=[0, 0.0, 2],
+    )
+    assert len(specs) == 2  # 0/0.0 collapse; 2 distinct
+    fl = TimeseriesFlattener(prediction_times_df=str_to_df(
+        spark, "entity_id,timestamp\n1,2021-01-03"
+    ))
+    fl.add_spec(specs)
+    cols = fl.get_df().columns
+    assert len(cols) == len(set(cols)), cols
+    assert "pred_val_within_5_days_mean_fallback_0" in cols
+    assert "pred_val_within_5_days_mean_fallback_2" in cols

@@ -44,6 +44,10 @@ def test_extract_features_deterministic(spark, payloads):
 
 
 def test_decode_stub_raises(spark):
+    from timeseriesflattener_spark.operators.multimodal import HAS_PIL
+
+    if HAS_PIL:
+        pytest.skip("PIL importable: decode_image is the real path here")
     with pytest.raises(NotImplementedError, match="image decoding"):
         decode_image(b"\xff\xd8\xff")
 
@@ -87,3 +91,63 @@ def test_resize_payloads_bounded_and_deterministic(spark):
     out2 = {r["doc_id"]: bytes(r["payload"]) for r in
             resize_payloads(payloads, target_bytes=1000).collect()}
     assert {k: v[0] for k, v in out.items()} == out2
+
+
+def test_decode_feature_detection(spark):
+    """Decode kernels are import-probed (VERDICT r3 #6): without PIL the
+    stubs raise and auto extract_features uses the deterministic
+    stand-in; with PIL the real path is selected automatically."""
+    import numpy as np
+
+    from timeseriesflattener_spark.operators import multimodal as M
+
+    payloads = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x02" * 100)), (2, bytearray(b"zz" * 50))],
+        "doc_id long, payload binary",
+    )
+    auto = {r["doc_id"]: r["feature"] for r in M.extract_features(payloads).collect()}
+    fake = {
+        r["doc_id"]: r["feature"]
+        for r in M.extract_features(payloads, extractor="fake").collect()
+    }
+    if not M.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x00\x01")
+        # auto == fake when no codec is importable
+        for k in auto:
+            assert auto[k] == fake[k]
+    else:
+        # non-image payloads fall back per payload even with PIL present
+        for k in auto:
+            assert auto[k] == fake[k]
+    if not M.HAS_AV:
+        with pytest.raises(NotImplementedError):
+            M.sample_video_frames(b"\x00\x01")
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "timeseriesflattener_spark.operators.multimodal", fromlist=["HAS_PIL"]
+    ).HAS_PIL,
+    reason="PIL not importable in this environment",
+)
+def test_real_image_decode_roundtrip(spark):
+    """With PIL present: encode a tiny PNG, decode through the real
+    path, and check the pixel-feature kernel shape/range."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from timeseriesflattener_spark.operators import multimodal as M
+
+    img = Image.new("RGB", (8, 6), (255, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    arr = M.decode_image(payload)
+    assert arr.shape == (6, 8, 3)
+    assert arr[0, 0, 0] == 255
+    feat = M.image_feature_extract(payload, dim=8)
+    assert feat.shape == (8,)
+    assert abs(float(feat[0]) - 1.0) < 1e-6  # red channel mean

@@ -384,3 +384,130 @@ def test_quality_filter_golden(spark):
         max_dup_line_ratio=0.5, lines=word_ngrams(F.col("text"), 2),
     ).collect()}
     assert kept == {2}
+
+
+def test_quality_rules_gopher_goldens(spark):
+    """Per-rule goldens for the round-4 Gopher rules (VERDICT r3 #4):
+    symbol-to-word, mean-word-length band, bullet/ellipsis line
+    fractions, alpha-word ratio — each crafted doc passes every EARLIER
+    rule so the first-failed reason is exactly the targeted one."""
+    from timeseriesflattener_spark.operators.text import quality_filter, word_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            # 25 tokens, 4x '#': symbol = 4/25 = 0.16 > 0.1
+            (1, "the quick brown vixen jumps # over lazily dozing hounds # "
+                "while keen birds circle # above misty ridges and # vast "
+                "silent valleys tonight"),
+            # all 5 lines bulleted: bullet = 1.0 > 0.9
+            (2, "- morning fog settles gently across the quiet harbors\n"
+                "- golden light spreads slowly over distant meadows\n"
+                "- evening breeze carries softly through ancient forests\n"
+                "- winter frost glitters brightly upon silent rooftops\n"
+                "- summer rain patters warmly against wooden shutters"),
+            # 2/3 lines end '...': ellipsis = 0.667 > 0.3 (symbol 2/32 passes)
+            (3, "travelers wander far beyond familiar roads seeking "
+                "something new and the journey continues...\n"
+                "strange cities reveal hidden corners where old stories "
+                "linger quietly...\n"
+                "finally weary wanderers return home carrying memories "
+                "worth keeping"),
+            # 20/26 tokens numeric: alpha = 6/26 = 0.23 < 0.5
+            (4, "the survey recorded 48213 59630 71425 83047 92158 60371 "
+                "54892 67210 78534 81956 90763 43125 56789 64208 75310 "
+                "86421 97532 40826 51937 62048 readings overall yesterday"),
+            # short words: mean word length 29/15 = 1.93 < 4.2 band floor
+            (5, "it is so on we go to be at an as do my up the oak elm fig "
+                "and ash cut saw log"),
+            # a normal passing doc under the same thresholds
+            (6, "the ancient library holds countless manuscripts and "
+                "travelers often spend entire afternoons reading quietly "
+                "beneath its vaulted ceilings while scholars debate ideas "
+                "over strong coffee nearby every single evening"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["passed"], r["fail_reason"])
+        for r in quality_filter(
+            docs,
+            min_tokens=20,
+            min_stopword_ratio=0.02,
+            max_dup_line_ratio=0.5,
+            min_mean_word_length=4.2,
+            min_alpha_word_ratio=0.5,
+            lines=word_ngrams(F.col("text"), 2),
+        ).collect()
+    }
+    assert out[1] == (False, "symbol")
+    assert out[2] == (False, "bullet")
+    assert out[3] == (False, "ellipsis")
+    assert out[4] == (False, "alpha")
+    assert out[5] == (False, "word_length")
+    assert out[6] == (True, None)
+
+
+def test_quality_rule_columns_golden(spark):
+    """Direct column-factory goldens for the new rule inputs."""
+    from timeseriesflattener_spark.operators import text as TT
+
+    df = spark.createDataFrame(
+        [("ab cdef # ... ghij\n- klm\nnopq...",)], "text string"
+    )
+    row = df.select(
+        TT.symbol_word_ratio(F.col("text")).alias("sw"),
+        TT.mean_word_length(F.col("text")).alias("mwl"),
+        TT.bullet_line_ratio(F.col("text")).alias("bl"),
+        TT.ellipsis_line_ratio(F.col("text")).alias("el"),
+        TT.alpha_word_ratio(F.col("text")).alias("aw"),
+    ).first()
+    # tokens: ab cdef # ... ghij - klm nopq... -> 8
+    assert row["sw"] == pytest.approx(3 / 8)  # '#' + two '...'
+    assert row["mwl"] == pytest.approx((2 + 4 + 1 + 3 + 4 + 1 + 3 + 7) / 8)
+    # non-empty lines: 'ab cdef # ... ghij', '- klm', 'nopq...'
+    assert row["bl"] == pytest.approx(1 / 3)
+    assert row["el"] == pytest.approx(1 / 3)  # only 'nopq...' ends with '...'
+    assert row["aw"] == pytest.approx(5 / 8)  # '#', '...', '-' carry no letter
+
+
+def test_exact_duplicates_truncation_flag_and_plan(spark, docs):
+    """ids_truncated marks capped groups (ADVICE r3); the capped path
+    must contain NO window partitioned solely by the fingerprint
+    (VERDICT r3 #5) — hot groups spread over (fingerprint, salt)."""
+    base = docs.limit(1)
+    frame = base
+    for i in range(6):
+        frame = frame.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000 + i))
+        )
+    out = D.exact_duplicates(frame, max_ids=3)
+    hot = out.filter(F.col("n_docs") > 1).first()
+    assert hot["ids_truncated"] is True
+    assert len(hot["doc_ids"]) == 3
+    ok = out.filter(F.col("n_docs") == 1).first()
+    if ok is not None:
+        assert ok["ids_truncated"] is False
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__salt" in line, f"fingerprint-only window in plan: {line}"
+
+
+def test_exact_duplicates_salted_equals_uncapped_prefix(spark, docs):
+    """On groups smaller than the cap, the salted two-stage output is
+    identical to the uncapped aggregation (modulo the flag column)."""
+    capped = D.exact_duplicates(docs, max_ids=100).drop("ids_truncated")
+    uncapped = D.exact_duplicates(docs, max_ids=None).drop("ids_truncated")
+    assert capped.exceptAll(uncapped).isEmpty()
+    assert uncapped.exceptAll(capped).isEmpty()
+
+
+def test_star_components_nonconvergence_raises(spark):
+    """Exhausting max_iterations on a non-star edge set must raise, not
+    silently return conflicting labels (ADVICE r3)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8)],
+        "doc_a long, doc_b long",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.star_connected_components(pairs, max_iterations=0)

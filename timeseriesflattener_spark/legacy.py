@@ -229,7 +229,20 @@ def expand_group_spec(
     (``{name}__fb{i}``) on a SINGLE shared df, so the per-fallback specs
     pass the unique-value-column validation AND fuse into one join + one
     aggregation in the Flattener (the ``__fb{i}`` marker is stripped
-    from output names by the facade)."""
+    from output names by the facade).
+
+    Repeated fallback values (legal in v1 group specs) are de-duplicated
+    by their column-name rendering: the fallback appears in every output
+    name (``..._fallback_{x}``), so duplicates would otherwise collide
+    into identical column names once the ``__fb{i}`` marker is stripped
+    — ambiguous selects downstream for zero information."""
+    uniq, seen = [], set()
+    for fb in fallbacks:
+        key = _coerce_num(fb)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(fb)
+    fallbacks = uniq
     specs: list[ValueSpecification] = []
     lookdistances = [
         (dt.timedelta(days=d[0]), dt.timedelta(days=d[1]))

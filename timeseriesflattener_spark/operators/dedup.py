@@ -61,36 +61,64 @@ def release_shingle_caches() -> int:
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_ids: int | None = 100
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int | None = 100,
+    salt_partitions: int = 16,
 ) -> DataFrame:
     """Groups of byte-identical (post-normalisation) documents.
-    Returns (fingerprint, n_docs, keep_id=min id, doc_ids).
+    Returns (fingerprint, n_docs, keep_id=min id, doc_ids,
+    ids_truncated).
 
     ``doc_ids`` is capped at ``max_ids`` (lowest ids kept): a hot
     fingerprint — empty or boilerplate docs, common at web scale —
     would otherwise build one unbounded aggregation-buffer row on a
-    single task. The cap is enforced BEFORE collection (row_number
-    window, which shares the fingerprint exchange with the groupBy and
-    can spill its sort), so neither the output row nor the buffer grows
-    past ``max_ids``. ``n_docs``/``keep_id`` always reflect the FULL
-    group; pass ``max_ids=None`` only on corpora known to have small
-    groups."""
+    single task. The cap is a SALTED two-stage slice (no step keyed
+    solely on the fingerprint): the per-(fingerprint, salt) row_number
+    sort spreads a hot group over ``salt_partitions`` tasks and keeps
+    each collect buffer ≤ ``max_ids``; the combine re-slices the ≤
+    ``salt_partitions * max_ids`` survivors to the final lowest
+    ``max_ids``. ``n_docs``/``keep_id`` always reflect the FULL group;
+    ``ids_truncated`` flags groups whose ``doc_ids`` were capped so
+    consumers that enumerate drop candidates can detect the cut
+    instead of silently keeping duplicates past the cap (pass
+    ``max_ids=None`` for the uncapped single-stage aggregation)."""
     fp = F.md5(normalized_text(F.col(text_col)))
     keyed = df.select(F.col(id_col), fp.alias("fingerprint"))
-    if max_ids is not None:
-        rn = F.row_number().over(
-            Window.partitionBy("fingerprint").orderBy(id_col)
+    if max_ids is None:
+        return keyed.groupBy("fingerprint").agg(
+            F.count(id_col).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.lit(False).alias("ids_truncated"),
         )
-        collected = F.sort_array(
-            F.collect_list(F.when(F.col("__rn") <= max_ids, F.col(id_col)))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_partitions))
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint", "__salt").orderBy(id_col)
+    )
+    stage1 = (
+        keyed.withColumn("__salt", salt)
+        .withColumn("__rn", rn)
+        .groupBy("fingerprint", "__salt")
+        .agg(
+            F.count(id_col).alias("__n"),
+            F.min(id_col).alias("__mn"),
+            F.collect_list(F.when(F.col("__rn") <= max_ids, F.col(id_col))).alias(
+                "__ids"
+            ),
         )
-        keyed = keyed.withColumn("__rn", rn)
-    else:
-        collected = F.sort_array(F.collect_list(id_col))
-    return keyed.groupBy("fingerprint").agg(
-        F.count(id_col).alias("n_docs"),
-        F.min(id_col).alias("keep_id"),
-        collected.alias("doc_ids"),
+    )
+    return (
+        stage1.groupBy("fingerprint")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.min("__mn").alias("keep_id"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("__ids"))), 1, max_ids
+            ).alias("doc_ids"),
+        )
+        .withColumn("ids_truncated", F.size("doc_ids") < F.col("n_docs"))
     )
 
 
@@ -581,12 +609,46 @@ def star_connected_components(
         .localCheckpoint(eager=True)
     )
     prev = _star_edge_fingerprint(edges)
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _star_edge_fingerprint(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # Exhausted the round budget (or, astronomically unlikely, the
+        # xor fingerprint collided and we kept iterating past the true
+        # fixpoint). The rounds PRESERVE connected components (Kiveris
+        # et al. §3), so the state is still a correct labeling iff it is
+        # a two-level min-rooted forest: exactly one out-edge per src
+        # AND no dst that is itself a src. Anything else would hand one
+        # doc multiple conflicting cluster labels downstream — raise
+        # instead of silently returning it (ADVICE r3). Both checks are
+        # cheap aggregations and only run on this rare path.
+        multi_label = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("__d"))
+            .filter(F.col("__d") > 1)
+            .limit(1)
+            .count()
+        )
+        chained = (
+            edges.join(
+                edges.select(F.col("src").alias("dst")).distinct(),
+                "dst",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if multi_label or chained:
+            raise RuntimeError(
+                f"star_connected_components did not converge within "
+                f"{max_iterations} rounds; raise max_iterations "
+                f"(rounds needed grow ~log2 of the longest chain)"
+            )
     # converged star: every non-min node points straight at its component min
     return edges.select(F.col("src").alias("doc"), F.col("dst").alias("cluster"))
 

@@ -60,6 +60,56 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per whitespace token. Computed as
+    (non-whitespace chars) / (token count) — one regex strip + one
+    split, no per-token higher-order pass."""
+    chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    return chars / F.greatest(token_count(text), F.lit(1))
+
+
+def symbol_word_ratio(text: Column, symbols: Sequence[str] = ("#", "...")) -> Column:
+    """Gopher rule input: (# occurrences of hash / ellipsis) per word."""
+    counts = []
+    for s in symbols:
+        pat = "".join("\\" + c if c in r".^$*+?()[]{}|\\" else c for c in s)
+        counts.append(F.size(F.regexp_extract_all(text, F.lit(pat), 0)))
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total / F.greatest(token_count(text), F.lit(1))
+
+
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def bullet_line_ratio(text: Column) -> Column:
+    """Fraction of non-empty lines starting with a bullet marker
+    (Gopher drops docs where >90% of lines are bullets)."""
+    lines = _nonempty_lines(text)
+    bullets = F.size(F.filter(lines, lambda s: s.rlike(r"^[-*•]")))
+    return bullets / F.greatest(F.size(lines), F.lit(1))
+
+
+def ellipsis_line_ratio(text: Column) -> Column:
+    """Fraction of non-empty lines ending with an ellipsis
+    (Gopher drops docs where >30% of lines end mid-thought)."""
+    lines = _nonempty_lines(text)
+    ell = F.size(F.filter(lines, lambda s: s.rlike(r"(\.\.\.|…)$")))
+    return ell / F.greatest(F.size(lines), F.lit(1))
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens containing at least one ASCII
+    letter (Gopher keeps docs where >=80% of words are alphabetic)."""
+    toks = tokens(text)
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    return alpha / F.greatest(F.size(toks), F.lit(1))
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence
     - punctuation excess. Deterministic, SQL-expressible."""
@@ -264,12 +314,22 @@ def quality_filter(
     max_punct_ratio: float = 0.3,
     min_stopword_ratio: float = 0.0,
     max_dup_line_ratio: float = 0.3,
+    max_symbol_word_ratio: float = 0.1,
+    min_mean_word_length: float = 1.0,
+    max_mean_word_length: float = 12.0,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.0,
     lines: Column | None = None,
 ) -> DataFrame:
     """C4/Gopher-style document quality gate: (id, passed, fail_reason)
     where ``fail_reason`` is the FIRST failed rule in a fixed order
-    (too_short, too_long, punct, stopword, repetition) and null when the
-    doc passes. ``lines`` sets the repetition unit (see
+    (too_short, too_long, punct, stopword, repetition, symbol,
+    word_length, bullet, ellipsis, alpha) and null when the doc passes.
+    Default thresholds follow Gopher's published bands (symbol-to-word
+    0.1, bullet lines 0.9, ellipsis lines 0.3) with permissive defaults
+    for the rules Gopher states as [3,10] mean word length / 0.8 alpha
+    ratio — tighten per corpus. ``lines`` sets the repetition unit (see
     ``repetition_stats``). Keep the decision frame instead of filtering
     in place so pipelines can audit drop rates per rule before
     committing — ``drop_low_quality`` applies it."""
@@ -279,6 +339,11 @@ def quality_filter(
         token_count(t).alias("__nt"),
         punct_ratio(t).alias("__pr"),
         stopword_ratio(t).alias("__sr"),
+        symbol_word_ratio(t).alias("__sw"),
+        mean_word_length(t).alias("__mwl"),
+        bullet_line_ratio(t).alias("__bl"),
+        ellipsis_line_ratio(t).alias("__el"),
+        alpha_word_ratio(t).alias("__aw"),
     )
     rep = repetition_stats(df, text_col, id_col, lines=lines).select(
         F.col(id_col), F.col("dup_line_ratio").alias("__dl")
@@ -289,6 +354,15 @@ def quality_filter(
         .when(F.col("__pr") > max_punct_ratio, F.lit("punct"))
         .when(F.col("__sr") < min_stopword_ratio, F.lit("stopword"))
         .when(F.col("__dl") > max_dup_line_ratio, F.lit("repetition"))
+        .when(F.col("__sw") > max_symbol_word_ratio, F.lit("symbol"))
+        .when(
+            (F.col("__mwl") < min_mean_word_length)
+            | (F.col("__mwl") > max_mean_word_length),
+            F.lit("word_length"),
+        )
+        .when(F.col("__bl") > max_bullet_line_ratio, F.lit("bullet"))
+        .when(F.col("__el") > max_ellipsis_line_ratio, F.lit("ellipsis"))
+        .when(F.col("__aw") < min_alpha_word_ratio, F.lit("alpha"))
     )
     return (
         base.join(rep, id_col)

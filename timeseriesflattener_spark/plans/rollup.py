@@ -65,7 +65,15 @@ def floor_to_width(col: Column, width: int) -> Column:
     Exact integer arithmetic (`m - pmod(m, width)`): floors correctly for
     pre-1970 (negative) timestamps where `(m / width).cast("long")`
     truncates toward zero, and never routes through double precision.
+
+    ``TSF_BUCKET_FLOOR=cast`` selects the pre-r3 truncating formulation —
+    A/B benchmarking ONLY (it mis-buckets pre-epoch timestamps); see
+    tools/ab_bucket_floor.py and BENCH.md.
     """
+    import os
+
+    if os.environ.get("TSF_BUCKET_FLOOR") == "cast":  # pragma: no cover - bench A/B
+        return (col / F.lit(width)).cast("long") * F.lit(width)
     return col - F.pmod(col, F.lit(width))
 
 

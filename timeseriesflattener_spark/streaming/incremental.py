@@ -180,10 +180,16 @@ def stream_into_store(
     schema: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Structured Streaming: watch ``input_path`` for new parquet files
-    of raw turns and merge each micro-batch into the tier store."""
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    of raw turns and merge each micro-batch into the tier store.
+    ``max_files_per_trigger`` bounds micro-batch size (availableNow
+    otherwise drains everything already present in ONE batch)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch(store, batch_df, batch_id=batch_id)

@@ -170,12 +170,14 @@ def stream_drop_exact_duplicates(
     event-time watermark (``dropDuplicatesWithinWatermark`` — a
     duplicate arriving later than ``watermark`` after the original may
     pass; that is the bounded-state contract, same trade as the
-    windowed tier path). The fingerprint is the same 64-bit
-    ``xxhash64(normalised text)`` the batch dedup family keys on, so
-    batch and stream agree on what counts as a duplicate."""
+    windowed tier path). The fingerprint is the same 128-bit
+    ``md5(normalised text)`` the batch exact-dedup family keys on
+    (``exact_duplicates``/``drop_exact_duplicates``), so batch and
+    stream agree exactly on what counts as a duplicate — a 64-bit key
+    would silently drop a unique doc on a hash collision."""
     from ..operators.dedup import normalized_text
 
     keyed = stream_df.withColumn(
-        "__fp", F.xxhash64(normalized_text(F.col(text_col)))
+        "__fp", F.md5(normalized_text(F.col(text_col)))
     ).withWatermark(ts_col, watermark)
     return keyed.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
