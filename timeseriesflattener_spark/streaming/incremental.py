@@ -59,6 +59,12 @@ def merge_batch(
     same rows into the 1m partials twice. Pass None only for ad-hoc
     batches that will not be replayed.
     """
+    if getattr(store, "format", "parquet") != "parquet":
+        raise NotImplementedError(
+            "streaming merge targets the parquet partition layout; for an "
+            "Iceberg store run batch materialize() per micro-batch window "
+            "(the MERGE-INTO streaming path needs a live catalog to build on)"
+        )
     days = _affected_days(batch, store.ts_col)
     if not days:
         return []
