@@ -171,3 +171,62 @@ def test_stream_drop_exact_duplicates_across_batches(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert 3 not in kept          # cross-batch duplicate dropped
     assert {1, 2, 4} <= kept
+
+
+def test_full_stats_stream_feeds_finalize(spark, tmp_path):
+    """full_stats=True (round 4): the watermarked stream sink carries the
+    complete rollup partial-state schema, so plans.rollup.finalize turns
+    finalised windows into the full aggregator set — numerically equal
+    to the batch partial_aggregate->finalize on the same closed
+    windows."""
+    from timeseriesflattener_spark.plans import rollup as R
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(days=d, hours=h, minutes=m), float(h * 10 + m))
+        for d in range(3)
+        for h in range(3)
+        for m in (0, 20, 40)
+    ]
+    in_dir = str(tmp_path / "in")
+    for d in range(3):
+        day = [r for r in rows if r[1].day == 1 + d]
+        spark.createDataFrame(day, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = start_windowed_stream(
+        spark,
+        in_dir,
+        SCHEMA,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        value_cols=["v"],
+        tier="1h",
+        watermark="30 minutes",
+        max_files_per_trigger=1,
+        full_stats=True,
+    )
+    q.awaitTermination(300)
+
+    sink = spark.read.parquet(out_dir)
+    streamed = R.finalize(sink, ["v"], include_bucket_ts=False)
+    batch = R.finalize(
+        R.partial_aggregate(
+            spark.read.parquet(in_dir), ["v"], tier="1h", order_col=None
+        ),
+        ["v"],
+        include_bucket_ts=False,
+    )
+    skeys = {(r["conv_id"], r["bucket_start"]) for r in streamed.collect()}
+    assert skeys, "stream emitted nothing"
+    sm = {(r["conv_id"], r["bucket_start"]): r.asDict() for r in streamed.collect()}
+    bm = {(r["conv_id"], r["bucket_start"]): r.asDict() for r in batch.collect()}
+    for k in skeys:
+        assert k in bm
+        for col, v in sm[k].items():
+            w = bm[k][col]
+            assert v == w or (
+                isinstance(v, float) and isinstance(w, float) and abs(v - w) < 1e-12
+            ), (k, col, v, w)
+    # slope/var actually exercised: at least one window has both non-null
+    assert any(r["v_var"] is not None for r in streamed.collect())

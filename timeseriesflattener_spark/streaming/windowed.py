@@ -29,6 +29,7 @@ def windowed_partials(
     entity_col: str = "conv_id",
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    full_stats: bool = False,
 ) -> DataFrame:
     """Watermarked per-(entity, tier-window) partial stats over a
     streaming DataFrame. Grouping uses ``F.window`` on the watermarked
@@ -36,12 +37,44 @@ def windowed_partials(
     watermark-driven finalisation/eviction (an arbitrary bucket
     expression of ts would aggregate correctly but hold state forever).
 
-    Output schema matches ``plans.rollup`` naming: ``bucket_start``
-    (epoch micros of the window start) + ``{col}_{count,sum,min,max}``.
-    In append output mode a row emits exactly once, when the watermark
-    passes its window end.
+    Default output: ``bucket_start`` (epoch micros of the window start)
+    + ``{col}_{count,sum,min,max}``. ``full_stats=True`` emits the FULL
+    ``plans.rollup`` partial-state schema instead (``{c}__n/__sum/__min/
+    __max/__sumsq/__sx/__sxx/__sxy/__earliest_ts/__earliest_v/
+    __latest_ts/__latest_v``, primitive argmin/argmax) — the streaming
+    sink then feeds ``plans.rollup.finalize``/``rollup`` directly, so
+    every reference aggregator (mean/var/slope/earliest/latest/...) is
+    available over watermark-finalised windows, and stream output can be
+    combined with batch tiers (same algebra, same names). In append
+    output mode a row emits exactly once, when the watermark passes its
+    window end.
     """
+    from ..plans.rollup import _partial_exprs
+
     width = TIER_WINDOW[tier]
+    watermarked = stream_df.withWatermark(ts_col, watermark)
+    grouped = watermarked.groupBy(
+        F.col(entity_col), F.window(F.col(ts_col), width).alias("__w")
+    )
+    if full_stats:
+        exprs = [
+            e
+            for vc in value_cols
+            for e in _partial_exprs(vc, F.col(ts_col), None, argminmax="primitive")
+        ]
+        out_cols = [
+            c for vc in value_cols for c in (
+                f"{vc}__n", f"{vc}__sum", f"{vc}__min", f"{vc}__max",
+                f"{vc}__sumsq", f"{vc}__sx", f"{vc}__sxx", f"{vc}__sxy",
+                f"{vc}__earliest_ts", f"{vc}__earliest_v",
+                f"{vc}__latest_ts", f"{vc}__latest_v",
+            )
+        ]
+        return grouped.agg(*exprs).select(
+            entity_col,
+            F.unix_micros(F.col("__w.start")).alias("bucket_start"),
+            *[F.col(c) for c in out_cols],
+        )
     aggs = []
     for vc in value_cols:
         aggs += [
@@ -50,15 +83,10 @@ def windowed_partials(
             F.min(vc).alias(f"{vc}_min"),
             F.max(vc).alias(f"{vc}_max"),
         ]
-    return (
-        stream_df.withWatermark(ts_col, watermark)
-        .groupBy(F.col(entity_col), F.window(F.col(ts_col), width).alias("__w"))
-        .agg(*aggs)
-        .select(
-            entity_col,
-            F.unix_micros(F.col("__w.start")).alias("bucket_start"),
-            *[F.col(f"{vc}_{s}") for vc in value_cols for s in ("count", "sum", "min", "max")],
-        )
+    return grouped.agg(*aggs).select(
+        entity_col,
+        F.unix_micros(F.col("__w.start")).alias("bucket_start"),
+        *[F.col(f"{vc}_{s}") for vc in value_cols for s in ("count", "sum", "min", "max")],
     )
 
 
@@ -138,16 +166,21 @@ def start_windowed_stream(
     watermark: str = "1 hour",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    full_stats: bool = False,
 ):
     """readStream(parquet dir) -> watermarked windowed partials ->
     append-mode parquet sink. Append + watermark = each bucket lands in
     the sink exactly once, finalised; the sink is safe to serve/roll up
-    without revision handling."""
+    without revision handling. ``full_stats=True`` writes the full
+    rollup partial-state schema (finalize/rollup-ready; see
+    ``windowed_partials``)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
-    out = windowed_partials(stream, value_cols, tier, entity_col, ts_col, watermark)
+    out = windowed_partials(
+        stream, value_cols, tier, entity_col, ts_col, watermark, full_stats
+    )
     writer = (
         out.writeStream.outputMode("append")
         .format("parquet")
