@@ -1434,23 +1434,23 @@ FROM s GROUP BY conv_id, session_id""",
         "text_stats": """
 SELECT doc_id,
   length(text) AS n_chars,
-  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
   round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
         / greatest(length(text), 1), 6) AS punct_ratio,
-  round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+  round(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
         t -> list_contains(['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], t)))
-        / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 6) AS stopword_ratio,
-  round(0.5 * least(len(string_split_regex(trim(text), '\\s+')) / 20.0, 1.0)
-      + 0.4 * least((len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        / greatest(len(regexp_extract_all(lower(text), '\\S+')), 1), 6) AS stopword_ratio,
+  round(0.5 * least(len(regexp_extract_all(text, '\\S+')) / 20.0, 1.0)
+      + 0.4 * least((len(list_filter(regexp_extract_all(lower(text), '\\S+'),
             t -> list_contains(['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], t)))
-            / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)) * 4, 1.0)
+            / greatest(len(regexp_extract_all(lower(text), '\\S+')), 1)) * 4, 1.0)
       + 0.1 * (1.0 - least((length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
             / greatest(length(text), 1)) * 5, 1.0)), 6) AS quality
 FROM documents""",
         "lang_id": _lang_id_oracle(),
         "text_repetition": """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
 l AS (
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
     THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
@@ -1494,8 +1494,8 @@ WITH corpus AS (
         )
         + """) v(doc_id, text)),
 t AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
-    string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks,
+    regexp_extract_all(lower(text), '\\S+') AS ltoks,
     list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
                 s -> s <> '') AS nlines
   FROM corpus),
@@ -1812,7 +1812,7 @@ def _lang_id_oracle() -> str:
     }
     score = {
         lang: (
-            "len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), "
+            "len(list_intersect(regexp_extract_all(lower(text), '\\S+'), "
             f"{list(ws)!r}))"
         )
         for lang, ws in markers.items()

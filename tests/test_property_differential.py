@@ -262,3 +262,56 @@ def test_scrub_pii_matches_python_re(spark, texts):
         for kind in ("email", "digits", "phone"):
             expect = pyre.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", expect)
         assert got[i] == expect, (i, t)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c\nd.!#*-…0189")),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quality_rule_columns_match_python(spark, texts):
+    """The round-4 Gopher rule inputs (symbol-to-word, mean word length,
+    bullet/ellipsis line fractions, alpha-word ratio) == a pure-Python
+    re implementation on arbitrary punctuation/newline soup."""
+    import re as pyre
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            T.symbol_word_ratio(F.col("text")).alias("sw"),
+            T.mean_word_length(F.col("text")).alias("mwl"),
+            T.bullet_line_ratio(F.col("text")).alias("bl"),
+            T.ellipsis_line_ratio(F.col("text")).alias("el"),
+            T.alpha_word_ratio(F.col("text")).alias("aw"),
+        ).collect()
+    }
+    for i, t in rows:
+        toks = t.split()  # \S+ runs — the engine's token definition
+        nt = max(len(toks), 1)
+        sw = (len(pyre.findall("#", t)) + len(pyre.findall(r"\.\.\.", t))) / nt
+        mwl = len(pyre.sub(r"\s+", "", t)) / nt
+        lines = [s.strip() for s in t.split("\n")]
+        lines = [s for s in lines if s != ""]
+        nl = max(len(lines), 1)
+        bl = sum(1 for s in lines if pyre.search(r"^[-*•]", s)) / nl
+        el = sum(1 for s in lines if pyre.search(r"(\.\.\.|…)$", s)) / nl
+        aw = sum(1 for s in toks if pyre.search("[A-Za-z]", s)) / nt
+        assert got[i]["sw"] == sw, (i, repr(t))
+        assert got[i]["mwl"] == mwl, (i, repr(t))
+        assert got[i]["bl"] == bl, (i, repr(t))
+        assert got[i]["el"] == el, (i, repr(t))
+        assert got[i]["aw"] == aw, (i, repr(t))

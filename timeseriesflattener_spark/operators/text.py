@@ -29,9 +29,14 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "for", "on", "as", "are", "was"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenisation (the BPE-ish regex variant is
-    ``bpe_ish_tokens``)."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenisation: maximal non-whitespace runs, like
+    Python's ``str.split()`` (the BPE-ish regex variant is
+    ``bpe_ish_tokens``). Implemented as ``regexp_extract_all('\\S+')``
+    rather than ``split(trim(text))`` — SQL ``trim`` strips spaces
+    only, so a leading/trailing newline used to smuggle a phantom empty
+    token into every count (round-4 hypothesis differential caught it);
+    empty/whitespace-only text now has 0 tokens, not 1."""
+    return F.regexp_extract_all(text, F.lit(r"\S+"), 0)
 
 
 def bpe_ish_tokens(text: Column) -> Column:
