@@ -452,6 +452,51 @@ def q_stream_windowed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming sessionization (session_window under
+    readStream, streaming/windowed.py::start_session_stream): sessions
+    finalise once the watermark passes session_end + gap. Same sentinel
+    + second-availableNow-pass flush as stream_windowed_1h. Oracle: the
+    batch lag+cumsum session SQL reshaped to per-session stats — stream
+    output == batch sessionization, exactly."""
+    import tempfile
+
+    from timeseriesflattener_spark.streaming.windowed import start_session_stream
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-sess-")
+    src = _events_as_conv(spark, sf_dir).select("conv_id", "ts", "turn_idx")
+    sentinel = spark.createDataFrame([("__sentinel",)], "conv_id string").select(
+        "conv_id",
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("turn_idx"),
+    )
+    src.unionByName(sentinel).repartition(4).write.parquet(f"{work}/input")
+
+    def _run() -> None:
+        start_session_stream(
+            spark,
+            f"{work}/input",
+            schema="conv_id string, ts timestamp, turn_idx long",
+            out_path=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            gap="30 minutes",
+            watermark="1 hour",
+        ).awaitTermination()
+
+    _run()
+    sentinel.withColumn(
+        "ts", F.lit("2024-07-01 00:00:00").cast("timestamp")
+    ).coalesce(1).write.mode("append").parquet(f"{work}/input")
+    _run()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .filter(F.col("conv_id") != "__sentinel")
+        .select(
+            "conv_id", "session_start", "session_end", "duration_micros", "n_events"
+        )
+    )
+
+
 def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch streaming exact dedup (dropDuplicatesWithinWatermark,
     streaming/windowed.py): batch-1 file carries the corpus, batch-2
@@ -1170,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_windowed_1h": q_stream_windowed_1h,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_sessionize_30m": q_stream_sessionize_30m,
         "topk_event_types_1h": q_topk_event_types_1h,
         "hll_unique_1d": q_hll_unique_1d,
         "sketch_quantiles_1h": q_sketch_quantiles_1h,
@@ -1309,6 +1355,25 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        CAST(1 AS BIGINT) AS n_survivors,
        FALSE AS clone_survived
 FROM documents GROUP BY 1""",
+        "stream_sessionize_30m": """
+WITH o AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT conv_id, ts,
+    sum(CASE WHEN prev IS NOT NULL
+              AND epoch_us(ts) - epoch_us(prev) > 1800000000
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT conv_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_micros,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY conv_id, sid""",
         "rollup_unique_1h": """
 SELECT CAST(user_id AS VARCHAR) AS conv_id,
        (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
