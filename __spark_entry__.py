@@ -4,7 +4,10 @@
 SURVEY.md §2 (flattening semantics, continuous-aggregate rollup,
 gap-fill, Gorilla chunks, dedup, similarity search, text analysis,
 TPC-H-style scan/join/agg), each runnable at any sf_dir; ``oracle_sql``
-gives the DuckDB-equivalent ANSI SQL — since r3 for ALL 38 queries.
+gives the DuckDB-equivalent ANSI SQL — for ALL 48 queries (since r4 this
+includes the streaming twins — foreachBatch tier merge, watermarked
+window/session sinks, cross-batch dedup — and the v1 FeatureCache hit
+path).
 dedup_minhash carries a FULL oracle (its verify step computes exact
 Jaccard and LSH recall on this corpus is 100%, checked at sf0.01 and
 sf0.1); dedup_clusters is oracle-checked against a recursive-CTE

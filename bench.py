@@ -222,9 +222,18 @@ def run_headline() -> None:
         state = _machine_state()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + args,
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
         )
-        parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        if out.returncode != 0:
+            # surface the child's diagnostics — a swallowed stderr makes
+            # a failed benchmark leg undiagnosable
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"bench leg {args} exited {out.returncode}")
+        try:
+            parsed = json.loads(out.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError) as exc:
+            sys.stderr.write(out.stderr[-2000:])
+            raise RuntimeError(f"bench leg {args} printed no JSON line: {exc}")
         parsed["__machine_before"] = state
         return parsed
 

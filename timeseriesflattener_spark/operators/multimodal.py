@@ -106,10 +106,13 @@ def image_feature_extract(payload: bytes, dim: int = 8) -> np.ndarray:
     lum = arr.mean(axis=2)
     h, w = lum.shape
     g = max(1, int(np.ceil(np.sqrt(max(dim - 3, 1)))))
-    grid = lum[: (h // g) * g or h, : (w // g) * g or w]
-    if grid.size:
-        gh, gw = grid.shape[0] // g or 1, grid.shape[1] // g or 1
-        coarse = grid[: gh * g, : gw * g].reshape(g, gh, g, gw).mean(axis=(1, 3)).ravel()
+    if h and w:
+        # g x g sample grid via linspace indices — valid for ANY image
+        # size incl. 1x1 tracking pixels (a block-mean reshape would
+        # demand h, w >= g and crash on tiny thumbnails)
+        ri = np.linspace(0, h - 1, g).astype(int)
+        ci = np.linspace(0, w - 1, g).astype(int)
+        coarse = lum[np.ix_(ri, ci)].ravel()
     else:
         coarse = np.zeros(g * g, np.float32)
     feat = np.concatenate([chans, coarse]).astype(np.float32)
@@ -138,18 +141,34 @@ def extract_features(
     deterministic sha256 stand-in otherwise; "image"/"fake" force a
     path ("image" without PIL raises inside the task). Auto-mode
     payloads that fail to decode (not actually images) fall back to the
-    stand-in per payload, so mixed/opaque corpora never kill a task."""
+    stand-in per payload, so mixed/opaque corpora never kill a task.
+    The auto probe runs on each WORKER (module-global lookup inside the
+    kernel, resolved after the worker imports this module) — a cluster
+    whose executors have PIL decodes for real even when the driver
+    doesn't."""
     if extractor == "image":
         kernel = image_feature_extract
-    elif extractor == "fake" or not HAS_PIL:
+    elif extractor == "fake":
         kernel = fake_feature_extract
-    else:
+    elif extractor == "auto":
 
         def kernel(payload: bytes, d: int = dim) -> np.ndarray:
+            # re-import so the probe is the WORKER's, not a pickled copy
+            # of the driver's (cloudpickle captures referenced globals
+            # of nested functions by value)
+            from timeseriesflattener_spark.operators import multimodal as _m
+
+            if not _m.HAS_PIL:
+                return _m.fake_feature_extract(payload, d)
             try:
-                return image_feature_extract(payload, d)
+                return _m.image_feature_extract(payload, d)
             except Exception:
-                return fake_feature_extract(payload, d)
+                return _m.fake_feature_extract(payload, d)
+
+    else:
+        raise ValueError(
+            f"unknown extractor {extractor!r}: expected 'auto', 'image' or 'fake'"
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -125,9 +125,14 @@ class TierStore:
     # run only under a real catalog; kept thin and declarative) ---------
 
     def _iceberg_publish(self, partials: DataFrame, tier: str, days: Sequence[dt.date]) -> None:
-        """Overwrite exactly the touched day partitions in one atomic
+        """Overwrite exactly the ``days`` partitions in one atomic
         snapshot commit (the real Iceberg analog of the parquet path's
-        per-day tmp-dir + os.replace)."""
+        per-day tmp-dir + os.replace). Uses an explicit partition
+        predicate rather than ``overwritePartitions()``: dynamic
+        overwrite only replaces partitions PRESENT in the source, so a
+        recomputed day whose new partials are empty would silently keep
+        its stale rows (the parquet path publishes a schema-bearing
+        empty partition for that case — the predicate DELETEs it here)."""
         table = self._tier_table(tier)
         dated = partials.withColumn(
             "day", F.to_date(F.timestamp_micros(F.col("bucket_start")))
@@ -141,7 +146,7 @@ class TierStore:
             "write.parquet.compression-codec", self._codec(tier)
         )
         if exists:
-            writer.overwritePartitions()
+            writer.overwrite(F.col("day").isin([F.lit(d) for d in days]))
         else:
             writer.partitionedBy(F.col("day")).create()
 
