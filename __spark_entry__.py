@@ -707,6 +707,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.char_count(t).alias("n_chars"),
         T.token_count(t).alias("n_tokens"),
+        F.size(T.bpe_ish_tokens(t)).alias("n_bpe_tokens"),
         F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
         T.quality_score(t).alias("quality"),
@@ -1503,6 +1504,7 @@ FROM s GROUP BY conv_id, session_id""",
 SELECT doc_id,
   length(text) AS n_chars,
   len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
   round(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
         / greatest(length(text), 1), 6) AS punct_ratio,
   round(len(list_filter(regexp_extract_all(lower(text), '\\S+'),

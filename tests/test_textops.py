@@ -511,3 +511,19 @@ def test_star_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.star_connected_components(pairs, max_iterations=0)
+
+
+def test_bpe_ish_tokens_golden(spark):
+    """BPE-ish pre-tokeniser: words, digit runs and single punctuation
+    marks each count; whitespace never does."""
+    df = spark.createDataFrame(
+        [(1, "don't count2 me-out!"), (2, ""), (3, "  \n ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", T.bpe_ish_tokens(F.col("text")).alias("t")).collect()
+    }
+    assert got[1] == ["don", "'", "t", "count", "2", "me", "-", "out", "!"]
+    assert got[2] == []
+    assert got[3] == []
