@@ -189,3 +189,57 @@ def test_incident_outcome_endpoint_semantics(spark):
     assert rows[1] == 1      # td = 0: kept AND within [0, 30d)
     assert rows[2] == 0      # td = exactly 30d: upper endpoint exclusive
     assert 3 not in rows     # pred strictly after outcome: dropped
+
+
+def test_csv_roundtrip_and_suffix_dispatch(spark, tmp_path):
+    """read_csv parses timestamp columns (ref load_synth_data.py:16-22);
+    load_dataset/write_dataset dispatch on suffix both directions."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.sources.io import (
+        load_dataset,
+        read_csv,
+        write_dataset,
+    )
+
+    src = spark.createDataFrame(
+        [(1, dt.datetime(2021, 1, 2, 3, 4, 5), 1.5),
+         (2, dt.datetime(2021, 6, 7, 8, 9, 10), -2.0)],
+        "entity_id long, timestamp timestamp, value double",
+    )
+    csv_path = str(tmp_path / "vals.csv")
+    pq_path = str(tmp_path / "vals.parquet")
+    write_dataset(src, csv_path)
+    write_dataset(src, pq_path)
+
+    via_csv = read_csv(spark, csv_path).orderBy("entity_id").collect()
+    assert [r["timestamp"] for r in via_csv] == [
+        dt.datetime(2021, 1, 2, 3, 4, 5), dt.datetime(2021, 6, 7, 8, 9, 10)
+    ]
+    assert via_csv[0]["value"] == 1.5
+
+    via_dispatch_csv = load_dataset(spark, csv_path).orderBy("entity_id").collect()
+    assert [r["entity_id"] for r in via_dispatch_csv] == [1, 2]
+    via_dispatch_pq = load_dataset(spark, pq_path).orderBy("entity_id").collect()
+    assert [(r["entity_id"], r["value"]) for r in via_dispatch_pq] == [(1, 1.5), (2, -2.0)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unsupported dataset suffix"):
+        load_dataset(spark, str(tmp_path / "vals.json"))
+
+
+def test_fingerprint64_stability(spark):
+    """fingerprint64: whitespace-insensitive, content-sensitive."""
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.text import fingerprint64
+
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "hello world"), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", fingerprint64(F.col("text")).alias("f")).collect()}
+    assert got[1] == got[2]      # internal whitespace normalised
+    assert got[1] != got[3]      # content-sensitive
