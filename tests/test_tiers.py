@@ -192,3 +192,33 @@ def test_iceberg_roundtrip(spark, channels, tmp_path):
     a = ice.read_tier("1h")
     b = pq.read_tier("1h")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_day_partitioned_source_pruning_equals_flat(spark, channels, tmp_path):
+    """write_transcripts day-partitions on ts_day; materializing from the
+    partitioned layout (the `ts_day` pruning branch in both the unit and
+    bulk paths) must produce tiers identical to the flat frame."""
+    from timeseriesflattener_spark.sources.transcripts import (
+        read_transcripts,
+        write_transcripts,
+    )
+
+    path = str(tmp_path / "day_part")
+    write_transcripts(channels, path)
+    rt = read_transcripts(spark, path)
+    assert "ts_day" not in rt.columns and rt.count() == channels.count()
+
+    raw_part = spark.read.parquet(path)  # keeps ts_day for pruning
+    assert "ts_day" in raw_part.columns
+
+    flat = TierStore(spark, str(tmp_path / "flat"), ["text_len"], tiers=["1m", "1h"])
+    part_unit = TierStore(spark, str(tmp_path / "pu"), ["text_len"], tiers=["1m", "1h"])
+    part_bulk = TierStore(spark, str(tmp_path / "pb"), ["text_len"], tiers=["1m", "1h"])
+    flat.materialize(channels, bulk=True)
+    part_unit.materialize(raw_part, bulk=False)
+    part_bulk.materialize(raw_part, bulk=True)
+
+    ref = flat.read_tier("1h")
+    for st in (part_unit, part_bulk):
+        got = st.read_tier("1h")
+        assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
