@@ -819,6 +819,44 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 4-stage cleaning pipeline (operators/pipeline.py): quality
+    gate -> exact dedup -> near-dup clusters -> decontamination, each
+    stage over the previous stage's survivors; output = first-drop-stage
+    audit. Clones of docs 100-119 (id +1M, identical text) are injected
+    so the exact-dup stage provably drops on every corpus; the benchmark
+    side is docs id<20 (so those drop as contaminated if they survive
+    that far). Oracle: the same four stages chained in SQL (quality CTE,
+    md5 keep-min, capped-Jaccard pairs + recursive-CTE components,
+    3-gram benchmark overlap)."""
+    from timeseriesflattener_spark.operators.pipeline import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return clean_corpus(
+        docs.unionByName(clones),
+        benchmark=bench,
+        bench_id_col="bench_id",
+        quality_kwargs=dict(
+            min_tokens=25,
+            min_stopword_ratio=0.02,
+            max_dup_line_ratio=0.08,
+            min_mean_word_length=4.2,
+            min_alpha_word_ratio=0.5,
+            lines=T.word_ngrams(F.col("text"), 2),
+        ),
+        shingle_k=3,
+        jaccard_threshold=0.5,
+        max_shingle_freq=1000,
+        contamination_n=3,
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "fingerprint", "n_docs", "keep_id"
@@ -1236,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
         "dedup_exact": q_dedup_exact,
+        "corpus_clean": q_corpus_clean,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -1633,6 +1672,124 @@ FROM inj""",
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1""",
+        "corpus_clean": """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id >= 100 AND doc_id < 120),
+t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks,
+    regexp_extract_all(lower(text), '\\S+') AS ltoks
+  FROM corpus),
+qbase AS (
+  SELECT doc_id,
+    len(toks) AS nt,
+    length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / greatest(length(text), 1) AS pr,
+    len(list_filter(ltoks, x -> list_contains(
+      ['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], x)))
+      / greatest(len(ltoks), 1) AS sr,
+    (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+      / greatest(len(toks), 1) AS sw,
+    length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1) AS mwl,
+    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+        s -> s <> ''), s -> regexp_matches(s, '^[-*•]')))
+      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+        s -> s <> '')), 1) AS bl,
+    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+        s -> s <> ''), s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
+      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+        s -> s <> '')), 1) AS el,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+      / greatest(len(toks), 1) AS aw
+  FROM t),
+ql AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+    ELSE [] END) AS line
+  FROM t),
+qpl AS (SELECT doc_id, line, count(*) AS k FROM ql GROUP BY 1, 2),
+qrep AS (SELECT doc_id, (sum(k) - count(*)) / greatest(sum(k), 1) AS dl FROM qpl GROUP BY 1),
+q AS (
+  SELECT b.doc_id,
+    CASE WHEN nt < 25 THEN 'too_short'
+         WHEN nt > 100000 THEN 'too_long'
+         WHEN pr > 0.3 THEN 'punct'
+         WHEN sr < 0.02 THEN 'stopword'
+         WHEN coalesce(dl, 0) > 0.08 THEN 'repetition'
+         WHEN sw > 0.1 THEN 'symbol'
+         WHEN mwl < 4.2 OR mwl > 12.0 THEN 'word_length'
+         WHEN bl > 0.9 THEN 'bullet'
+         WHEN el > 0.3 THEN 'ellipsis'
+         WHEN aw < 0.5 THEN 'alpha'
+    END AS fail_reason
+  FROM qbase b LEFT JOIN qrep USING (doc_id)),
+s1 AS (SELECT doc_id FROM q WHERE fail_reason IS NULL),
+fp AS (
+  SELECT c.doc_id, md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g')) AS f
+  FROM corpus c JOIN s1 USING (doc_id)),
+s2 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS m FROM fp)
+  WHERE doc_id = m),
+norm AS (
+  SELECT c.doc_id,
+    string_split_regex(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM corpus c JOIN s2 USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(CASE WHEN len(toks) >= 3
+      THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM norm),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS freq FROM sh)
+  WHERE freq <= 1000),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ndpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ndpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM ndpairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM s2
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+s3 AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(label)),
+bnorm AS (
+  SELECT doc_id AS bench_id,
+    string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE doc_id < 20),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 3
+    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM bnorm),
+contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN s3 USING (doc_id) JOIN bsh b ON s.shingle = b.shingle),
+s4 AS (
+  SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT c.doc_id,
+  CASE WHEN q.fail_reason IS NOT NULL THEN 'quality'
+       WHEN s2.doc_id IS NULL THEN 'exact_dup'
+       WHEN s3.doc_id IS NULL THEN 'near_dup'
+       WHEN s4.doc_id IS NULL THEN 'contaminated'
+       ELSE 'kept' END AS stage
+FROM corpus c
+LEFT JOIN q ON c.doc_id = q.doc_id
+LEFT JOIN s2 ON c.doc_id = s2.doc_id
+LEFT JOIN s3 ON c.doc_id = s3.doc_id
+LEFT JOIN s4 ON c.doc_id = s4.doc_id""",
         "dedup_jaccard": """
 WITH norm AS (
   SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks

@@ -527,3 +527,55 @@ def test_bpe_ish_tokens_golden(spark):
     assert got[1] == ["don", "'", "t", "count", "2", "me", "-", "out", "!"]
     assert got[2] == []
     assert got[3] == []
+
+
+def test_clean_corpus_stage_attribution(spark):
+    """4-stage pipeline audit: first drop stage wins; each stage operates
+    on the previous stage's survivors; drop_unclean keeps exactly the
+    'kept' rows."""
+    from timeseriesflattener_spark.operators.pipeline import clean_corpus, drop_unclean
+
+    base = (
+        "the ancient library holds countless manuscripts and travelers "
+        "often spend entire afternoons reading quietly beneath vaulted "
+        "ceilings while scholars debate ideas over strong coffee nearby "
+        "every single evening without fail"
+    )
+    near = base.replace("strong coffee", "fresh tea")  # high Jaccard vs base
+    docs = spark.createDataFrame(
+        [
+            (1, base),                     # kept
+            (2, "too short"),              # quality (too_short)
+            (3, base),                     # exact dup of 1
+            (4, near),                     # near-dup of 1
+            (5, "the quiet harbor town watched tall ships arrive slowly "
+                "carrying spices silk and stories from distant warm "
+                "coasts while merchants bargained loudly near wooden "
+                "piers all morning long today"),   # kept, then contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "merchants bargained loudly near wooden piers")],
+        "bench_id long, text string",
+    )
+    audit = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(
+            docs,
+            benchmark=bench,
+            bench_id_col="bench_id",
+            quality_kwargs=dict(min_tokens=5),
+            jaccard_threshold=0.5,
+            contamination_n=3,
+        ).collect()
+    }
+    assert audit == {
+        1: "kept", 2: "quality", 3: "exact_dup", 4: "near_dup", 5: "contaminated"
+    }, audit
+    kept = sorted(r["doc_id"] for r in drop_unclean(docs, clean_corpus(
+        docs, benchmark=bench, bench_id_col="bench_id",
+        quality_kwargs=dict(min_tokens=5), jaccard_threshold=0.5,
+        contamination_n=3,
+    )).collect())
+    assert kept == [1]
