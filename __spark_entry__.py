@@ -857,6 +857,17 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard packing (operators/pipeline.py):
+    md5-hash shard in [0,10) + tie-free intra-shard position. The hash
+    is md5 specifically so the oracle (and any non-Spark loader)
+    reproduces the exact same shards byte-for-byte."""
+    from timeseriesflattener_spark.operators.pipeline import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_shards(docs, n_shards=10).select("doc_id", "shard", "pos")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "fingerprint", "n_docs", "keep_id"
@@ -1275,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
+        "pack_shards": q_pack_shards,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -1672,6 +1684,18 @@ FROM inj""",
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1""",
+        "pack_shards": """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+s AS (
+  SELECT doc_id, hh,
+    CAST(CAST(list_sum(
+      [(strpos('0123456789abcdef', substr(hh, i, 1)) - 1) * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) % 10 AS INTEGER) AS shard
+  FROM h)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh) - 1 AS INTEGER) AS pos
+FROM s""",
         "corpus_clean": """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents

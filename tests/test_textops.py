@@ -579,3 +579,48 @@ def test_clean_corpus_stage_attribution(spark):
         contamination_n=3,
     )).collect())
     assert kept == [1]
+
+
+def test_clean_corpus_minhash_path_subset(spark, docs):
+    """The minhash near-dup path drops a SUBSET of what exact jaccard
+    drops (candidates are exact-verified -> identical precision; recall
+    bounded by banding) and agrees on this corpus."""
+    from timeseriesflattener_spark.operators.pipeline import clean_corpus
+
+    corpus = docs.select("doc_id", "text").limit(150)
+    kw = dict(quality_kwargs=dict(min_tokens=5), jaccard_threshold=0.5)
+    exact = {r["doc_id"]: r["stage"] for r in clean_corpus(corpus, **kw).collect()}
+    mh = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(corpus, near_dup="minhash", **kw).collect()
+    }
+    ex_near = {d for d, s in exact.items() if s == "near_dup"}
+    mh_near = {d for d, s in mh.items() if s == "near_dup"}
+    assert mh_near <= ex_near
+    for d in set(exact) - ex_near - mh_near:
+        assert exact[d] == mh[d]
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown near_dup"):
+        clean_corpus(corpus, near_dup="simhash", **kw).collect()
+
+
+def test_assign_shards_deterministic_and_balanced(spark, docs):
+    """pack_shards: stable across runs, salt changes the permutation,
+    positions are dense 0..n-1 per shard."""
+    from timeseriesflattener_spark.operators.pipeline import assign_shards
+
+    ids = docs.select("doc_id")
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in assign_shards(ids, 8).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in assign_shards(ids, 8).collect()}
+    assert a == b
+    c = {(r["doc_id"]): (r["shard"], r["pos"]) for r in assign_shards(ids, 8, salt="x").collect()}
+    assert c != a  # salt reshuffles
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for _, (s, p) in a.items():
+        per[s].append(p)
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))  # dense tie-free positions
+    assert len(per) == 8  # every shard populated at 500 docs

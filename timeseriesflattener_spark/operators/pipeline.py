@@ -32,6 +32,7 @@ from .dedup import (
     drop_contaminated,
     drop_exact_duplicates,
     duplicate_clusters,
+    minhash_dedup_pairs,
     ngram_jaccard_pairs,
 )
 from .text import quality_filter
@@ -52,22 +53,40 @@ def clean_corpus(
     contamination_n: int = 8,
     bench_text_col: str = "text",
     bench_id_col: str = "doc_id",
+    near_dup: str = "jaccard",
 ) -> DataFrame:
     """(id, stage) audit frame for the 4-stage cleaning pipeline; stage
-    is the first stage that dropped the doc, or ``kept``."""
+    is the first stage that dropped the doc, or ``kept``.
+
+    ``near_dup``: "jaccard" (all-pairs over capped shingles — exact,
+    the oracle-checked default) or "minhash" (MinHash+LSH candidates
+    verified with exact Jaccard — the 100 TB path: same precision,
+    recall bounded by the banding; swap it in when the corpus outgrows
+    the all-pairs join)."""
     q = quality_filter(df, text_col, id_col, **(quality_kwargs or {}))
     s1 = df.join(q.filter("passed").select(id_col), id_col, "left_semi")
 
     s2 = drop_exact_duplicates(s1, text_col, id_col)
 
-    pairs = ngram_jaccard_pairs(
-        s2,
-        k=shingle_k,
-        threshold=jaccard_threshold,
-        text_col=text_col,
-        id_col=id_col,
-        max_shingle_freq=max_shingle_freq,
-    )
+    if near_dup == "minhash":
+        pairs = minhash_dedup_pairs(
+            s2,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=jaccard_threshold,
+            k=shingle_k,
+        )
+    elif near_dup == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            s2,
+            k=shingle_k,
+            threshold=jaccard_threshold,
+            text_col=text_col,
+            id_col=id_col,
+            max_shingle_freq=max_shingle_freq,
+        )
+    else:
+        raise ValueError(f"unknown near_dup strategy {near_dup!r}")
     clusters = duplicate_clusters(s2, pairs.select("doc_a", "doc_b"), id_col=id_col)
     s3 = s2.join(
         clusters.filter(F.col("doc") == F.col("cluster")).select(
@@ -115,3 +134,37 @@ def drop_unclean(df: DataFrame, audit: DataFrame, id_col: str = "doc_id") -> Dat
     return df.join(
         audit.filter(F.col("stage") == "kept").select(id_col), id_col, "left_semi"
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic training-shard packing — the last mile of a
+    data pipeline: every doc gets a stable ``shard`` in [0, n_shards)
+    and a deterministic intra-shard ``pos`` (the reproducible "shuffle"
+    order training jobs need: same corpus + same salt => byte-identical
+    shards; change the salt => a fresh permutation).
+
+    Shard = first 8 hex digits of ``md5(salt || id)`` mod n_shards —
+    md5 is computable identically in plain SQL (no engine-private
+    hash), so the assignment is reproducible by the DuckDB oracle and
+    by downstream loaders in other runtimes. Order key = the full md5
+    hex (tie-free). Scale shape: shard assignment is a pure projection
+    (no shuffle); ``pos`` is one window per shard — shards number in
+    the thousands at corpus scale, so each window partition holds
+    corpus/shards rows and no single task sees the whole data."""
+    from pyspark.sql import Window
+
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    h = F.md5(key)
+    # conv(hex, 16, 10): 8 hex digits -> 32-bit int, exact in a long
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards))
+    out = df.withColumn("__h", h).withColumn("shard", shard.cast("int"))
+    if not with_position:
+        return out.drop("__h")
+    w = Window.partitionBy("shard").orderBy("__h")
+    return out.withColumn("pos", F.row_number().over(w) - 1).drop("__h")
