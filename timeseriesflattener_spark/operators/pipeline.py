@@ -19,8 +19,14 @@ Each stage operates on the previous stage's survivors, so drop
 attribution is unambiguous (a doc that is both low-quality and a
 near-dup reports ``quality``). Scale shape: every stage is the
 already-audited distributed formulation (no new shuffles beyond the
-component operators); the audit assembles with id-only broadcast-sized
-flag joins.
+component operators); each stage's survivor ID set is materialised
+exactly once (eager ``localCheckpoint`` of the 8-byte id frames), so
+neither the returned audit nor a later ``drop_unclean`` re-runs the
+quality scan / dedup windows — later stages recover text by semi-join
+of the raw corpus against the checkpointed ids (one cheap base re-scan
+instead of an operator recompute). The dedup shingle caches are
+released before returning (``release_shingle_caches``) — everything
+that needed them has been materialised by then.
 """
 
 from __future__ import annotations
@@ -34,11 +40,9 @@ from .dedup import (
     duplicate_clusters,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    release_shingle_caches,
 )
 from .text import quality_filter
-
-#: audit stages in drop order
-STAGES = ["quality", "exact_dup", "near_dup", "contaminated", "kept"]
 
 
 def clean_corpus(
@@ -63,10 +67,17 @@ def clean_corpus(
     verified with exact Jaccard — the 100 TB path: same precision,
     recall bounded by the banding; swap it in when the corpus outgrows
     the all-pairs join)."""
-    q = quality_filter(df, text_col, id_col, **(quality_kwargs or {}))
-    s1 = df.join(q.filter("passed").select(id_col), id_col, "left_semi")
+    def ids_of(frame: DataFrame) -> DataFrame:
+        # materialise a stage's survivor ids ONCE (8-byte rows, lineage
+        # truncated) so downstream consumers never re-run the stage
+        return frame.select(id_col).localCheckpoint(eager=True)
 
-    s2 = drop_exact_duplicates(s1, text_col, id_col)
+    q = quality_filter(df, text_col, id_col, **(quality_kwargs or {}))
+    s1_ids = ids_of(q.filter("passed"))
+    s1 = df.join(s1_ids, id_col, "left_semi")
+
+    s2_ids = ids_of(drop_exact_duplicates(s1, text_col, id_col))
+    s2 = df.join(s2_ids, id_col, "left_semi")
 
     if near_dup == "minhash":
         pairs = minhash_dedup_pairs(
@@ -88,39 +99,42 @@ def clean_corpus(
     else:
         raise ValueError(f"unknown near_dup strategy {near_dup!r}")
     clusters = duplicate_clusters(s2, pairs.select("doc_a", "doc_b"), id_col=id_col)
-    s3 = s2.join(
+    s3_ids = ids_of(
         clusters.filter(F.col("doc") == F.col("cluster")).select(
             F.col("doc").alias(id_col)
-        ),
-        id_col,
-        "left_semi",
+        )
     )
 
     if benchmark is not None:
-        s4 = drop_contaminated(
-            s3,
-            benchmark,
-            n=contamination_n,
-            text_col=text_col,
-            id_col=id_col,
-            bench_text_col=bench_text_col,
-            bench_id_col=bench_id_col,
+        s3 = df.join(s3_ids, id_col, "left_semi")
+        s4_ids = ids_of(
+            drop_contaminated(
+                s3,
+                benchmark,
+                n=contamination_n,
+                text_col=text_col,
+                id_col=id_col,
+                bench_text_col=bench_text_col,
+                bench_id_col=bench_id_col,
+            )
         )
     else:
-        s4 = s3
+        s4_ids = s3_ids
+    # every consumer of the shingle caches has materialised by now
+    release_shingle_caches()
 
-    def flag(surv: DataFrame, name: str) -> DataFrame:
-        return surv.select(F.col(id_col), F.lit(True).alias(name))
+    def flag(surv_ids: DataFrame, name: str) -> DataFrame:
+        return surv_ids.select(F.col(id_col), F.lit(True).alias(name))
 
     audit = (
         df.select(id_col)
-        .join(q.select(id_col, "passed"), id_col, "left")
-        .join(flag(s2, "__s2"), id_col, "left")
-        .join(flag(s3, "__s3"), id_col, "left")
-        .join(flag(s4, "__s4"), id_col, "left")
+        .join(flag(s1_ids, "__s1"), id_col, "left")
+        .join(flag(s2_ids, "__s2"), id_col, "left")
+        .join(flag(s3_ids, "__s3"), id_col, "left")
+        .join(flag(s4_ids, "__s4"), id_col, "left")
     )
     stage: Column = (
-        F.when(~F.col("passed"), F.lit("quality"))
+        F.when(F.col("__s1").isNull(), F.lit("quality"))
         .when(F.col("__s2").isNull(), F.lit("exact_dup"))
         .when(F.col("__s3").isNull(), F.lit("near_dup"))
         .when(F.col("__s4").isNull(), F.lit("contaminated"))
