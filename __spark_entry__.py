@@ -455,6 +455,48 @@ def q_stream_windowed_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_full_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full_stats streaming path under the gate: the watermarked window
+    sink carries the COMPLETE rollup partial-state schema, finalized to
+    the full aggregator set (mean/var/slope/earliest/latest/...) — and
+    must equal the BATCH rollup oracle on the same events, exactly
+    (same cents-exact arithmetic as rollup_1h)."""
+    import tempfile
+
+    from timeseriesflattener_spark.streaming.windowed import start_windowed_stream
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-full-")
+    src = _events_as_conv(spark, sf_dir, cents=True)
+    sentinel = spark.createDataFrame([("__sentinel",)], "conv_id string").select(
+        "conv_id",
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("turn_idx"),
+        F.lit(0).cast("long").alias("value"),
+    )
+    src.unionByName(sentinel).repartition(4).write.parquet(f"{work}/input")
+
+    def _run() -> None:
+        start_windowed_stream(
+            spark,
+            f"{work}/input",
+            schema="conv_id string, ts timestamp, turn_idx long, value long",
+            out_path=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            value_cols=["value"],
+            tier="1h",
+            watermark="1 hour",
+            full_stats=True,
+        ).awaitTermination()
+
+    _run()
+    sentinel.withColumn(
+        "ts", F.lit("2024-07-01 00:00:00").cast("timestamp")
+    ).coalesce(1).write.mode("append").parquet(f"{work}/input")
+    _run()
+    sink = spark.read.parquet(f"{work}/out").filter(F.col("conv_id") != "__sentinel")
+    return _rollup_select(R.finalize(sink, ["value"], include_bucket_ts=False))
+
+
 def q_stream_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming sessionization (session_window under
     readStream, streaming/windowed.py::start_session_stream): sessions
@@ -1269,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_1h": q_stream_windowed_1h,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_sessionize_30m": q_stream_sessionize_30m,
+        "stream_windowed_full_1h": q_stream_windowed_full_1h,
         "topk_event_types_1h": q_topk_event_types_1h,
         "hll_unique_1d": q_hll_unique_1d,
         "sketch_quantiles_1h": q_sketch_quantiles_1h,
@@ -1397,6 +1440,7 @@ FROM pred p LEFT JOIN firsts f ON p.user_id = f.user_id""",
         "stream_rollup_1h": _rollup_oracle(
             3_600_000_000, where="WHERE ts < TIMESTAMP '2024-01-04 00:00:00'"
         ),
+        "stream_windowed_full_1h": _rollup_oracle(3_600_000_000),
         "stream_windowed_1h": """
 SELECT CAST(user_id AS VARCHAR) AS conv_id,
        (epoch_us(ts)//3600000000)*3600000000 AS bucket_start,
