@@ -230,3 +230,104 @@ def test_full_stats_stream_feeds_finalize(spark, tmp_path):
             ), (k, col, v, w)
     # slope/var actually exercised: at least one window has both non-null
     assert any(r["v_var"] is not None for r in streamed.collect())
+
+
+def test_quality_pass_expr_matches_quality_filter(spark):
+    """The pure-projection gate decides identically to the audit-frame
+    quality_filter on the shared corpus (all thresholds engaged)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.text import (
+        quality_filter,
+        quality_pass_expr,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(
+        min_tokens=25,
+        min_stopword_ratio=0.02,
+        max_dup_line_ratio=0.08,
+        min_mean_word_length=4.2,
+        min_alpha_word_ratio=0.5,
+    )
+    audit = {
+        r["doc_id"]: r["passed"] for r in quality_filter(docs, **kw).collect()
+    }
+    expr = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", quality_pass_expr(F.col("text"), **kw).alias("p")
+        ).collect()
+    }
+    assert audit == expr
+
+
+def test_stream_clean_matches_batch(spark, tmp_path):
+    """stream_clean (quality gate + cross-batch exact dedup) over two
+    micro-batches == the batch pipeline's quality+exact stages: same
+    surviving fingerprint set, clones in batch 2 dropped."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.dedup import (
+        drop_exact_duplicates,
+        normalized_text,
+    )
+    from timeseriesflattener_spark.operators.text import quality_pass_expr
+    from timeseriesflattener_spark.streaming.windowed import stream_clean
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    clones = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.lit("2024-01-01 00:05:00").cast("timestamp").alias("ts"),
+    )
+    in_dir = str(tmp_path / "in")
+    base.coalesce(1).write.parquet(in_dir)
+    time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+    clones.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    (
+        stream_clean(stream, quality_kwargs=dict(min_tokens=25))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    survivors = spark.read.parquet(out_dir)
+    # no clone survives (its fingerprint was seen in batch 1 — IF the
+    # original passed quality; clones of failing docs also fail quality)
+    got = {
+        r["f"]
+        for r in survivors.select(
+            F.md5(normalized_text(F.col("text"))).alias("f")
+        ).collect()
+    }
+    batch = drop_exact_duplicates(
+        base.unionByName(clones).filter(
+            quality_pass_expr(F.col("text"), min_tokens=25)
+        )
+    )
+    want = {
+        r["f"]
+        for r in batch.select(
+            F.md5(normalized_text(F.col("text"))).alias("f")
+        ).collect()
+    }
+    assert got == want and got
+    # exactly-once per fingerprint
+    assert survivors.count() == len(got)

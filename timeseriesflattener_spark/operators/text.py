@@ -310,6 +310,52 @@ def pii_counts(text: Column, kinds: Sequence[str] = ("email", "phone", "digits")
 # ------------------------------------------------- quality filtering
 
 
+def quality_pass_expr(
+    text: Column,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.0,
+    max_dup_line_ratio: float = 0.3,
+    max_symbol_word_ratio: float = 0.1,
+    min_mean_word_length: float = 1.0,
+    max_mean_word_length: float = 12.0,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.0,
+    lines: Column | None = None,
+) -> Column:
+    """The quality gate as ONE boolean Column — a pure projection with
+    no aggregation or join, so it applies unchanged to a STREAMING
+    DataFrame (``streaming.windowed.stream_clean``) or as a cheap
+    filter pushdown. Same rules and thresholds as ``quality_filter``;
+    the repetition ratio is computed per row via ``array_distinct``
+    ((n - distinct)/n == repetition_stats' n_dup_lines/n exactly —
+    the audit frame's explode formulation exists for the per-line
+    char-weighted stats, which this gate does not need)."""
+    if lines is None:
+        lines = _nonempty_lines(text)
+    n_lines = F.size(lines)
+    dup_ratio = (n_lines - F.size(F.array_distinct(lines))) / F.greatest(
+        n_lines, F.lit(1)
+    )
+    nt = token_count(text)
+    mwl = mean_word_length(text)
+    return (
+        (nt >= min_tokens)
+        & (nt <= max_tokens)
+        & (punct_ratio(text) <= max_punct_ratio)
+        & (stopword_ratio(text) >= min_stopword_ratio)
+        & (dup_ratio <= max_dup_line_ratio)
+        & (symbol_word_ratio(text) <= max_symbol_word_ratio)
+        & (mwl >= min_mean_word_length)
+        & (mwl <= max_mean_word_length)
+        & (bullet_line_ratio(text) <= max_bullet_line_ratio)
+        & (ellipsis_line_ratio(text) <= max_ellipsis_line_ratio)
+        & (alpha_word_ratio(text) >= min_alpha_word_ratio)
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -192,6 +192,36 @@ def start_windowed_stream(
     return writer.start()
 
 
+def stream_clean(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """Streaming slice of the corpus-cleaning pipeline
+    (``operators.pipeline.clean_corpus``): the stages whose state is
+    per-row or watermark-bounded —
+
+    1. quality gate: ``text.quality_pass_expr`` — the full rule set as
+       one boolean Column (a pure projection: every rule's state lives
+       inside the row's own text, so no aggregation/join and therefore
+       no streaming restriction);
+    2. exact dedup: ``stream_drop_exact_duplicates`` (cross-batch
+       md5-fingerprint state bounded by the watermark).
+
+    Near-dup clustering and benchmark decontamination are corpus-level
+    (all-pairs / cross-corpus joins) and stay batch jobs over the
+    cleaned stream's sink — the standard lambda split for this
+    workload. Returns the surviving rows."""
+    from ..operators.text import quality_pass_expr
+
+    passed = stream_df.filter(
+        quality_pass_expr(F.col(text_col), **(quality_kwargs or {}))
+    )
+    return stream_drop_exact_duplicates(passed, text_col, ts_col, watermark)
+
+
 def stream_drop_exact_duplicates(
     stream_df: DataFrame,
     text_col: str = "text",
