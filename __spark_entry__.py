@@ -542,6 +542,59 @@ def q_stream_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_clean under the gate (streaming/windowed.py): the pure-
+    projection quality gate + cross-batch exact dedup over two
+    micro-batches (batch 2 = clones). Oracle: distinct fingerprints of
+    quality-passing docs, each surviving exactly once with no clone
+    outliving its batch-1 original."""
+    import tempfile
+    import time as _time
+
+    from timeseriesflattener_spark.streaming.windowed import stream_clean
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-clean-")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    clones = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.lit("2024-01-01 00:10:00").cast("timestamp").alias("ts"),
+    )
+    base.coalesce(1).write.parquet(f"{work}/input")
+    _time.sleep(1.05)
+    clones.coalesce(1).write.mode("append").parquet(f"{work}/input")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/input")
+    )
+    (
+        stream_clean(
+            stream,
+            watermark="1 hour",
+            quality_kwargs=dict(min_tokens=25, min_stopword_ratio=0.02),
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    survivors = spark.read.parquet(f"{work}/out")
+    return (
+        survivors.select(
+            F.md5(D.normalized_text(F.col("text"))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.max(F.col("doc_id") >= 10_000_000).alias("clone_survived"),
+        )
+    )
+
+
 def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch streaming exact dedup (dropDuplicatesWithinWatermark,
     streaming/windowed.py): batch-1 file carries the corpus, batch-2
@@ -1310,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_windowed_1h": q_stream_windowed_1h,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_clean_corpus": q_stream_clean_corpus,
         "stream_sessionize_30m": q_stream_sessionize_30m,
         "stream_windowed_full_1h": q_stream_windowed_full_1h,
         "topk_event_types_1h": q_topk_event_types_1h,
@@ -1454,6 +1508,35 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        CAST(1 AS BIGINT) AS n_survivors,
        FALSE AS clone_survived
 FROM documents GROUP BY 1""",
+        "stream_clean_corpus": """
+WITH t AS (
+  SELECT doc_id, text,
+    regexp_extract_all(text, '\\S+') AS toks,
+    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                s -> s <> '') AS nlines
+  FROM documents),
+p AS (
+  SELECT doc_id, text FROM t
+  WHERE len(toks) >= 25 AND len(toks) <= 100000
+    AND length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+        / greatest(length(text), 1) <= 0.3
+    AND len(list_filter(ltoks, x -> list_contains(
+        ['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], x)))
+        / greatest(len(ltoks), 1) >= 0.02
+    AND (len(nlines) - len(list_distinct(nlines))) / greatest(len(nlines), 1) <= 0.3
+    AND (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+        / greatest(len(toks), 1) <= 0.1
+    AND length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1)
+        BETWEEN 1.0 AND 12.0
+    AND len(list_filter(nlines, s -> regexp_matches(s, '^[-*•]')))
+        / greatest(len(nlines), 1) <= 0.9
+    AND len(list_filter(nlines, s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
+        / greatest(len(nlines), 1) <= 0.3)
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(1 AS BIGINT) AS n_survivors,
+       FALSE AS clone_survived
+FROM p GROUP BY 1""",
         "stream_sessionize_30m": """
 WITH o AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
