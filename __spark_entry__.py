@@ -1513,7 +1513,7 @@ WITH t AS (
   SELECT doc_id, text,
     regexp_extract_all(text, '\\S+') AS toks,
     regexp_extract_all(lower(text), '\\S+') AS ltoks,
-    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+    list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
                 s -> s <> '') AS nlines
   FROM documents),
 p AS (
@@ -1744,7 +1744,7 @@ WITH corpus AS (
 t AS (
   SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks,
     regexp_extract_all(lower(text), '\\S+') AS ltoks,
-    list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+    list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
                 s -> s <> '') AS nlines
   FROM corpus),
 base AS (
@@ -1843,13 +1843,13 @@ qbase AS (
     (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
       / greatest(len(toks), 1) AS sw,
     length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1) AS mwl,
-    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
         s -> s <> ''), s -> regexp_matches(s, '^[-*•]')))
-      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
         s -> s <> '')), 1) AS bl,
-    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
         s -> s <> ''), s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
-      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
         s -> s <> '')), 1) AS el,
     len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
       / greatest(len(toks), 1) AS aw

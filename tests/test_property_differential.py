@@ -206,7 +206,7 @@ def test_sketch_quantile_error_bound_property(spark, vals, p):
 
 doc_texts = st.lists(
     st.text(
-        alphabet=st.sampled_from(list("ab c\nd.!@0189+-()")),
+        alphabet=st.sampled_from(list("ab c\nd.!@0189+-()\t\r")),
         min_size=0,
         max_size=60,
     ),
@@ -268,7 +268,7 @@ def test_scrub_pii_matches_python_re(spark, texts):
 @given(
     texts=st.lists(
         st.text(
-            alphabet=st.sampled_from(list("ab c\nd.!#*-…0189")),
+            alphabet=st.sampled_from(list("ab c\nd.!#*-…0189\t\r")),
             min_size=0,
             max_size=60,
         ),

@@ -85,9 +85,22 @@ def symbol_word_ratio(text: Column, symbols: Sequence[str] = ("#", "...")) -> Co
     return total / F.greatest(token_count(text), F.lit(1))
 
 
+#: whitespace stripped from line edges. An explicit class — NOT ``\s`` —
+#: because Java ``\s`` includes \x0B while DuckDB/RE2's does not; the
+#: explicit class keeps the Spark rules and the SQL oracles identical.
+_LINE_STRIP = r"^[ \t\r\n\f]+|[ \t\r\n\f]+$"
+
+
+def _strip_line(s: Column) -> Column:
+    return F.regexp_replace(s, _LINE_STRIP, "")
+
+
 def _nonempty_lines(text: Column) -> Column:
+    """Lines with ALL edge whitespace stripped (tabs and CR too — SQL
+    ``trim`` strips only spaces, which mis-reads '\\t- item' bullets and
+    CRLF corpora; Gopher's rules assume ``str.strip()`` semantics)."""
     return F.filter(
-        F.transform(F.split(text, "\n"), lambda s: F.trim(s)), lambda s: s != ""
+        F.transform(F.split(text, "\n"), _strip_line), lambda s: s != ""
     )
 
 
@@ -220,10 +233,7 @@ def repetition_stats(
     """
     t = F.col(text_col)
     if lines is None:
-        lines = F.filter(
-            F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
-            lambda s: s != "",
-        )
+        lines = _nonempty_lines(t)
     per_line = (
         df.select(F.col(id_col), F.explode(lines).alias("__line"))
         .groupBy(id_col, "__line")
