@@ -105,11 +105,14 @@ def test_decode_feature_detection(spark):
         [(1, bytearray(b"\x01\x02" * 100)), (2, bytearray(b"zz" * 50))],
         "doc_id long, payload binary",
     )
-    auto = {r["doc_id"]: r["feature"] for r in M.extract_features(payloads).collect()}
-    fake = {
-        r["doc_id"]: r["feature"]
-        for r in M.extract_features(payloads, extractor="fake").collect()
-    }
+    auto_rows = M.extract_features(payloads).collect()
+    auto = {r["doc_id"]: r["feature"] for r in auto_rows}
+    fake_rows = M.extract_features(payloads, extractor="fake").collect()
+    fake = {r["doc_id"]: r["feature"] for r in fake_rows}
+    # the stand-in is never silent: every hash pseudo-feature is flagged
+    # (garbage payloads fall back even when PIL is present)
+    assert all(r["used_fallback"] for r in auto_rows)
+    assert all(r["used_fallback"] for r in fake_rows)
     if not M.HAS_PIL:
         with pytest.raises(NotImplementedError):
             M.decode_image(b"\x00\x01")
@@ -151,3 +154,8 @@ def test_real_image_decode_roundtrip(spark):
     feat = M.image_feature_extract(payload, dim=8)
     assert feat.shape == (8,)
     assert abs(float(feat[0]) - 1.0) < 1e-6  # red channel mean
+    # a decodable payload through auto mode is real pixels, not flagged
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = M.extract_features(df).collect()[0]
+    assert row["used_fallback"] is False
+    assert abs(row["feature"][0] - 1.0) < 1e-6

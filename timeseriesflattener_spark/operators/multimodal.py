@@ -37,7 +37,16 @@ except ImportError:
     HAS_AV = False
 
 METADATA_SCHEMA = "doc_id long, n_bytes int, sha256_hex string"
-FEATURE_SCHEMA = "doc_id long, feature array<float>, n_bytes int"
+FEATURE_SCHEMA = (
+    "doc_id long, feature array<float>, n_bytes int, used_fallback boolean"
+)
+
+#: exceptions that mean "this payload is not a decodable image" — the
+#: per-payload fallback catches ONLY these (PIL.UnidentifiedImageError
+#: subclasses OSError; some PIL plugins raise SyntaxError on truncated
+#: headers). Anything else — a broken PIL install, a numpy bug — is a
+#: real error and must surface, not melt into hash pseudo-features.
+DECODE_ERRORS = (OSError, ValueError, SyntaxError)
 
 
 def binary_metadata(
@@ -140,30 +149,42 @@ def extract_features(
     pixel features when PIL is importable on the workers and the
     deterministic sha256 stand-in otherwise; "image"/"fake" force a
     path ("image" without PIL raises inside the task). Auto-mode
-    payloads that fail to decode (not actually images) fall back to the
+    payloads that fail to DECODE (``DECODE_ERRORS`` only — a broken
+    install or a genuine bug still propagates) fall back to the
     stand-in per payload, so mixed/opaque corpora never kill a task.
+    Every row carries ``used_fallback``: True whenever the sha256
+    stand-in produced the feature (always True on the "fake" path),
+    so a mixed real/pseudo feature space is visible downstream —
+    ``df.filter("used_fallback").count()`` is the decode-failure audit
+    a similarity consumer must run before trusting the vectors.
     The auto probe runs on each WORKER (module-global lookup inside the
     kernel, resolved after the worker imports this module) — a cluster
     whose executors have PIL decodes for real even when the driver
     doesn't."""
     if extractor == "image":
-        kernel = image_feature_extract
+
+        def kernel(payload: bytes, d: int = dim) -> tuple[np.ndarray, bool]:
+            return image_feature_extract(payload, d), False
+
     elif extractor == "fake":
-        kernel = fake_feature_extract
+
+        def kernel(payload: bytes, d: int = dim) -> tuple[np.ndarray, bool]:
+            return fake_feature_extract(payload, d), True
+
     elif extractor == "auto":
 
-        def kernel(payload: bytes, d: int = dim) -> np.ndarray:
+        def kernel(payload: bytes, d: int = dim) -> tuple[np.ndarray, bool]:
             # re-import so the probe is the WORKER's, not a pickled copy
             # of the driver's (cloudpickle captures referenced globals
             # of nested functions by value)
             from timeseriesflattener_spark.operators import multimodal as _m
 
             if not _m.HAS_PIL:
-                return _m.fake_feature_extract(payload, d)
+                return _m.fake_feature_extract(payload, d), True
             try:
-                return _m.image_feature_extract(payload, d)
-            except Exception:
-                return _m.fake_feature_extract(payload, d)
+                return _m.image_feature_extract(payload, d), False
+            except _m.DECODE_ERRORS:
+                return _m.fake_feature_extract(payload, d), True
 
     else:
         raise ValueError(
@@ -172,12 +193,13 @@ def extract_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [kernel(bytes(b), dim).tolist() for b in pdf[payload_col]]
+            results = [kernel(bytes(b), dim) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
-                    "feature": feats,
+                    "feature": [f.tolist() for f, _ in results],
                     "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "used_fallback": [fb for _, fb in results],
                 }
             )
 
