@@ -347,6 +347,15 @@ def run_one_leg(cores: str, n_convs: int) -> None:
     on for skew handling."""
     from timeseriesflattener_spark import get_spark
 
+    # A/B seam: tools/ab_bucket_floor.py passes the floor variant via
+    # env across the subprocess boundary; the LIBRARY no longer reads
+    # it — only this bench entrypoint does, and set_floor_variant warns
+    # loudly when the known-incorrect cast variant is selected.
+    variant = os.environ.get("TSF_BUCKET_FLOOR")
+    if variant:
+        from timeseriesflattener_spark.plans.rollup import set_floor_variant
+
+        set_floor_variant(variant)
     spark = get_spark(
         app_name=f"tsf-scaling-{cores}",
         master=f"local[{cores}]",

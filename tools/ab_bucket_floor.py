@@ -9,8 +9,11 @@ state" the only defensible way: fresh process per leg, min-of-3 inside
 each leg (bench.py --one-leg), BOTH variants run in BOTH orders on an
 idle box, interleaved so slow drift hits both variants equally.
 
-Variant selection is via ``TSF_BUCKET_FLOOR=cast`` (plans/rollup.py) —
-a plan-construction-time switch with zero per-row cost.
+Variant selection: ``TSF_BUCKET_FLOOR=cast`` in the leg's env, read by
+``bench.py --one-leg`` (NOT the library) and threaded explicitly via
+``plans.rollup.set_floor_variant`` — a plan-construction-time switch
+with zero per-row cost; the library itself never sniffs the ambient
+environment, so the variable cannot leak into a real job's bucketing.
 
 Also runs a pure-expression micro-bench (--micro): sum of the floored
 column over a 400M-row range, both variants, one process — isolates
