@@ -52,6 +52,7 @@ from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from . import rollup as R
 
@@ -140,7 +141,10 @@ class TierStore:
         try:
             self.spark.table(table)
             exists = True
-        except Exception:
+        except AnalysisException:
+            # table genuinely absent -> first publish creates it; any
+            # OTHER failure (catalog outage, permissions) propagates —
+            # routing it into create() would corrupt an existing table
             exists = False
         writer = dated.writeTo(table).option(
             "write.parquet.compression-codec", self._codec(tier)
@@ -594,8 +598,9 @@ class TierStore:
                         .distinct()
                         .collect()
                     )
-                except Exception:
-                    continue  # tier table not created yet
+                except AnalysisException:
+                    continue  # tier table not created yet; a transient
+                    # read failure is NOT "nothing due" and propagates
                 if not old:
                     continue
                 self.spark.sql(
