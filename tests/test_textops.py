@@ -624,3 +624,40 @@ def test_assign_shards_deterministic_and_balanced(spark, docs):
     for s, ps in per.items():
         assert sorted(ps) == list(range(len(ps)))  # dense tie-free positions
     assert len(per) == 8  # every shard populated at 500 docs
+
+
+def test_assign_shards_two_stage_rank(spark, docs):
+    """VERDICT r4 #3: positions come from a two-stage rank — the plan
+    must hold NO window partitioned by the low-cardinality shard alone
+    (n_shards=2 would funnel half the corpus through one task), and the
+    result must equal the single-window reference order exactly."""
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.pipeline import assign_shards
+
+    ids = docs.select("doc_id")
+    out = assign_shards(ids, 2)
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    # reference: the one-window formulation the two-stage rank replaces
+    ref_rows = ids.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).collect()
+    by_shard = {}
+    for r in ref_rows:
+        s = int(r["h"][:8], 16) % 2
+        by_shard.setdefault(s, []).append((r["h"], r["doc_id"]))
+    expect = {}
+    for s, items in by_shard.items():
+        for pos, (_, d) in enumerate(sorted(items)):
+            expect[d] = (s, pos)
+    assert got == expect
+    # plan: every window spec over shard also carries the __b bucket
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        if "shard" in spec:
+            assert "__b" in spec, spec

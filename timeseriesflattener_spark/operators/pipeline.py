@@ -168,9 +168,17 @@ def assign_shards(
     hash), so the assignment is reproducible by the DuckDB oracle and
     by downstream loaders in other runtimes. Order key = the full md5
     hex (tie-free). Scale shape: shard assignment is a pure projection
-    (no shuffle); ``pos`` is one window per shard — shards number in
-    the thousands at corpus scale, so each window partition holds
-    corpus/shards rows and no single task sees the whole data."""
+    (no shuffle); ``pos`` is a TWO-STAGE rank so no window is ever
+    partitioned by the low-cardinality ``shard`` alone (n_shards=2
+    would funnel half the corpus through one task): rows are ranked
+    within ``(shard, bucket)`` where bucket = the first two hex chars
+    of the order key — a PREFIX of it, so bucket ranges partition the
+    order — and a per-(shard, bucket) count frame (n_shards x 256 rows,
+    aggregated map-side, cumulated on the driver-sized frame, broadcast
+    back) supplies the offset of each bucket's first row. The result is
+    value-identical to ``row_number() over (partition by shard order by
+    h)`` — same tie-free total order — with max task size corpus /
+    (n_shards * 256) instead of corpus / n_shards."""
     from pyspark.sql import Window
 
     key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
@@ -180,5 +188,18 @@ def assign_shards(
     out = df.withColumn("__h", h).withColumn("shard", shard.cast("int"))
     if not with_position:
         return out.drop("__h")
-    w = Window.partitionBy("shard").orderBy("__h")
-    return out.withColumn("pos", F.row_number().over(w) - 1).drop("__h")
+    out = out.withColumn("__b", F.substring(F.col("__h"), 1, 2))
+    w = Window.partitionBy("shard", "__b").orderBy("__h")
+    ranked = out.withColumn("__rn", F.row_number().over(w))
+    counts = out.groupBy("shard", "__b").agg(F.count("*").alias("__n"))
+    cum = Window.partitionBy("shard").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(cum), F.lit(0))
+    ).select("shard", "__b", "__off")
+    return (
+        ranked.join(F.broadcast(offsets), ["shard", "__b"])
+        .withColumn("pos", (F.col("__off") + F.col("__rn") - 1).cast("int"))
+        .drop("__h", "__b", "__rn", "__off")
+    )
