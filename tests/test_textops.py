@@ -605,6 +605,45 @@ def test_clean_corpus_minhash_path_subset(spark, docs):
         clean_corpus(corpus, near_dup="simhash", **kw).collect()
 
 
+def test_clean_corpus_persisted_ids_resume(spark, docs, tmp_path):
+    """VERDICT r4 #4: persist_ids_to=<dir> gives the same audit as the
+    localCheckpoint default, writes per-stage survivor-id parquet, and
+    a second run over the same dir RESUMES — markers intact, ids served
+    from parquet (byte-stable dir), identical audit."""
+    import os
+
+    from timeseriesflattener_spark.operators.pipeline import clean_corpus
+
+    corpus = docs.select("doc_id", "text").limit(150)
+    kw = dict(quality_kwargs=dict(min_tokens=5), jaccard_threshold=0.5)
+    base = {r["doc_id"]: r["stage"] for r in clean_corpus(corpus, **kw).collect()}
+    pdir = str(tmp_path / "stages")
+    pers = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+    }
+    assert pers == base
+    stage_dirs = sorted(os.listdir(pdir))
+    assert stage_dirs == ["ids_exact_dup", "ids_near_dup", "ids_quality"]
+
+    def snapshot():
+        return {
+            os.path.join(d, f): os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(pdir)
+            for d, f in [(os.path.relpath(r, pdir), "")] + [
+                (os.path.relpath(r, pdir), f) for f in fs
+            ]
+        }
+
+    before = snapshot()
+    again = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+    }
+    assert again == base
+    assert snapshot() == before  # resume: nothing rewritten
+
+
 def test_assign_shards_deterministic_and_balanced(spark, docs):
     """pack_shards: stable across runs, salt changes the permutation,
     positions are dense 0..n-1 per shard."""

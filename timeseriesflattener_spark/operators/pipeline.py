@@ -58,6 +58,7 @@ def clean_corpus(
     bench_text_col: str = "text",
     bench_id_col: str = "doc_id",
     near_dup: str = "jaccard",
+    persist_ids_to: str | None = None,
 ) -> DataFrame:
     """(id, stage) audit frame for the 4-stage cleaning pipeline; stage
     is the first stage that dropped the doc, or ``kept``.
@@ -66,17 +67,44 @@ def clean_corpus(
     the oracle-checked default) or "minhash" (MinHash+LSH candidates
     verified with exact Jaccard — the 100 TB path: same precision,
     recall bounded by the banding; swap it in when the corpus outgrows
-    the all-pairs join)."""
-    def ids_of(frame: DataFrame) -> DataFrame:
+    the all-pairs join).
+
+    ``persist_ids_to``: directory (any Hadoop-FS scheme) for the
+    per-stage survivor-id parquet. Default (None) materialises stages
+    via eager ``localCheckpoint`` — fastest locally, but checkpoint
+    blocks live on executor block managers, so an executor loss forces
+    stage recomputation and a driver death loses the run. With a
+    directory, each stage's ids are written once and re-read; a killed
+    job RESUMES — stages whose ``_SUCCESS`` marker exists are served
+    from parquet without recomputing the quality scan / dedup joins
+    (same ledger-marker pattern as plans.tiers). Completed markers are
+    trusted blindly, so reuse a dir only for the SAME corpus and
+    parameters. The audit itself is identical either way."""
+    spark = df.sparkSession
+
+    def _stage_done(path: str) -> bool:
+        # Hadoop FS probe (not os.path): persist dirs may be hdfs://,
+        # s3a://, ... — the _SUCCESS marker is the commit boundary
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
+
+    def ids_of(frame: DataFrame, stage_name: str) -> DataFrame:
         # materialise a stage's survivor ids ONCE (8-byte rows, lineage
         # truncated) so downstream consumers never re-run the stage
-        return frame.select(id_col).localCheckpoint(eager=True)
+        if persist_ids_to is None:
+            return frame.select(id_col).localCheckpoint(eager=True)
+        path = f"{persist_ids_to.rstrip('/')}/ids_{stage_name}"
+        if not _stage_done(path):
+            frame.select(id_col).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     q = quality_filter(df, text_col, id_col, **(quality_kwargs or {}))
-    s1_ids = ids_of(q.filter("passed"))
+    s1_ids = ids_of(q.filter("passed"), "quality")
     s1 = df.join(s1_ids, id_col, "left_semi")
 
-    s2_ids = ids_of(drop_exact_duplicates(s1, text_col, id_col))
+    s2_ids = ids_of(drop_exact_duplicates(s1, text_col, id_col), "exact_dup")
     s2 = df.join(s2_ids, id_col, "left_semi")
 
     if near_dup == "minhash":
@@ -102,7 +130,8 @@ def clean_corpus(
     s3_ids = ids_of(
         clusters.filter(F.col("doc") == F.col("cluster")).select(
             F.col("doc").alias(id_col)
-        )
+        ),
+        "near_dup",
     )
 
     if benchmark is not None:
@@ -116,7 +145,8 @@ def clean_corpus(
                 id_col=id_col,
                 bench_text_col=bench_text_col,
                 bench_id_col=bench_id_col,
-            )
+            ),
+            "contaminated",
         )
     else:
         s4_ids = s3_ids
