@@ -648,6 +648,48 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last ungated streaming operator (VERDICT r4 #5):
+    ``running_profiles`` — a CUSTOM stateful operator via
+    applyInPandasWithState (streaming/stateful.py) maintaining running
+    count/sum/min/max/last-event-time per conversation in the state
+    store. The 4-file hash-partitioned input streams one file per
+    micro-batch, so most conversations are touched in SEVERAL batches
+    and the final profile is only correct if state genuinely carries
+    across them (update mode re-emits a conv's refreshed profile each
+    batch it appears in; the max-batch_id row per conv is the final
+    one). Values in the exact cents domain; oracle = the batch groupBy
+    ground truth in DuckDB."""
+    import tempfile
+
+    from timeseriesflattener_spark.streaming.stateful import start_profile_stream
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-prof-")
+    src = _events_as_conv(spark, sf_dir, cents=True).select(
+        "conv_id", "ts", F.col("value").alias("v")
+    )
+    src.repartition(4).write.parquet(f"{work}/input")
+    start_profile_stream(
+        spark,
+        f"{work}/input",
+        schema="conv_id string, ts timestamp, v long",
+        out_path=f"{work}/out",
+        checkpoint_dir=f"{work}/ckpt",
+        max_files_per_trigger=1,
+    ).awaitTermination()
+    sink = spark.read.parquet(f"{work}/out")
+    return (
+        sink.groupBy("conv_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "v_sum", "v_min", "v_max", "last_ts"),
+                F.col("batch_id"),
+            ).alias("p")
+        )
+        .select("conv_id", "p.*")
+    )
+
+
 def _daily_points(spark, sf_dir):
     p = R.partial_aggregate(_events_as_conv(spark, sf_dir, cents=True), ["value"], tier="1d")
     pts = R.finalize(p, ["value"], include_bucket_ts=False)
@@ -1365,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_clean_corpus": q_stream_clean_corpus,
         "stream_sessionize_30m": q_stream_sessionize_30m,
+        "stream_profiles": q_stream_profiles,
         "stream_windowed_full_1h": q_stream_windowed_full_1h,
         "topk_event_types_1h": q_topk_event_types_1h,
         "hll_unique_1d": q_hll_unique_1d,
@@ -1508,6 +1551,14 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        CAST(1 AS BIGINT) AS n_survivors,
        FALSE AS clone_survived
 FROM documents GROUP BY 1""",
+        "stream_profiles": """
+SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE) AS v_sum,
+       CAST(min(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE) AS v_min,
+       CAST(max(CAST(round(value*100, 0) AS BIGINT)) AS DOUBLE) AS v_max,
+       max(ts) AS last_ts
+FROM events GROUP BY 1""",
         "stream_clean_corpus": """
 WITH t AS (
   SELECT doc_id, text,
