@@ -98,16 +98,18 @@ def _tier_job(spark, n_convs: int) -> tuple[int, float]:
     return points, wall
 
 
-def _session(cores: str, app: str):
+def _session(cores: str, app: str, extra: dict | None = None):
     from timeseriesflattener_spark import get_spark
 
     # 3 waves per core smooths stragglers; heap sized so 32 concurrent
     # hash-agg tasks don't GC-thrash
+    conf = {"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")}
+    conf.update(extra or {})
     return get_spark(
         app_name=app,
         master=f"local[{cores}]",
         shuffle_partitions=3 * int(cores),
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")},
+        extra_conf=conf,
     )
 
 
@@ -212,6 +214,84 @@ def run_tenx_leg(factor: int) -> None:
     print(json.dumps({"queries_10x": queries_10x}))
 
 
+def _completed_stage_peaks(spark, since_stage: int) -> tuple[int, int]:
+    """(peak per-stage shuffle bytes since ``since_stage``, next stage
+    watermark) via the UI REST API — the only place local mode exposes
+    per-stage shuffle sizes. Peak STAGE shuffle is the number that must
+    stay bounded per partition at scale; a superlinear family shows up
+    here before it shows up in wall clock."""
+    import json as jsonlib
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    stages = jsonlib.load(urllib.request.urlopen(url, timeout=10))
+    peak, hi = 0, since_stage
+    for s in stages:
+        sid = s["stageId"]
+        hi = max(hi, sid + 1)
+        if sid >= since_stage:
+            peak = max(
+                peak,
+                int(s.get("shuffleWriteBytes", 0)),
+                int(s.get("shuffleReadBytes", 0)),
+            )
+    return peak, hi
+
+
+def run_100x_leg() -> None:
+    """100x cliff probe (VERDICT r4 #6) for the two worst 10x-ratio
+    families: dedup_clusters (star-contraction round count grows with
+    component structure) and gorilla_roundtrip (linear per-point codec
+    on fixed cores). Bounded runtime by basing at sf0.01 — the 100x
+    volume equals 10x the headline sf, so the leg probes a TWO-DECADE
+    span without building a multi-GB blow-up. Reports wall ratio (the
+    linear bound at fixed cores is ~factor; fixed-cost-dominated bases
+    make measured ratios sit well under it — only ratio > factor flags
+    superlinearity) and peak per-stage shuffle bytes at both scales."""
+    import __spark_entry__ as entrymod
+
+    base_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(base_dir):
+        base_dir = SF_DIR  # no sibling sf0.01: degrade to the headline sf
+    spark = _session(CPUS, "tsf-bench-100x", extra={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    queries["tpch_pricing_summary"](spark, base_dir).count()
+    spark.range(1).mapInPandas(lambda it: it, "id long").count()
+
+    factor = 100
+    big_dir = _scaled_dir(spark, factor, base_dir=base_dir)
+    out: dict[str, dict] = {}
+    watermark = 0
+    _, watermark = _completed_stage_peaks(spark, 0)  # skip warm-up stages
+    for name in ("dedup_clusters", "gorilla_roundtrip"):
+        t0 = time.time()
+        rows1 = queries[name](spark, base_dir).count()
+        w1 = time.time() - t0
+        peak1, watermark = _completed_stage_peaks(spark, watermark)
+        t0 = time.time()
+        rows2 = queries[name](spark, big_dir).count()
+        w2 = time.time() - t0
+        peak2, watermark = _completed_stage_peaks(spark, watermark)
+        out[name] = {
+            "base_s": round(w1, 3),
+            "scaled_s": round(w2, 3),
+            "ratio": round(w2 / w1, 2),
+            "base_rows": rows1,
+            "scaled_rows": rows2,
+            "peak_stage_shuffle_mb": round(peak1 / 1e6, 2),
+            "peak_stage_shuffle_mb_100x": round(peak2 / 1e6, 2),
+            "superlinear": w2 / w1 > factor,
+        }
+    print(json.dumps({
+        "queries_100x": out,
+        "factor_100x": factor,
+        "base_sf_dir_100x": base_dir,
+    }))
+
+
 def run_headline() -> None:
     """Driver entrypoint: headline leg and 10x leg each in a fresh
     subprocess (separate JVM + page-cache window), merged into ONE JSON
@@ -259,10 +339,16 @@ def run_headline() -> None:
             for k, v in tenx["queries_10x"].items()
         }
         payload["machine_10x"] = tenx["__machine_before"]
+    if os.environ.get("SPARK_GRAFT_100X", "1") != "0":
+        cliff = leg(["--hundredx-leg"])
+        payload["queries_100x"] = cliff["queries_100x"]
+        payload["factor_100x"] = cliff["factor_100x"]
+        payload["base_sf_dir_100x"] = cliff["base_sf_dir_100x"]
+        payload["machine_100x"] = cliff["__machine_before"]
     print(json.dumps(payload))
 
 
-def _scaled_dir(spark, factor: int) -> str:
+def _scaled_dir(spark, factor: int, base_dir: str | None = None) -> str:
     """Build (once, cached in /tmp) a ``factor``x blow-up of every table
     the headline suite touches. Construction preserves each family's
     work shape without manufacturing cross-copy duplicates:
@@ -277,24 +363,25 @@ def _scaled_dir(spark, factor: int) -> str:
     """
     from pyspark.sql import functions as F
 
+    src_dir = base_dir or SF_DIR
     # cache key includes the SOURCE identity (sf dir name + parquet
     # mtimes), not just the factor: a factor-only key silently reuses
     # data blown up from a previous $SPARK_GRAFT_SF_DIR and corrupts
     # every 10x ratio (ADVICE r3)
     import hashlib
 
-    sig = hashlib.md5(SF_DIR.encode())
-    for t in sorted(os.listdir(SF_DIR)):
-        p = os.path.join(SF_DIR, t)
+    sig = hashlib.md5(src_dir.encode())
+    for t in sorted(os.listdir(src_dir)):
+        p = os.path.join(src_dir, t)
         sig.update(f"{t}:{int(os.path.getmtime(p))}".encode())
-    key = f"{os.path.basename(SF_DIR.rstrip('/'))}-{sig.hexdigest()[:10]}"
+    key = f"{os.path.basename(src_dir.rstrip('/'))}-{sig.hexdigest()[:10]}"
     big_dir = os.path.join("/tmp", f"tsf-scaleup-{factor}x-{key}")
     done_marker = os.path.join(big_dir, "_DONE")
     if os.path.isfile(done_marker):
         return big_dir
     os.makedirs(big_dir, exist_ok=True)
     base = {
-        t: spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        t: spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
         for t in ("documents", "embeddings", "events", "lineitem", "orders",
                   "customer", "nation")
     }
@@ -491,6 +578,8 @@ if __name__ == "__main__":
         run_headline_leg()
     elif "--tenx-leg" in sys.argv:
         run_tenx_leg(int(sys.argv[sys.argv.index("--tenx-leg") + 1]))
+    elif "--hundredx-leg" in sys.argv:
+        run_100x_leg()
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--scaleup" in sys.argv:
