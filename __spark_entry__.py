@@ -547,7 +547,12 @@ def q_stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection quality gate + cross-batch exact dedup over two
     micro-batches (batch 2 = clones). Oracle: distinct fingerprints of
     quality-passing docs, each surviving exactly once with no clone
-    outliving its batch-1 original."""
+    outliving its batch-1 original. Batch 1 additionally carries the
+    ``_STREAM_QUALITY_INJECT`` probes — one doc failing EXACTLY one
+    quality rule each, plus one clean doc — so every rule of the
+    streaming ``quality_pass_expr`` decides at least one doc under the
+    gate (VERDICT r4 #7): a broken rule lets its probe survive and the
+    oracle fingerprint set flips."""
     import tempfile
     import time as _time
 
@@ -555,7 +560,12 @@ def q_stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tsf-stream-clean-")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    injected = spark.createDataFrame(
+        _STREAM_QUALITY_INJECT, "doc_id long, text string"
+    )
+    base = docs.unionByName(injected).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
     clones = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         "text",
@@ -573,7 +583,12 @@ def q_stream_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_clean(
             stream,
             watermark="1 hour",
-            quality_kwargs=dict(min_tokens=25, min_stopword_ratio=0.02),
+            quality_kwargs=dict(
+                min_tokens=25,
+                max_tokens=200,
+                min_stopword_ratio=0.02,
+                min_alpha_word_ratio=0.5,
+            ),
         )
         .writeStream.format("parquet")
         .option("path", f"{work}/out")
@@ -935,6 +950,45 @@ _QUALITY_INJECT: list[tuple[int, str]] = [
         "40826 51937 62048 readings overall yesterday",
     ),
 ]
+
+
+#: streaming-gate rule probes (VERDICT r4 #7): one doc per quality rule,
+#: each crafted to fail EXACTLY that rule under the stream_clean_corpus
+#: thresholds (so a broken rule in the streaming quality_pass_expr lets
+#: its probe survive and the oracle hash flips), plus one clean doc that
+#: must survive (proves the injection flows through the stream at all).
+#: symbol/bullet/ellipsis/alpha probes are shared with _QUALITY_INJECT.
+_STREAM_QUALITY_INJECT: list[tuple[int, str]] = [
+    (  # passes every rule -> must appear as a survivor
+        9_100_000,
+        "the morning harbor gleams softly while fishermen gather woven nets "
+        "and the tide carries small boats toward open water beyond the old "
+        "stone lighthouse pier",
+    ),
+    (9_100_001, "the tiny doc"),  # too_short: 3 < 25 tokens
+    (  # too_long: 250 tokens > 200 (13 stopwords keep every other rule green)
+        9_100_002,
+        " ".join("the" if i % 20 == 0 else f"w{i:03d}data" for i in range(250)),
+    ),
+    (  # punct: 96/171 chars in [.,;:!?] > 0.3 (no '...' runs -> symbol green)
+        9_100_003,
+        " ".join(["ab.,;:"] * 24 + ["the"]),
+    ),
+    (  # stopword: 25 alpha words, zero stopwords -> 0 < 0.02
+        9_100_004,
+        "granite meadow cobalt ember willow falcon harbor timber velvet "
+        "copper maple cedar raven summit prairie canyon tundra glacier "
+        "basalt quartz amber heron aspen birch fjord",
+    ),
+    (  # repetition: 4/5 duplicate lines = 0.8 > 0.3
+        9_100_005,
+        "\n".join(["the silver river flows quietly northward"] * 5),
+    ),
+    (  # word_length: (24*20+3)/25 = 19.3 mean chars/token > 12
+        9_100_006,
+        " ".join(["the"] + [f"verylongwordnumber{i:02d}" for i in range(24)]),
+    ),
+] + _QUALITY_INJECT  # symbol / bullet / ellipsis / alpha probes
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,16 +1614,24 @@ SELECT CAST(user_id AS VARCHAR) AS conv_id,
        max(ts) AS last_ts
 FROM events GROUP BY 1""",
         "stream_clean_corpus": """
-WITH t AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES """
+        + ", ".join(
+            "(" + str(i) + ", '" + s.replace("'", "''") + "')"
+            for i, s in _STREAM_QUALITY_INJECT
+        )
+        + """) v(doc_id, text)),
+t AS (
   SELECT doc_id, text,
     regexp_extract_all(text, '\\S+') AS toks,
     regexp_extract_all(lower(text), '\\S+') AS ltoks,
     list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
                 s -> s <> '') AS nlines
-  FROM documents),
+  FROM corpus),
 p AS (
   SELECT doc_id, text FROM t
-  WHERE len(toks) >= 25 AND len(toks) <= 100000
+  WHERE len(toks) >= 25 AND len(toks) <= 200
     AND length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
         / greatest(length(text), 1) <= 0.3
     AND len(list_filter(ltoks, x -> list_contains(
@@ -1583,7 +1645,9 @@ p AS (
     AND len(list_filter(nlines, s -> regexp_matches(s, '^[-*•]')))
         / greatest(len(nlines), 1) <= 0.9
     AND len(list_filter(nlines, s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
-        / greatest(len(nlines), 1) <= 0.3)
+        / greatest(len(nlines), 1) <= 0.3
+    AND len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        / greatest(len(toks), 1) >= 0.5)
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
        CAST(1 AS BIGINT) AS n_survivors,
        FALSE AS clone_survived

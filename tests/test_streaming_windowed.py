@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from timeseriesflattener_spark.streaming.windowed import start_windowed_stream, windowed_partials
@@ -258,6 +260,137 @@ def test_quality_pass_expr_matches_quality_filter(spark):
     expr = {
         r["doc_id"]: r["p"]
         for r in docs.select(
+            "doc_id", quality_pass_expr(F.col("text"), **kw).alias("p")
+        ).collect()
+    }
+    assert audit == expr
+
+
+def test_stream_quality_probes_fail_exactly_one_rule(spark):
+    """VERDICT r4 #7: the stream_clean_corpus probe docs each fail
+    EXACTLY the targeted rule under the streaming thresholds — the
+    audit-frame fail_reason is the target, the pure-projection gate
+    agrees, and neutralizing only the targeted threshold makes the doc
+    pass (so no second rule is hiding behind the first)."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _STREAM_QUALITY_INJECT
+    from timeseriesflattener_spark.operators.text import (
+        quality_filter,
+        quality_pass_expr,
+    )
+
+    kw = dict(
+        min_tokens=25,
+        max_tokens=200,
+        min_stopword_ratio=0.02,
+        min_alpha_word_ratio=0.5,
+    )
+    targets = {
+        9_100_000: None,  # survivor sentinel
+        9_100_001: "too_short",
+        9_100_002: "too_long",
+        9_100_003: "punct",
+        9_100_004: "stopword",
+        9_100_005: "repetition",
+        9_100_006: "word_length",
+        9_000_001: "symbol",
+        9_000_002: "bullet",
+        9_000_003: "ellipsis",
+        9_000_004: "alpha",
+    }
+    neutralize = {
+        "too_short": {"min_tokens": 0},
+        "too_long": {"max_tokens": 10_000},
+        "punct": {"max_punct_ratio": 1.0},
+        "stopword": {"min_stopword_ratio": 0.0},
+        "repetition": {"max_dup_line_ratio": 1.0},
+        "symbol": {"max_symbol_word_ratio": 1.0},
+        "word_length": {"max_mean_word_length": 1_000.0},
+        "bullet": {"max_bullet_line_ratio": 1.0},
+        "ellipsis": {"max_ellipsis_line_ratio": 1.0},
+        "alpha": {"min_alpha_word_ratio": 0.0},
+    }
+    docs = spark.createDataFrame(_STREAM_QUALITY_INJECT, "doc_id long, text string")
+    audit = {
+        r["doc_id"]: r["fail_reason"]
+        for r in quality_filter(docs, **kw).collect()
+    }
+    assert audit == targets
+    expr = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", quality_pass_expr(F.col("text"), **kw).alias("p")
+        ).collect()
+    }
+    assert expr == {i: t is None for i, t in targets.items()}
+    # exactly-one: relax ONLY the targeted rule -> the probe passes
+    for doc_id, target in targets.items():
+        if target is None:
+            continue
+        relaxed = dict(kw)
+        relaxed.update(neutralize[target])
+        row = (
+            docs.filter(F.col("doc_id") == doc_id)
+            .select(quality_pass_expr(F.col("text"), **relaxed).alias("p"))
+            .collect()[0]
+        )
+        assert row["p"] is True, (doc_id, target)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "a", "data", "#", "...", "-", "…x", "longwordhere",
+                 "x", "1234", "ab.,;:", "end..."]
+            ),
+            min_size=0,
+            max_size=9,
+        ).map(lambda toks: "".join(
+            t + sep for t, sep in zip(toks, ["\n", " ", "\t\n", " ", "\r\n",
+                                             " ", " ", " ", " "])
+        )),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quality_filter_expr_equivalence_property(spark, docs):
+    """Generated newline/tab/punctuation-soup corpora with thresholds
+    tight enough that EVERY rule fires somewhere across examples: the
+    audit-frame quality_filter and the streaming quality_pass_expr must
+    decide identically, doc for doc."""
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.text import (
+        quality_filter,
+        quality_pass_expr,
+    )
+
+    kw = dict(
+        min_tokens=2,
+        max_tokens=6,
+        max_punct_ratio=0.25,
+        min_stopword_ratio=0.1,
+        max_dup_line_ratio=0.4,
+        max_symbol_word_ratio=0.15,
+        min_mean_word_length=2.0,
+        max_mean_word_length=6.0,
+        max_bullet_line_ratio=0.5,
+        max_ellipsis_line_ratio=0.2,
+        min_alpha_word_ratio=0.6,
+    )
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    audit = {r["doc_id"]: r["passed"] for r in quality_filter(df, **kw).collect()}
+    expr = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
             "doc_id", quality_pass_expr(F.col("text"), **kw).alias("p")
         ).collect()
     }
