@@ -1601,7 +1601,7 @@ SELECT CAST(user_id AS VARCHAR) AS conv_id,
        max(CAST(round(value*100, 0) AS BIGINT)) AS value_max
 FROM events GROUP BY 1, 2""",
         "stream_dedup_exact": """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        CAST(1 AS BIGINT) AS n_survivors,
        FALSE AS clone_survived
 FROM documents GROUP BY 1""",
@@ -1648,7 +1648,7 @@ p AS (
         / greatest(len(nlines), 1) <= 0.3
     AND len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
         / greatest(len(toks), 1) >= 0.5)
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        CAST(1 AS BIGINT) AS n_survivors,
        FALSE AS clone_survived
 FROM p GROUP BY 1""",
@@ -1834,7 +1834,7 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd USING (doc_id)""",
         "decontaminate": """
 WITH norm AS (
-  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -1923,7 +1923,7 @@ SELECT doc_id,
     '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
 FROM inj""",
         "dedup_exact": """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1""",
         "pack_shards": """
@@ -1992,7 +1992,7 @@ q AS (
   FROM qbase b LEFT JOIN qrep USING (doc_id)),
 s1 AS (SELECT doc_id FROM q WHERE fail_reason IS NULL),
 fp AS (
-  SELECT c.doc_id, md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g')) AS f
+  SELECT c.doc_id, md5(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g'))) AS f
   FROM corpus c JOIN s1 USING (doc_id)),
 s2 AS (
   SELECT doc_id FROM (
@@ -2000,7 +2000,7 @@ s2 AS (
   WHERE doc_id = m),
 norm AS (
   SELECT c.doc_id,
-    string_split_regex(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g'), ' ') AS toks
+    string_split_regex(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')), ' ') AS toks
   FROM corpus c JOIN s2 USING (doc_id)),
 sh AS (
   SELECT doc_id,
@@ -2033,7 +2033,7 @@ s3 AS (
   SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(label)),
 bnorm AS (
   SELECT doc_id AS bench_id,
-    string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
   FROM documents WHERE doc_id < 20),
 bsh AS (
   SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 3
@@ -2058,7 +2058,7 @@ LEFT JOIN s3 ON c.doc_id = s3.doc_id
 LEFT JOIN s4 ON c.doc_id = s4.doc_id""",
         "dedup_jaccard": """
 WITH norm AS (
-  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -2084,7 +2084,7 @@ FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb
 WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5""",
         "dedup_clusters": """
 WITH RECURSIVE norm AS (
-  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -2116,7 +2116,7 @@ reach(node, label) AS (
 SELECT node AS doc, min(label) AS cluster FROM reach GROUP BY node""",
         "dedup_minhash": """
 WITH norm AS (
-  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
   FROM documents),
 sh AS (
   SELECT doc_id,
@@ -2142,7 +2142,7 @@ WITH aug AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10),
 f AS (
-  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM aug)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
 FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id""",

@@ -236,10 +236,12 @@ def test_fingerprint64_stability(spark):
     from timeseriesflattener_spark.operators.text import fingerprint64
 
     df = spark.createDataFrame(
-        [(1, "hello  world"), (2, "hello world"), (3, "hello worlds")],
+        [(1, "hello  world"), (2, "hello world"), (3, "hello worlds"),
+         (4, "\nhello\tworld\r\n")],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r["f"] for r in df.select(
         "doc_id", fingerprint64(F.col("text")).alias("f")).collect()}
     assert got[1] == got[2]      # internal whitespace normalised
     assert got[1] != got[3]      # content-sensitive
+    assert got[1] == got[4]      # edge \n/\t/\r normalised too

@@ -30,7 +30,13 @@ from pyspark.storagelevel import StorageLevel
 
 
 def normalized_text(text: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    """Whitespace-normalised lowercase text == Python
+    ``" ".join(text.lower().split())``. Collapse FIRST, then trim: the
+    old trim-first order left a leading/trailing space (and an empty
+    first token after split) whenever the edge whitespace was \\n/\\t/\\r
+    — SQL trim strips only spaces — so "\\nfoo" and "foo" failed to
+    dedup together."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
 # Persisted shingle frames created by dedup calls. The functions here are

@@ -171,7 +171,7 @@ def fingerprint64(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalised
     text — the cheap exact-dup key (a rolling/shingled variant lives in
     ``operators.dedup.simhash64``)."""
-    return F.xxhash64(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.xxhash64(F.trim(F.regexp_replace(text, r"\s+", " ")))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
