@@ -1059,6 +1059,22 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_shards(docs, n_shards=10).select("doc_id", "shard", "pos")
 
 
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/pipeline.py):
+    documents concatenated in deterministic md5 order within 4 shards,
+    token stream cut every 512 tokens into fixed-length training
+    contexts; each doc reports its stream offset and first/last context
+    id. Oracle: the same running-sum packing as one DuckDB window —
+    proving the two-stage (bucket + broadcast offsets) formulation
+    equals the single-window semantics."""
+    from timeseriesflattener_spark.operators.pipeline import pack_contexts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_toks")
+    )
+    return pack_contexts(docs, budget=512, token_col="n_toks", n_shards=4)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "fingerprint", "n_docs", "keep_id"
@@ -1481,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
+        "pack_contexts": q_pack_contexts,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -1938,6 +1955,27 @@ s AS (
 SELECT doc_id, shard,
   CAST(row_number() OVER (PARTITION BY shard ORDER BY hh) - 1 AS INTEGER) AS pos
 FROM s""",
+        "pack_contexts": """
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS toks,
+         md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, hh,
+    CAST(CAST(list_sum(
+      [(strpos('0123456789abcdef', substr(hh, i, 1)) - 1) * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) % 4 AS INTEGER) AS shard
+  FROM t),
+c AS (
+  SELECT doc_id, shard, toks,
+    CAST(COALESCE(SUM(toks) OVER (PARTITION BY shard ORDER BY hh
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_start
+  FROM s)
+SELECT doc_id, shard, tok_start,
+  CAST(floor(tok_start / 512) AS BIGINT) AS first_ctx,
+  CAST(floor((tok_start + greatest(toks, 1) - 1) / 512) AS BIGINT) AS last_ctx
+FROM c""",
         "corpus_clean": """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents

@@ -665,6 +665,45 @@ def test_assign_shards_deterministic_and_balanced(spark, docs):
     assert len(per) == 8  # every shard populated at 500 docs
 
 
+def test_pack_contexts_stream_semantics(spark, docs):
+    """pack_contexts == brute-force concat-and-chunk packing in md5
+    order: offsets are the exact running token sum per shard, contexts
+    partition the stream at every multiple of budget, zero-token docs
+    pin to their offset's context, and the plan holds no window
+    partitioned by shard alone."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.pipeline import pack_contexts
+    from timeseriesflattener_spark.operators.text import token_count
+
+    d = docs.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+    out = pack_contexts(d, budget=128, token_col="n_toks", n_shards=3)
+    got = {
+        r["doc_id"]: (r["shard"], r["tok_start"], r["first_ctx"], r["last_ctx"])
+        for r in out.collect()
+    }
+    toks = {r["doc_id"]: r["n_toks"] for r in d.collect()}
+    by_shard = {}
+    for doc_id in toks:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        by_shard.setdefault(int(h[:8], 16) % 3, []).append((h, doc_id))
+    expect = {}
+    for s, items in by_shard.items():
+        cum = 0
+        for h, doc_id in sorted(items):
+            n = toks[doc_id]
+            expect[doc_id] = (s, cum, cum // 128, (cum + max(n, 1) - 1) // 128)
+            cum += n
+    assert got == expect
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "shard" in spec:
+            assert "__b" in spec, spec
+
+
 def test_assign_shards_two_stage_rank(spark, docs):
     """VERDICT r4 #3: positions come from a two-stage rank — the plan
     must hold NO window partitioned by the low-cardinality shard alone

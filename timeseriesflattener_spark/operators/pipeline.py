@@ -233,3 +233,75 @@ def assign_shards(
         .withColumn("pos", (F.col("__off") + F.col("__rn") - 1).cast("int"))
         .drop("__h", "__b", "__rn", "__off")
     )
+
+
+def pack_contexts(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step after
+    ``assign_shards`` in a training pipeline: documents are concatenated
+    in a deterministic pseudo-random order and the token stream is cut
+    every ``budget`` tokens into fixed-length training contexts (the
+    padding-free packing LLM loaders use). Each doc reports its shard,
+    its token offset in the shard's stream (``tok_start``) and the
+    context ids its tokens land in (``first_ctx``/``last_ctx`` — a doc
+    straddling a cut spans several).
+
+    Same md5 order and reproducibility contract as ``assign_shards``
+    (same corpus + salt => byte-identical packing; plain-SQL hash so
+    loaders in other runtimes can recompute it). Scale shape mirrors the
+    two-stage rank there: the running token sum is computed within
+    ``(shard, h-prefix bucket)`` windows and bucket-level token totals
+    (n_shards x 256 rows, map-side combined, broadcast back) supply each
+    bucket's stream offset — no window partitioned by the
+    low-cardinality shard alone, max task size corpus/(n_shards*256).
+
+    Zero-token docs occupy no stream space but are still assigned the
+    context at their offset (first_ctx == last_ctx)."""
+    from pyspark.sql import Window
+
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    h = F.md5(key)
+    shard = (
+        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards))
+        if n_shards > 1
+        else F.lit(0)
+    )
+    toks = F.col(token_col).cast("long")
+    out = (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("__b", F.substring(F.col("__h"), 1, 2))
+    )
+    w = Window.partitionBy("shard", "__b").orderBy("__h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    bucket_tokens = out.groupBy("shard", "__b").agg(F.sum(toks).alias("__bt"))
+    cum = Window.partitionBy("shard").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_tokens.withColumn(
+        "__boff", F.coalesce(F.sum("__bt").over(cum), F.lit(0))
+    ).select("shard", "__b", "__boff")
+    packed = (
+        out.withColumn("__within", within)
+        .join(F.broadcast(offsets), ["shard", "__b"])
+        .withColumn("tok_start", F.col("__boff") + F.col("__within"))
+    )
+    first_ctx = F.floor(F.col("tok_start") / budget)
+    last_ctx = F.floor(
+        (F.col("tok_start") + F.greatest(toks, F.lit(1)) - 1) / budget
+    )
+    return packed.select(
+        F.col(id_col),
+        F.col("shard"),
+        F.col("tok_start"),
+        first_ctx.cast("long").alias("first_ctx"),
+        last_ctx.cast("long").alias("last_ctx"),
+    )
