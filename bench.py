@@ -478,6 +478,8 @@ def run_scaling() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "2000000"))
     results = {}
     for cores in ("2", "8", "32"):
+        state = _machine_state()  # attribute state-sensitive legs (the
+        # 8->32 pair reads ~1.5-1.9x slow right after a saturating leg)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one-leg", cores, str(n_convs)],
             capture_output=True,
@@ -486,6 +488,7 @@ def run_scaling() -> None:
         )
         leg = json.loads(out.stdout.strip().splitlines()[-1])
         leg["points_per_sec"] = round(leg["points"] / leg["wall_s"], 1)
+        leg["machine_before"] = state
         results[cores] = leg
     eff_2_8 = results["2"]["wall_s"] / results["8"]["wall_s"] / 4.0
     eff_8_32 = results["8"]["wall_s"] / results["32"]["wall_s"] / 4.0
