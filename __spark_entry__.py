@@ -1075,6 +1075,21 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_contexts(docs, budget=512, token_col="n_toks", n_shards=4)
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-side packing view (operators/pipeline.py::context_manifest):
+    one row per (shard, ctx, doc) with the doc's intra-context token
+    slice — what a training loader reads to assemble each fixed-length
+    context. Oracle: the single-window packing cumsum exploded over
+    generate_series(first_ctx, last_ctx) with the same slice
+    arithmetic."""
+    from timeseriesflattener_spark.operators.pipeline import context_manifest
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_toks")
+    )
+    return context_manifest(docs, budget=512, token_col="n_toks", n_shards=4)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents")).select(
         "fingerprint", "n_docs", "keep_id"
@@ -1498,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
+        "pack_manifest": q_pack_manifest,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -1976,6 +1992,35 @@ SELECT doc_id, shard, tok_start,
   CAST(floor(tok_start / 512) AS BIGINT) AS first_ctx,
   CAST(floor((tok_start + greatest(toks, 1) - 1) / 512) AS BIGINT) AS last_ctx
 FROM c""",
+        "pack_manifest": """
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS toks,
+         md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, hh,
+    CAST(CAST(list_sum(
+      [(strpos('0123456789abcdef', substr(hh, i, 1)) - 1) * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) % 4 AS INTEGER) AS shard
+  FROM t),
+c AS (
+  SELECT doc_id, shard, toks,
+    CAST(COALESCE(SUM(toks) OVER (PARTITION BY shard ORDER BY hh
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_start
+  FROM s),
+e AS (
+  SELECT doc_id, shard, toks, tok_start,
+    unnest(generate_series(
+      CAST(floor(tok_start / 512) AS BIGINT),
+      CAST(floor((tok_start + greatest(toks, 1) - 1) / 512) AS BIGINT)
+    )) AS ctx
+  FROM c)
+SELECT shard, ctx, doc_id,
+  CAST(greatest(tok_start, ctx * 512) - ctx * 512 AS BIGINT) AS slice_start,
+  CAST(greatest(least(tok_start + toks, (ctx + 1) * 512)
+       - greatest(tok_start, ctx * 512), 0) AS BIGINT) AS slice_len
+FROM e""",
         "corpus_clean": """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents

@@ -643,6 +643,24 @@ def test_clean_corpus_persisted_ids_resume(spark, docs, tmp_path):
     assert again == base
     assert snapshot() == before  # resume: nothing rewritten
 
+    # mid-pipeline crash: later stages gone (as after a kill between
+    # stage commits) -> only they recompute; audit identical, stage-1
+    # parquet untouched
+    import shutil
+
+    shutil.rmtree(os.path.join(pdir, "ids_near_dup"))
+    s1_before = {
+        k: v for k, v in before.items() if k.startswith("ids_quality")
+    }
+    resumed = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+    }
+    assert resumed == base
+    after = snapshot()
+    assert {k: v for k, v in after.items() if k.startswith("ids_quality")} == s1_before
+    assert any(k.startswith("ids_near_dup") for k in after)
+
 
 def test_assign_shards_deterministic_and_balanced(spark, docs):
     """pack_shards: stable across runs, salt changes the permutation,
@@ -702,6 +720,41 @@ def test_pack_contexts_stream_semantics(spark, docs):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "shard" in spec:
             assert "__b" in spec, spec
+
+
+def test_context_manifest_tiles_contexts(spark, docs):
+    """context_manifest slices tile each context exactly: per
+    (shard, ctx) slices are disjoint, contiguous from 0, and sum to the
+    budget for every context except each shard's last; doc totals equal
+    token counts."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.pipeline import context_manifest
+    from timeseriesflattener_spark.operators.text import token_count
+
+    d = docs.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+    rows = context_manifest(d, budget=128, token_col="n_toks", n_shards=3).collect()
+    toks = {r["doc_id"]: r["n_toks"] for r in d.collect()}
+    per_ctx = defaultdict(list)
+    per_doc = defaultdict(int)
+    for r in rows:
+        per_ctx[(r["shard"], r["ctx"])].append((r["slice_start"], r["slice_len"]))
+        per_doc[r["doc_id"]] += r["slice_len"]
+    assert per_doc == {d_: n for d_, n in toks.items()}  # no token lost
+    last_ctx = {}
+    for (s, c) in per_ctx:
+        last_ctx[s] = max(last_ctx.get(s, -1), c)
+    for (s, c), slices in per_ctx.items():
+        pos = 0
+        for start, ln in sorted(slices):
+            assert start == pos, (s, c, slices)  # contiguous, disjoint
+            pos += ln
+        if c < last_ctx[s]:
+            assert pos == 128, (s, c, pos)  # full context
+        else:
+            assert 0 < pos <= 128 or pos == 0, (s, c, pos)
 
 
 def test_assign_shards_two_stage_rank(spark, docs):

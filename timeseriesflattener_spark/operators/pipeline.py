@@ -242,6 +242,7 @@ def pack_contexts(
     id_col: str = "doc_id",
     salt: str = "",
     n_shards: int = 1,
+    keep_tokens: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing — the step after
     ``assign_shards`` in a training pipeline: documents are concatenated
@@ -262,7 +263,11 @@ def pack_contexts(
     low-cardinality shard alone, max task size corpus/(n_shards*256).
 
     Zero-token docs occupy no stream space but are still assigned the
-    context at their offset (first_ctx == last_ctx)."""
+    context at their offset (first_ctx == last_ctx).
+
+    ``keep_tokens=True`` appends the token count as ``n_toks`` (the
+    input to ``context_manifest``, which needs the span length to cut
+    per-context slices without re-scanning text)."""
     from pyspark.sql import Window
 
     key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
@@ -298,10 +303,56 @@ def pack_contexts(
     last_ctx = F.floor(
         (F.col("tok_start") + F.greatest(toks, F.lit(1)) - 1) / budget
     )
-    return packed.select(
+    cols = [
         F.col(id_col),
         F.col("shard"),
         F.col("tok_start"),
         first_ctx.cast("long").alias("first_ctx"),
         last_ctx.cast("long").alias("last_ctx"),
+    ]
+    if keep_tokens:
+        cols.append(toks.alias("n_toks"))
+    return packed.select(*cols)
+
+
+def context_manifest(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_shards: int = 1,
+) -> DataFrame:
+    """The loader-side view of ``pack_contexts``: one row per
+    (shard, ctx, doc) — for training context ``ctx``, which docs
+    contribute tokens and at what intra-context range
+    [``slice_start``, ``slice_start + slice_len``). A loader assembles
+    context ``ctx`` by concatenating its rows ordered by
+    ``slice_start``; every context except each shard's last is exactly
+    ``budget`` tokens (slices tile it with no gaps — pinned by test).
+
+    Derived purely from the packing arithmetic (explode of each doc's
+    first..last context span) — no second scan of the text; the fanout
+    per doc is bounded by tokens/budget. Zero-token docs emit one
+    zero-length slice at their offset, so the manifest still records
+    where they sit in the curriculum order."""
+    packed = pack_contexts(
+        df, budget, token_col, id_col=id_col, salt=salt,
+        n_shards=n_shards, keep_tokens=True,
+    )
+    ctx = F.explode(F.sequence(F.col("first_ctx"), F.col("last_ctx"))).alias("ctx")
+    e = packed.select(id_col, "shard", "tok_start", "n_toks", ctx)
+    doc_end = F.col("tok_start") + F.col("n_toks")
+    ctx_lo = F.col("ctx") * budget
+    ctx_hi = (F.col("ctx") + 1) * budget
+    slice_start = F.greatest(F.col("tok_start"), ctx_lo) - ctx_lo
+    slice_len = (
+        F.least(doc_end, ctx_hi) - F.greatest(F.col("tok_start"), ctx_lo)
+    )
+    return e.select(
+        F.col("shard"),
+        F.col("ctx"),
+        F.col(id_col),
+        slice_start.cast("long").alias("slice_start"),
+        F.greatest(slice_len, F.lit(0)).cast("long").alias("slice_len"),
     )
