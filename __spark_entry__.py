@@ -1075,6 +1075,23 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_contexts(docs, budget=512, token_col="n_toks", n_shards=4)
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling with per-language rates
+    (operators/pipeline.py::deterministic_sample): en 50%, zh 100%,
+    others 10%. No RNG — keep iff the first 8 md5 hex digits of the id
+    read as a 32-bit int fall under rate * 2^32, so the oracle (and
+    any loader) reproduces the exact subset."""
+    from timeseriesflattener_spark.operators.pipeline import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return deterministic_sample(
+        docs,
+        rate=0.1,
+        rates={"en": 0.5, "zh": 1.0},
+        stratify_col="lang",
+    )
+
+
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loader-side packing view (operators/pipeline.py::context_manifest):
     one row per (shard, ctx, doc) with the doc's intra-context token
@@ -1514,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
         "pack_manifest": q_pack_manifest,
+        "sample_stratified": q_sample_stratified,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -1992,6 +2010,18 @@ SELECT doc_id, shard, tok_start,
   CAST(floor(tok_start / 512) AS BIGINT) AS first_ctx,
   CAST(floor((tok_start + greatest(toks, 1) - 1) / 512) AS BIGINT) AS last_ctx
 FROM c""",
+        "sample_stratified": """
+WITH h AS (
+  SELECT doc_id, lang, source,
+    CAST(list_sum(
+      [(strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) AS u
+  FROM documents)
+SELECT doc_id, lang, source FROM h
+WHERE u < CASE WHEN lang = 'en' THEN 2147483648
+               WHEN lang = 'zh' THEN 4294967296
+               ELSE 429496729 END""",
         "pack_manifest": """
 WITH t AS (
   SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS toks,

@@ -722,7 +722,38 @@ def test_pack_contexts_stream_semantics(spark, docs):
             assert "__b" in spec, spec
 
 
-def test_context_manifest_tiles_contexts(spark, docs):
+def test_deterministic_sample_exact_and_monotone(spark, docs):
+    """deterministic_sample == the md5-threshold reference exactly;
+    nested rates are monotone (0.1 sample ⊆ 0.5 ⊆ 1.0 with one salt);
+    a different salt draws a different subset; per-stratum rates apply
+    per stratum; the plan is a single filtered scan (no shuffle)."""
+    import hashlib
+
+    from timeseriesflattener_spark.operators.pipeline import deterministic_sample
+
+    d = docs.select("doc_id", "lang")
+
+    def u(doc_id, salt=""):
+        return int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16)
+
+    all_ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+    langs = {r["doc_id"]: r["lang"] for r in d.collect()}
+    for rate in (0.1, 0.5):
+        got = {r["doc_id"] for r in deterministic_sample(d, rate=rate).collect()}
+        expect = {i for i in all_ids if u(i) < int(rate * (1 << 32))}
+        assert got == expect, rate
+    s01 = {r["doc_id"] for r in deterministic_sample(d, rate=0.1).collect()}
+    s05 = {r["doc_id"] for r in deterministic_sample(d, rate=0.5).collect()}
+    assert s01 <= s05  # monotone nesting under one salt
+    other = {r["doc_id"] for r in deterministic_sample(d, rate=0.5, salt="x").collect()}
+    assert other != s05
+    strat = deterministic_sample(
+        d, rate=0.0, rates={"en": 1.0}, stratify_col="lang"
+    )
+    got = {r["doc_id"] for r in strat.collect()}
+    assert got == {i for i in all_ids if langs[i] == "en"}
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # one filtered pass, no shuffle
     """context_manifest slices tile each context exactly: per
     (shard, ctx) slices are disjoint, contiguous from 0, and sum to the
     budget for every context except each shard's last; doc totals equal

@@ -315,6 +315,47 @@ def pack_contexts(
     return packed.select(*cols)
 
 
+def deterministic_sample(
+    df: DataFrame,
+    rate: float = 0.0,
+    rates: dict[str, float] | None = None,
+    stratify_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible hash-threshold sampling — how a training pipeline
+    takes "50% of web, 100% of wiki, 10% of forum" and gets the SAME
+    subset on every run and in every engine: keep a row iff the first
+    8 hex digits of ``md5(salt || id)`` read as a 32-bit integer fall
+    under ``rate * 2^32``. No RNG, no seed plumbing, no
+    partition-order sensitivity (Spark's ``df.sample`` is none of
+    those); the predicate is a pure per-row expression, so the sample
+    is one filtered scan pass — no shuffle, no sort. md5 keeps it
+    recomputable in plain SQL / other runtimes (same contract as
+    ``assign_shards``). Changing ``salt`` draws an independent sample;
+    nested samples with the same salt are MONOTONE (rate 0.1 ⊂ rate
+    0.5 — shrink a corpus without resampling everything, the thing a
+    curriculum sweep needs).
+
+    ``rates`` + ``stratify_col``: per-stratum rates (source mixing /
+    language weights); strata not listed fall back to ``rate``."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+    def threshold(r: float) -> Column:
+        return F.lit(int(r * (1 << 32)))
+
+    if rates:
+        if stratify_col is None:
+            raise ValueError("rates= requires stratify_col=")
+        thr: Column = threshold(rate)
+        for stratum, r in sorted(rates.items()):
+            thr = F.when(F.col(stratify_col) == stratum, threshold(r)).otherwise(thr)
+    else:
+        thr = threshold(rate)
+    return df.filter(u < thr)
+
+
 def context_manifest(
     df: DataFrame,
     budget: int,
