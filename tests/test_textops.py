@@ -722,6 +722,37 @@ def test_pack_contexts_stream_semantics(spark, docs):
             assert "__b" in spec, spec
 
 
+def test_packing_family_partition_invariant(spark, docs):
+    """The reproducibility contract of the packing/sampling family:
+    identical output regardless of the input's physical partitioning
+    (1 partition vs 13) — no partition-order or task-scheduling
+    sensitivity anywhere in shard, pos, context, or sample membership."""
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.pipeline import (
+        assign_shards,
+        context_manifest,
+        deterministic_sample,
+    )
+    from timeseriesflattener_spark.operators.text import token_count
+
+    d = docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_toks"))
+    one, many = d.coalesce(1), d.repartition(13)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(assign_shards(one.select("doc_id"), 5)) == rows(
+        assign_shards(many.select("doc_id"), 5)
+    )
+    assert rows(
+        context_manifest(one, budget=64, token_col="n_toks", n_shards=2)
+    ) == rows(context_manifest(many, budget=64, token_col="n_toks", n_shards=2))
+    assert rows(deterministic_sample(one, rate=0.3)) == rows(
+        deterministic_sample(many, rate=0.3)
+    )
+
+
 def test_deterministic_sample_exact_and_monotone(spark, docs):
     """deterministic_sample == the md5-threshold reference exactly;
     nested rates are monotone (0.1 sample ⊆ 0.5 ⊆ 1.0 with one salt);
