@@ -1075,6 +1075,45 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_contexts(docs, budget=512, token_col="n_toks", n_shards=4)
 
 
+def q_prepare_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus -> training shards in ONE call
+    (operators/pipeline.py::prepare_training_data): the corpus_clean
+    4-stage audit (same corpus, clones, benchmark and thresholds as the
+    corpus_clean query) -> keep survivors -> deterministic 50% sample
+    -> 4 md5 shards with tie-free positions. Oracle: the corpus_clean
+    CTE chain (shared byte-for-byte via _CORPUS_CLEAN_CTES) extended
+    with the sample threshold and a single-window shard/pos — one gate
+    proving the composition, not just the stages."""
+    from timeseriesflattener_spark.operators.pipeline import prepare_training_data
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return prepare_training_data(
+        docs.unionByName(clones),
+        benchmark=bench,
+        bench_id_col="bench_id",
+        sample_rate=0.5,
+        n_shards=4,
+        quality_kwargs=dict(
+            min_tokens=25,
+            min_stopword_ratio=0.02,
+            max_dup_line_ratio=0.08,
+            min_mean_word_length=4.2,
+            min_alpha_word_ratio=0.5,
+            lines=T.word_ngrams(F.col("text"), 2),
+        ),
+        shingle_k=3,
+        jaccard_threshold=0.5,
+        max_shingle_freq=1000,
+        contamination_n=3,
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold sampling with per-language rates
     (operators/pipeline.py::deterministic_sample): en 50%, zh 100%,
@@ -1532,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_contexts": q_pack_contexts,
         "pack_manifest": q_pack_manifest,
         "sample_stratified": q_sample_stratified,
+        "prepare_training": q_prepare_training,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -1553,6 +1593,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _LOOKBEHIND_JOIN = (
     "e.user_id = p.user_id AND e.ts >= p.pred_ts - INTERVAL {days} DAY AND e.ts <= p.pred_ts"
 )
+
+
+#: corpus_clean oracle, split so the composed prepare_training oracle
+#: reuses the identical 4-stage CTE chain (byte-for-byte — any drift
+#: between the two gates would be a bug)
+_CORPUS_CLEAN_CTES = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id >= 100 AND doc_id < 120),
+t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks,
+    regexp_extract_all(lower(text), '\\S+') AS ltoks
+  FROM corpus),
+qbase AS (
+  SELECT doc_id,
+    len(toks) AS nt,
+    length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / greatest(length(text), 1) AS pr,
+    len(list_filter(ltoks, x -> list_contains(
+      ['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], x)))
+      / greatest(len(ltoks), 1) AS sr,
+    (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
+      / greatest(len(toks), 1) AS sw,
+    length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1) AS mwl,
+    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
+        s -> s <> ''), s -> regexp_matches(s, '^[-*•]')))
+      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
+        s -> s <> '')), 1) AS bl,
+    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
+        s -> s <> ''), s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
+      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
+        s -> s <> '')), 1) AS el,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+      / greatest(len(toks), 1) AS aw
+  FROM t),
+ql AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+    ELSE [] END) AS line
+  FROM t),
+qpl AS (SELECT doc_id, line, count(*) AS k FROM ql GROUP BY 1, 2),
+qrep AS (SELECT doc_id, (sum(k) - count(*)) / greatest(sum(k), 1) AS dl FROM qpl GROUP BY 1),
+q AS (
+  SELECT b.doc_id,
+    CASE WHEN nt < 25 THEN 'too_short'
+         WHEN nt > 100000 THEN 'too_long'
+         WHEN pr > 0.3 THEN 'punct'
+         WHEN sr < 0.02 THEN 'stopword'
+         WHEN coalesce(dl, 0) > 0.08 THEN 'repetition'
+         WHEN sw > 0.1 THEN 'symbol'
+         WHEN mwl < 4.2 OR mwl > 12.0 THEN 'word_length'
+         WHEN bl > 0.9 THEN 'bullet'
+         WHEN el > 0.3 THEN 'ellipsis'
+         WHEN aw < 0.5 THEN 'alpha'
+    END AS fail_reason
+  FROM qbase b LEFT JOIN qrep USING (doc_id)),
+s1 AS (SELECT doc_id FROM q WHERE fail_reason IS NULL),
+fp AS (
+  SELECT c.doc_id, md5(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g'))) AS f
+  FROM corpus c JOIN s1 USING (doc_id)),
+s2 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS m FROM fp)
+  WHERE doc_id = m),
+norm AS (
+  SELECT c.doc_id,
+    string_split_regex(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM corpus c JOIN s2 USING (doc_id)),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(CASE WHEN len(toks) >= 3
+      THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM norm),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS freq FROM sh)
+  WHERE freq <= 1000),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+ndpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ndpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM ndpairs),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM s2
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+s3 AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(label)),
+bnorm AS (
+  SELECT doc_id AS bench_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE doc_id < 20),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 3
+    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM bnorm),
+contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN s3 USING (doc_id) JOIN bsh b ON s.shingle = b.shingle),
+s4 AS (
+  SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+
+_CORPUS_CLEAN_AUDIT_SELECT = """SELECT c.doc_id,
+  CASE WHEN q.fail_reason IS NOT NULL THEN 'quality'
+       WHEN s2.doc_id IS NULL THEN 'exact_dup'
+       WHEN s3.doc_id IS NULL THEN 'near_dup'
+       WHEN s4.doc_id IS NULL THEN 'contaminated'
+       ELSE 'kept' END AS stage
+FROM corpus c
+LEFT JOIN q ON c.doc_id = q.doc_id
+LEFT JOIN s2 ON c.doc_id = s2.doc_id
+LEFT JOIN s3 ON c.doc_id = s3.doc_id
+LEFT JOIN s4 ON c.doc_id = s4.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2051,124 +2215,25 @@ SELECT shard, ctx, doc_id,
   CAST(greatest(least(tok_start + toks, (ctx + 1) * 512)
        - greatest(tok_start, ctx * 512), 0) AS BIGINT) AS slice_len
 FROM e""",
-        "corpus_clean": """
-WITH RECURSIVE corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-  WHERE doc_id >= 100 AND doc_id < 120),
-t AS (
-  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks,
-    regexp_extract_all(lower(text), '\\S+') AS ltoks
-  FROM corpus),
-qbase AS (
-  SELECT doc_id,
-    len(toks) AS nt,
-    length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / greatest(length(text), 1) AS pr,
-    len(list_filter(ltoks, x -> list_contains(
-      ['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], x)))
-      / greatest(len(ltoks), 1) AS sr,
-    (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))
-      / greatest(len(toks), 1) AS sw,
-    length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1) AS mwl,
-    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
-        s -> s <> ''), s -> regexp_matches(s, '^[-*•]')))
-      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
-        s -> s <> '')), 1) AS bl,
-    len(list_filter(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
-        s -> s <> ''), s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
-      / greatest(len(list_filter(list_transform(string_split(text, chr(10)), s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
-        s -> s <> '')), 1) AS el,
-    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
-      / greatest(len(toks), 1) AS aw
-  FROM t),
-ql AS (
-  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
-    ELSE [] END) AS line
-  FROM t),
-qpl AS (SELECT doc_id, line, count(*) AS k FROM ql GROUP BY 1, 2),
-qrep AS (SELECT doc_id, (sum(k) - count(*)) / greatest(sum(k), 1) AS dl FROM qpl GROUP BY 1),
-q AS (
-  SELECT b.doc_id,
-    CASE WHEN nt < 25 THEN 'too_short'
-         WHEN nt > 100000 THEN 'too_long'
-         WHEN pr > 0.3 THEN 'punct'
-         WHEN sr < 0.02 THEN 'stopword'
-         WHEN coalesce(dl, 0) > 0.08 THEN 'repetition'
-         WHEN sw > 0.1 THEN 'symbol'
-         WHEN mwl < 4.2 OR mwl > 12.0 THEN 'word_length'
-         WHEN bl > 0.9 THEN 'bullet'
-         WHEN el > 0.3 THEN 'ellipsis'
-         WHEN aw < 0.5 THEN 'alpha'
-    END AS fail_reason
-  FROM qbase b LEFT JOIN qrep USING (doc_id)),
-s1 AS (SELECT doc_id FROM q WHERE fail_reason IS NULL),
-fp AS (
-  SELECT c.doc_id, md5(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g'))) AS f
-  FROM corpus c JOIN s1 USING (doc_id)),
-s2 AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS m FROM fp)
-  WHERE doc_id = m),
-norm AS (
-  SELECT c.doc_id,
-    string_split_regex(trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g')), ' ') AS toks
-  FROM corpus c JOIN s2 USING (doc_id)),
-sh AS (
-  SELECT doc_id,
-    unnest(list_distinct(CASE WHEN len(toks) >= 3
-      THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
-      ELSE [array_to_string(toks, ' ')] END)) AS shingle
-  FROM norm),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-capped AS (
-  SELECT * FROM (
-    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS freq FROM sh)
-  WHERE freq <= 1000),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-ndpairs AS (
-  SELECT c.doc_a, c.doc_b
-  FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
-  WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM ndpairs
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM ndpairs),
-reach(node, label) AS (
-  SELECT doc_id, doc_id FROM s2
-  UNION
-  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-s3 AS (
-  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(label)),
-bnorm AS (
-  SELECT doc_id AS bench_id,
-    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-  FROM documents WHERE doc_id < 20),
-bsh AS (
-  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 3
-    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
-    ELSE [array_to_string(toks, ' ')] END)) AS shingle
-  FROM bnorm),
-contam AS (
-  SELECT DISTINCT s.doc_id
-  FROM sh s JOIN s3 USING (doc_id) JOIN bsh b ON s.shingle = b.shingle),
-s4 AS (
-  SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contam))
-SELECT c.doc_id,
-  CASE WHEN q.fail_reason IS NOT NULL THEN 'quality'
-       WHEN s2.doc_id IS NULL THEN 'exact_dup'
-       WHEN s3.doc_id IS NULL THEN 'near_dup'
-       WHEN s4.doc_id IS NULL THEN 'contaminated'
-       ELSE 'kept' END AS stage
-FROM corpus c
-LEFT JOIN q ON c.doc_id = q.doc_id
-LEFT JOIN s2 ON c.doc_id = s2.doc_id
-LEFT JOIN s3 ON c.doc_id = s3.doc_id
-LEFT JOIN s4 ON c.doc_id = s4.doc_id""",
+        "corpus_clean": _CORPUS_CLEAN_CTES + "\n" + _CORPUS_CLEAN_AUDIT_SELECT,
+        "prepare_training": _CORPUS_CLEAN_CTES
+        + ",\naudit AS (\n"
+        + _CORPUS_CLEAN_AUDIT_SELECT
+        + """),
+kept AS (SELECT doc_id FROM audit WHERE stage = 'kept'),
+hs AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+    CAST(list_sum(
+      [(strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) AS u
+  FROM kept),
+samp AS (
+  SELECT doc_id, hh, CAST(u % 4 AS INTEGER) AS shard
+  FROM hs WHERE u < 2147483648)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh) - 1 AS INTEGER) AS pos
+FROM samp""",
         "dedup_jaccard": """
 WITH norm AS (
   SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks

@@ -315,6 +315,43 @@ def pack_contexts(
     return packed.select(*cols)
 
 
+def prepare_training_data(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    sample_rate: float = 1.0,
+    sample_rates: dict[str, float] | None = None,
+    stratify_col: str | None = None,
+    n_shards: int = 1,
+    salt: str = "",
+    **clean_kwargs,
+) -> DataFrame:
+    """The whole corpus-to-training-shards path in one call:
+    ``clean_corpus`` (4-stage audit) -> keep survivors -> and
+    ``deterministic_sample`` -> ``assign_shards``. Returns
+    (id, shard, pos): the exact reproducible shard layout a training
+    job consumes. Every stage is the individually-verified operator;
+    this function only composes them, so the 100 TB properties
+    (distributed stages, resumable ``persist_ids_to`` via
+    ``clean_kwargs``, no shard-only windows, no RNG) are inherited.
+    ``salt`` feeds both the sample draw and the shard permutation —
+    one knob reruns the whole layout deterministically."""
+    audit = clean_corpus(
+        df, text_col=text_col, id_col=id_col, benchmark=benchmark, **clean_kwargs
+    )
+    kept = drop_unclean(df, audit, id_col=id_col)
+    sampled = deterministic_sample(
+        kept,
+        rate=sample_rate,
+        rates=sample_rates,
+        stratify_col=stratify_col,
+        id_col=id_col,
+        salt=salt,
+    )
+    return assign_shards(sampled.select(id_col), n_shards, id_col=id_col, salt=salt)
+
+
 def deterministic_sample(
     df: DataFrame,
     rate: float = 0.0,
