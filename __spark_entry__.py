@@ -2129,13 +2129,13 @@ WITH inj AS (
   FROM documents)
 SELECT doc_id,
   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-  len(regexp_extract_all(t, '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) AS n_phone,
+  len(regexp_extract_all(t, '\\+?[0-9][0-9()\\- \\t\\r\\n\\f]{6,}[0-9]')) AS n_phone,
   len(regexp_extract_all(t, '[0-9]{9,}')) AS n_digits,
   regexp_replace(
     regexp_replace(
       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '[0-9]{9,}', '<DIGITS>', 'g'),
-    '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    '\\+?[0-9][0-9()\\- \\t\\r\\n\\f]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
 FROM inj""",
         "dedup_exact": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,

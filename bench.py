@@ -226,7 +226,21 @@ def _completed_stage_peaks(spark, since_stage: int) -> tuple[int, int]:
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
-    stages = jsonlib.load(urllib.request.urlopen(url, timeout=10))
+
+    def fetch():
+        return jsonlib.load(urllib.request.urlopen(url, timeout=10))
+
+    # stage-completion events reach the status store through the async
+    # listener bus — poll until the completed-stage set stops growing so
+    # a query's last (often largest-shuffle) stage isn't missed and
+    # misattributed to the NEXT query's window
+    stages = fetch()
+    for _ in range(10):
+        time.sleep(0.2)
+        again = fetch()
+        if len(again) == len(stages):
+            break
+        stages = again
     peak, hi = 0, since_stage
     for s in stages:
         sid = s["stageId"]
@@ -255,7 +269,17 @@ def run_100x_leg() -> None:
     base_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if not os.path.isdir(base_dir):
         base_dir = SF_DIR  # no sibling sf0.01: degrade to the headline sf
-    spark = _session(CPUS, "tsf-bench-100x", extra={"spark.ui.enabled": "true"})
+    spark = _session(
+        CPUS,
+        "tsf-bench-100x",
+        extra={
+            "spark.ui.enabled": "true",
+            # keep every stage in the status store: the default 1000-
+            # stage eviction would silently drop early stages from the
+            # peak-shuffle accounting at these stage counts
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     queries["tpch_pricing_summary"](spark, base_dir).count()

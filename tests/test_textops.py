@@ -636,10 +636,30 @@ def test_clean_corpus_persisted_ids_resume(spark, docs, tmp_path):
         }
 
     before = snapshot()
-    again = {
-        r["doc_id"]: r["stage"]
-        for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+    # resume must not even CONSTRUCT completed stages (the quality scan
+    # and star contraction run eager actions at build time): poison the
+    # stage operators — a marker-served rerun never calls them
+    import timeseriesflattener_spark.operators.pipeline as P
+
+    def _boom(*a, **k):
+        raise AssertionError("stage recomputed on resume")
+
+    originals = {
+        n: getattr(P, n)
+        for n in ("quality_filter", "drop_exact_duplicates",
+                  "ngram_jaccard_pairs", "minhash_dedup_pairs",
+                  "duplicate_clusters")
     }
+    try:
+        for n in originals:
+            setattr(P, n, _boom)
+        again = {
+            r["doc_id"]: r["stage"]
+            for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+        }
+    finally:
+        for n, f in originals.items():
+            setattr(P, n, f)
     assert again == base
     assert snapshot() == before  # resume: nothing rewritten
 
@@ -785,6 +805,9 @@ def test_deterministic_sample_exact_and_monotone(spark, docs):
     assert got == {i for i in all_ids if langs[i] == "en"}
     plan = strat._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # one filtered pass, no shuffle
+
+
+def test_context_manifest_tiles_contexts(spark, docs):
     """context_manifest slices tile each context exactly: per
     (shard, ctx) slices are disjoint, contiguous from 0, and sum to the
     budget for every context except each shard's last; doc totals equal

@@ -36,7 +36,7 @@ def normalized_text(text: Column) -> Column:
     first token after split) whenever the edge whitespace was \\n/\\t/\\r
     — SQL trim strips only spaces — so "\\nfoo" and "foo" failed to
     dedup together."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(text), r"[ \t\r\n\f]+", " "))
 
 
 # Persisted shingle frames created by dedup calls. The functions here are

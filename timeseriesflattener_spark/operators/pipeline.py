@@ -84,60 +84,87 @@ def clean_corpus(
 
     def _stage_done(path: str) -> bool:
         # Hadoop FS probe (not os.path): persist dirs may be hdfs://,
-        # s3a://, ... — the _SUCCESS marker is the commit boundary
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs.exists(hpath)
+        # s3a://, ... — the _SUCCESS marker is the commit boundary.
+        # Spark Connect sessions expose no _jvm; fall back to Spark's
+        # binaryFile source, which reads the marker through the same
+        # Hadoop FS stack from the cluster side.
+        marker = path.rstrip("/") + "/_SUCCESS"
+        try:
+            jvm = spark._jvm
+        except Exception:
+            jvm = None
+        if jvm is not None:
+            hpath = jvm.org.apache.hadoop.fs.Path(marker)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            return fs.exists(hpath)
+        try:
+            return (
+                spark.read.format("binaryFile").load(marker).limit(1).count() > 0
+            )
+        except Exception:
+            return False  # path (or marker) absent -> stage not done
 
-    def ids_of(frame: DataFrame, stage_name: str) -> DataFrame:
+    if near_dup not in ("minhash", "jaccard"):
+        raise ValueError(f"unknown near_dup strategy {near_dup!r}")
+
+    def ids_of(make_frame, stage_name: str) -> DataFrame:
         # materialise a stage's survivor ids ONCE (8-byte rows, lineage
-        # truncated) so downstream consumers never re-run the stage
+        # truncated) so downstream consumers never re-run the stage.
+        # ``make_frame`` is a THUNK: with a _SUCCESS marker present the
+        # stage is never even constructed — duplicate_clusters and the
+        # quality scan run eager actions at build time, so deferring
+        # construction (not just the write) is what makes resume skip
+        # the expensive recomputation, not merely the final id write
         if persist_ids_to is None:
-            return frame.select(id_col).localCheckpoint(eager=True)
+            return make_frame().select(id_col).localCheckpoint(eager=True)
         path = f"{persist_ids_to.rstrip('/')}/ids_{stage_name}"
         if not _stage_done(path):
-            frame.select(id_col).write.mode("overwrite").parquet(path)
+            make_frame().select(id_col).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    q = quality_filter(df, text_col, id_col, **(quality_kwargs or {}))
-    s1_ids = ids_of(q.filter("passed"), "quality")
+    def make_s1() -> DataFrame:
+        return quality_filter(df, text_col, id_col, **(quality_kwargs or {})).filter(
+            "passed"
+        )
+
+    s1_ids = ids_of(make_s1, "quality")
     s1 = df.join(s1_ids, id_col, "left_semi")
 
-    s2_ids = ids_of(drop_exact_duplicates(s1, text_col, id_col), "exact_dup")
+    s2_ids = ids_of(lambda: drop_exact_duplicates(s1, text_col, id_col), "exact_dup")
     s2 = df.join(s2_ids, id_col, "left_semi")
 
-    if near_dup == "minhash":
-        pairs = minhash_dedup_pairs(
-            s2,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=jaccard_threshold,
-            k=shingle_k,
+    def make_s3() -> DataFrame:
+        if near_dup == "minhash":
+            pairs = minhash_dedup_pairs(
+                s2,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=jaccard_threshold,
+                k=shingle_k,
+            )
+        else:
+            pairs = ngram_jaccard_pairs(
+                s2,
+                k=shingle_k,
+                threshold=jaccard_threshold,
+                text_col=text_col,
+                id_col=id_col,
+                max_shingle_freq=max_shingle_freq,
+            )
+        clusters = duplicate_clusters(
+            s2, pairs.select("doc_a", "doc_b"), id_col=id_col
         )
-    elif near_dup == "jaccard":
-        pairs = ngram_jaccard_pairs(
-            s2,
-            k=shingle_k,
-            threshold=jaccard_threshold,
-            text_col=text_col,
-            id_col=id_col,
-            max_shingle_freq=max_shingle_freq,
-        )
-    else:
-        raise ValueError(f"unknown near_dup strategy {near_dup!r}")
-    clusters = duplicate_clusters(s2, pairs.select("doc_a", "doc_b"), id_col=id_col)
-    s3_ids = ids_of(
-        clusters.filter(F.col("doc") == F.col("cluster")).select(
+        return clusters.filter(F.col("doc") == F.col("cluster")).select(
             F.col("doc").alias(id_col)
-        ),
-        "near_dup",
-    )
+        )
+
+    s3_ids = ids_of(make_s3, "near_dup")
 
     if benchmark is not None:
-        s3 = df.join(s3_ids, id_col, "left_semi")
-        s4_ids = ids_of(
-            drop_contaminated(
+
+        def make_s4() -> DataFrame:
+            s3 = df.join(s3_ids, id_col, "left_semi")
+            return drop_contaminated(
                 s3,
                 benchmark,
                 n=contamination_n,
@@ -145,9 +172,9 @@ def clean_corpus(
                 id_col=id_col,
                 bench_text_col=bench_text_col,
                 bench_id_col=bench_id_col,
-            ),
-            "contaminated",
-        )
+            )
+
+        s4_ids = ids_of(make_s4, "contaminated")
     else:
         s4_ids = s3_ids
     # every consumer of the shingle caches has materialised by now
@@ -180,6 +207,63 @@ def drop_unclean(df: DataFrame, audit: DataFrame, id_col: str = "doc_id") -> Dat
     )
 
 
+def _hash_u32(id_col: str, salt: str) -> Column:
+    """First 8 hex digits of ``md5(salt || id)`` as a 32-bit integer
+    (exact in a long; conv(hex, 16, 10) — no engine-private hash). The
+    ONE source of randomness-free order/shard/sample decisions in this
+    module: assign_shards, pack_contexts and deterministic_sample all
+    derive from it, so their reproducibility contracts cannot drift."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def _with_hash_order(
+    df: DataFrame, id_col: str, salt: str, n_shards: int
+) -> DataFrame:
+    """Append the shared ordering scaffold: ``__h`` (full md5 hex, the
+    tie-free order key), ``shard`` (u32 mod n_shards) and ``__b`` (the
+    first two hex chars — a PREFIX of the order key, so bucket ranges
+    partition the per-shard order)."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    h = F.md5(key)
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("__b", F.substring(F.col("__h"), 1, 2))
+    )
+
+
+def _running_total_before(out: DataFrame, measure: Column) -> DataFrame:
+    """``__runtot`` = sum of ``measure`` over all rows BEFORE the
+    current one in the per-shard ``__h`` order — computed two-stage so
+    no window is ever partitioned by the low-cardinality shard alone:
+    a within-(shard, __b) running sum plus broadcast per-bucket offsets
+    (n_shards x 256 rows, aggregated map-side, cumulated on the
+    driver-sized frame). Value-identical to one window over (shard),
+    max task size corpus/(n_shards*256)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard", "__b").orderBy("__h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = F.coalesce(F.sum(measure).over(w), F.lit(0))
+    totals = out.groupBy("shard", "__b").agg(F.sum(measure).alias("__bt"))
+    cum = Window.partitionBy("shard").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__bt").over(cum), F.lit(0))
+    ).select("shard", "__b", "__off")
+    return (
+        out.withColumn("__within", within)
+        .join(F.broadcast(offsets), ["shard", "__b"])
+        .withColumn("__runtot", F.col("__off") + F.col("__within"))
+    )
+
+
 def assign_shards(
     df: DataFrame,
     n_shards: int,
@@ -208,30 +292,16 @@ def assign_shards(
     back) supplies the offset of each bucket's first row. The result is
     value-identical to ``row_number() over (partition by shard order by
     h)`` — same tie-free total order — with max task size corpus /
-    (n_shards * 256) instead of corpus / n_shards."""
-    from pyspark.sql import Window
-
-    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
-    h = F.md5(key)
-    # conv(hex, 16, 10): 8 hex digits -> 32-bit int, exact in a long
-    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards))
-    out = df.withColumn("__h", h).withColumn("shard", shard.cast("int"))
+    (n_shards * 256) instead of corpus / n_shards. (``pos`` is the
+    running COUNT of earlier rows — ``_running_total_before`` with
+    measure 1, the same scaffold ``pack_contexts`` sums tokens over.)"""
+    out = _with_hash_order(df, id_col, salt, n_shards)
     if not with_position:
-        return out.drop("__h")
-    out = out.withColumn("__b", F.substring(F.col("__h"), 1, 2))
-    w = Window.partitionBy("shard", "__b").orderBy("__h")
-    ranked = out.withColumn("__rn", F.row_number().over(w))
-    counts = out.groupBy("shard", "__b").agg(F.count("*").alias("__n"))
-    cum = Window.partitionBy("shard").orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__n").over(cum), F.lit(0))
-    ).select("shard", "__b", "__off")
+        return out.drop("__h", "__b")
     return (
-        ranked.join(F.broadcast(offsets), ["shard", "__b"])
-        .withColumn("pos", (F.col("__off") + F.col("__rn") - 1).cast("int"))
-        .drop("__h", "__b", "__rn", "__off")
+        _running_total_before(out, F.lit(1))
+        .withColumn("pos", F.col("__runtot").cast("int"))
+        .drop("__h", "__b", "__within", "__off", "__runtot")
     )
 
 
@@ -268,36 +338,14 @@ def pack_contexts(
     ``keep_tokens=True`` appends the token count as ``n_toks`` (the
     input to ``context_manifest``, which needs the span length to cut
     per-context slices without re-scanning text)."""
-    from pyspark.sql import Window
-
-    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
-    h = F.md5(key)
-    shard = (
-        F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards))
-        if n_shards > 1
-        else F.lit(0)
-    )
-    toks = F.col(token_col).cast("long")
-    out = (
-        df.withColumn("__h", h)
-        .withColumn("shard", shard.cast("int"))
-        .withColumn("__b", F.substring(F.col("__h"), 1, 2))
-    )
-    w = Window.partitionBy("shard", "__b").orderBy("__h").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    within = F.coalesce(F.sum(toks).over(w), F.lit(0))
-    bucket_tokens = out.groupBy("shard", "__b").agg(F.sum(toks).alias("__bt"))
-    cum = Window.partitionBy("shard").orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = bucket_tokens.withColumn(
-        "__boff", F.coalesce(F.sum("__bt").over(cum), F.lit(0))
-    ).select("shard", "__b", "__boff")
-    packed = (
-        out.withColumn("__within", within)
-        .join(F.broadcast(offsets), ["shard", "__b"])
-        .withColumn("tok_start", F.col("__boff") + F.col("__within"))
+    # NULL token counts occupy no stream space (coalesce here, not at
+    # the consumers: F.least/F.greatest SKIP nulls, so a NULL n_toks
+    # reaching context_manifest would fabricate phantom full-width
+    # slices overlapping the next doc's range)
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    out = _with_hash_order(df, id_col, salt, n_shards)
+    packed = _running_total_before(out, toks).withColumn(
+        "tok_start", F.col("__runtot")
     )
     first_ctx = F.floor(F.col("tok_start") / budget)
     last_ctx = F.floor(
@@ -376,8 +424,7 @@ def deterministic_sample(
 
     ``rates`` + ``stratify_col``: per-stratum rates (source mixing /
     language weights); strata not listed fall back to ``rate``."""
-    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
-    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    u = _hash_u32(id_col, salt)
 
     def threshold(r: float) -> Column:
         return F.lit(int(r * (1 << 32)))

@@ -31,18 +31,20 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "for", "on", "as", "are", "was"]
 def tokens(text: Column) -> Column:
     """Whitespace tokenisation: maximal non-whitespace runs, like
     Python's ``str.split()`` (the BPE-ish regex variant is
-    ``bpe_ish_tokens``). Implemented as ``regexp_extract_all('\\S+')``
-    rather than ``split(trim(text))`` — SQL ``trim`` strips spaces
-    only, so a leading/trailing newline used to smuggle a phantom empty
-    token into every count (round-4 hypothesis differential caught it);
-    empty/whitespace-only text now has 0 tokens, not 1."""
-    return F.regexp_extract_all(text, F.lit(r"\S+"), 0)
+    ``bpe_ish_tokens``). Implemented as ``regexp_extract_all`` over an
+    EXPLICIT whitespace class rather than ``split(trim(text))`` — SQL
+    ``trim`` strips spaces only, so a leading/trailing newline used to
+    smuggle a phantom empty token into every count (round-4 hypothesis
+    differential caught it); empty/whitespace-only text has 0 tokens,
+    not 1. Explicit class, not ``\\S``: Java's includes \\x0B, RE2's
+    (DuckDB oracles, other-runtime loaders) does not."""
+    return F.regexp_extract_all(text, F.lit(r"[^ \t\r\n\f]+"), 0)
 
 
 def bpe_ish_tokens(text: Column) -> Column:
     """Regex token split approximating a byte-pair-style pre-tokeniser:
     words, numbers, and single punctuation marks each count."""
-    return F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    return F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\r\n\f]"), 0)
 
 
 def token_count(text: Column) -> Column:
@@ -69,7 +71,7 @@ def mean_word_length(text: Column) -> Column:
     """Mean characters per whitespace token. Computed as
     (non-whitespace chars) / (token count) — one regex strip + one
     split, no per-token higher-order pass."""
-    chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    chars = F.length(F.regexp_replace(text, r"[ \t\r\n\f]+", ""))
     return chars / F.greatest(token_count(text), F.lit(1))
 
 
@@ -171,7 +173,7 @@ def fingerprint64(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalised
     text — the cheap exact-dup key (a rolling/shingled variant lives in
     ``operators.dedup.simhash64``)."""
-    return F.xxhash64(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.xxhash64(F.trim(F.regexp_replace(text, r"[ \t\r\n\f]+", " ")))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -286,7 +288,7 @@ PII_PATTERNS: dict[str, str] = {
     # local@domain.tld
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     # international-ish phone: 8+ chars of digits/separators between digits
-    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "phone": r"\+?[0-9][0-9()\- \t\r\n\f]{6,}[0-9]",
     # bare long digit runs (account/card numbers)
     "digits": r"[0-9]{9,}",
 }

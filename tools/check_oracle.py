@@ -58,6 +58,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -88,8 +90,11 @@ def main():
             print(f"{name:28s} FAIL: query raised {exc!r}")
             continue
         if name not in oracles:
+            # no oracle -> the row records ONLY "ran and returned N rows";
+            # match fields are None, never true, so the committed proof
+            # artifact cannot overstate a rows-only query as verified
             report[name] = {
-                "rows_match": len(srows) >= 0, "schema_match": True,
+                "rows_match": None, "schema_match": None,
                 "hash_match": None, "spark_rows": len(srows),
                 "oracle_rows": None, "err": None, "rows_only": True,
             }
