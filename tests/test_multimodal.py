@@ -159,3 +159,32 @@ def test_real_image_decode_roundtrip(spark):
     row = M.extract_features(df).collect()[0]
     assert row["used_fallback"] is False
     assert abs(row["feature"][0] - 1.0) < 1e-6
+
+
+def test_feature_math_outside_decode_fallback():
+    """ADVICE r5: the auto fallback wraps ONLY the decode — the
+    post-decode feature math is a separate function whose errors
+    surface. Pin the split (image_feature_extract == decode +
+    image_features_from_array) and the math on tiny arrays."""
+    import numpy as np
+
+    from timeseriesflattener_spark.operators import multimodal as M
+
+    # works on any size incl. a 1x1 tracking pixel
+    one = M.image_features_from_array(
+        np.full((1, 1, 3), 255, np.uint8), dim=8
+    )
+    assert one.shape == (8,) and abs(float(one[0]) - 1.0) < 1e-6
+    grid = M.image_features_from_array(
+        np.zeros((16, 16, 3), np.uint8), dim=12
+    )
+    assert grid.shape == (12,) and float(grid.max()) == 0.0
+    # a ValueError from the MATH is not a DECODE error: the auto kernel
+    # calls decode inside try and the math outside, so a math bug in a
+    # task propagates. Structural pin: the kernel source references
+    # image_features_from_array outside the except arm.
+    import inspect
+
+    src = inspect.getsource(M.extract_features)
+    assert "decoded = _m.decode_image(payload)" in src
+    assert "image_features_from_array(decoded" in src

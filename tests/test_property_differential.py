@@ -216,6 +216,59 @@ doc_texts = st.lists(
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            # \x0b (vertical tab), \x0c (form feed) and NBSP included ON
+            # PURPOSE: the engine's whitespace is the explicit ASCII
+            # class [ \t\r\n\f] (RE2 \s) — \x0b and NBSP are ordinary
+            # characters, diverging from Python str.split(); this test
+            # pins that contract with a reference using the SAME class.
+            alphabet=st.sampled_from(list("ab c.\n\t\r\x0b\x0c ")),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_whitespace_class_contract(spark, texts):
+    """tokens / token_count / normalized_text treat EXACTLY [ \\t\\r\\n\\f]
+    as whitespace — not \\x0b, not NBSP (where Python str.split() DOES
+    split). Differential vs a Python re reference over an alphabet that
+    contains the divergent characters."""
+    import re as pyre
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark.operators.dedup import normalized_text
+    from timeseriesflattener_spark.operators.text import token_count, tokens
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["toks"], r["nt"], r["norm"])
+        for r in df.select(
+            "doc_id",
+            tokens(F.col("text")).alias("toks"),
+            token_count(F.col("text")).alias("nt"),
+            normalized_text(F.col("text")).alias("norm"),
+        ).collect()
+    }
+    for i, t in rows:
+        ref_toks = pyre.findall(r"[^ \t\r\n\f]+", t)
+        # collapse-then-trim; SQL trim strips spaces only, but after the
+        # collapse every edge run that WAS class-whitespace is a space
+        ref_norm = pyre.sub(r"[ \t\r\n\f]+", " ", t.lower()).strip(" ")
+        assert got[i][0] == ref_toks, (i, t)
+        assert got[i][1] == len(ref_toks), (i, t)
+        assert got[i][2] == ref_norm, (i, t)
+    # the divergence this pins: Python WOULD split on \x0b / NBSP
+    assert "a\x0bb".split() == ["a", "b"]
+    assert "a b".split() == ["a", "b"]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 @given(texts=doc_texts)
 def test_repetition_stats_matches_python_reference(spark, texts):
     """repetition_stats == a pure-Python Counter reference on arbitrary

@@ -624,7 +624,13 @@ def test_clean_corpus_persisted_ids_resume(spark, docs, tmp_path):
     }
     assert pers == base
     stage_dirs = sorted(os.listdir(pdir))
-    assert stage_dirs == ["ids_exact_dup", "ids_near_dup", "ids_quality"]
+    # each stage = ids parquet + a one-row __commit artifact written
+    # AFTER it (the commit boundary; carries the params fingerprint)
+    assert stage_dirs == [
+        "ids_exact_dup", "ids_exact_dup__commit",
+        "ids_near_dup", "ids_near_dup__commit",
+        "ids_quality", "ids_quality__commit",
+    ]
 
     def snapshot():
         return {
@@ -669,6 +675,7 @@ def test_clean_corpus_persisted_ids_resume(spark, docs, tmp_path):
     import shutil
 
     shutil.rmtree(os.path.join(pdir, "ids_near_dup"))
+    shutil.rmtree(os.path.join(pdir, "ids_near_dup__commit"))
     s1_before = {
         k: v for k, v in before.items() if k.startswith("ids_quality")
     }
@@ -680,6 +687,108 @@ def test_clean_corpus_persisted_ids_resume(spark, docs, tmp_path):
     after = snapshot()
     assert {k: v for k, v in after.items() if k.startswith("ids_quality")} == s1_before
     assert any(k.startswith("ids_near_dup") for k in after)
+
+
+def test_clean_corpus_commit_fingerprint_and_fallback(spark, docs, tmp_path):
+    """Round-6 hardening (VERDICT #4 + ADVICE): (a) reusing a persist
+    dir with DIFFERENT parameters raises instead of silently serving
+    stale ids; (b) a kill between the ids write and the commit write
+    recomputes that stage (ids without commit are uncommitted); (c) the
+    Connect fallback of ``_read_commit`` can actually SEE the marker
+    (the old binaryFile _SUCCESS probe could not — Spark's file index
+    hides underscore-prefixed files) and propagates non-not-found
+    errors instead of mapping them to 'not done'."""
+    import os
+    import shutil
+
+    import pytest
+
+    from timeseriesflattener_spark.operators.pipeline import (
+        _read_commit,
+        clean_corpus,
+    )
+
+    corpus = docs.select("doc_id", "text").limit(120)
+    kw = dict(quality_kwargs=dict(min_tokens=5), jaccard_threshold=0.5)
+    pdir = str(tmp_path / "stages")
+    base = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+    }
+
+    # (a) different thresholds over the same dir -> loud failure
+    with pytest.raises(ValueError, match="different[\\s\\S]*parameters"):
+        clean_corpus(
+            corpus, persist_ids_to=pdir,
+            quality_kwargs=dict(min_tokens=5), jaccard_threshold=0.9,
+        ).collect()
+
+    # (c) fallback path (no JVM FS probe) reads the committed marker...
+    qpath = os.path.join(pdir, "ids_quality")
+    fp = _read_commit(spark, qpath, _force_fallback=True)
+    assert fp is not None and len(fp) == 16
+    assert fp == _read_commit(spark, qpath)  # == the classic-path read
+    # ...absent marker -> None (not an error)
+    assert _read_commit(spark, os.path.join(pdir, "ids_nope"),
+                        _force_fallback=True) is None
+    # ...and a corrupt marker PROPAGATES (never "recompute + overwrite")
+    bad = str(tmp_path / "corrupt")
+    os.makedirs(bad + "__commit")
+    with open(os.path.join(bad + "__commit", "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        _read_commit(spark, bad, _force_fallback=True)
+
+    # (b) ids present but commit absent == uncommitted -> stage re-runs
+    shutil.rmtree(qpath + "__commit")
+    again = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+    }
+    assert again == base
+    assert os.path.isdir(qpath + "__commit")  # re-committed
+
+
+def test_deterministic_sample_requires_rate(spark, docs):
+    """Round-6 safety: a bare deterministic_sample(df) must raise, not
+    silently return the empty frame (the old rate=0.0 default)."""
+    import pytest
+
+    from timeseriesflattener_spark.operators.pipeline import (
+        deterministic_sample,
+    )
+
+    ids = docs.select("doc_id")
+    with pytest.raises(ValueError, match="explicit rate"):
+        deterministic_sample(ids)
+    # explicit rates still work exactly as before
+    assert deterministic_sample(ids, rate=1.0).count() == ids.count()
+    assert deterministic_sample(ids, rate=0.0).count() == 0  # explicit 0 ok
+    # rates= without rate=: listed strata sampled, unlisted dropped
+    docs2 = docs.selectExpr("doc_id", "cast(doc_id % 2 as string) as src")
+    only_even = deterministic_sample(
+        docs2, rates={"0": 1.0}, stratify_col="src"
+    )
+    assert only_even.filter("src = '1'").count() == 0
+    assert only_even.count() == docs2.filter("src = '0'").count()
+
+
+def test_pack_contexts_budget_validation(spark, docs):
+    """Round-6 safety: budget < 1 raises at call time instead of
+    producing divide-by-zero NaN contexts deep in the plan."""
+    import pytest
+
+    from timeseriesflattener_spark.operators.pipeline import (
+        context_manifest,
+        pack_contexts,
+    )
+
+    d = docs.selectExpr("doc_id", "length(text) as n")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="budget"):
+            pack_contexts(d, bad, "n")
+        with pytest.raises(ValueError, match="budget"):
+            context_manifest(d, bad, "n")
 
 
 def test_assign_shards_deterministic_and_balanced(spark, docs):

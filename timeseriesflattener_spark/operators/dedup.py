@@ -30,12 +30,16 @@ from pyspark.storagelevel import StorageLevel
 
 
 def normalized_text(text: Column) -> Column:
-    """Whitespace-normalised lowercase text == Python
-    ``" ".join(text.lower().split())``. Collapse FIRST, then trim: the
-    old trim-first order left a leading/trailing space (and an empty
-    first token after split) whenever the edge whitespace was \\n/\\t/\\r
-    — SQL trim strips only spaces — so "\\nfoo" and "foo" failed to
-    dedup together."""
+    """Whitespace-normalised lowercase text: runs of the explicit ASCII
+    class ``[ \\t\\r\\n\\f]`` collapse to one space, then edges trim.
+    Like Python ``" ".join(text.lower().split())`` EXCEPT that \\x0B and
+    Unicode whitespace (NBSP etc.) are NOT treated as separators — the
+    explicit class is RE2's ``\\s``, the only definition Spark (Java
+    regex) and the DuckDB/RE2 oracles compute identically. Collapse
+    FIRST, then trim: the old trim-first order left a leading/trailing
+    space (and an empty first token after split) whenever the edge
+    whitespace was \\n/\\t/\\r — SQL trim strips only spaces — so
+    "\\nfoo" and "foo" failed to dedup together."""
     return F.trim(F.regexp_replace(F.lower(text), r"[ \t\r\n\f]+", " "))
 
 

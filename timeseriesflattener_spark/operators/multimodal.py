@@ -42,10 +42,12 @@ FEATURE_SCHEMA = (
 )
 
 #: exceptions that mean "this payload is not a decodable image" — the
-#: per-payload fallback catches ONLY these (PIL.UnidentifiedImageError
-#: subclasses OSError; some PIL plugins raise SyntaxError on truncated
-#: headers). Anything else — a broken PIL install, a numpy bug — is a
-#: real error and must surface, not melt into hash pseudo-features.
+#: per-payload fallback catches ONLY these, and ONLY around the decode
+#: call itself (PIL.UnidentifiedImageError subclasses OSError; some PIL
+#: plugins raise SyntaxError on truncated headers, ValueError on
+#: oversized/poisoned streams). The post-decode feature math runs
+#: OUTSIDE the try: a numpy bug there is a real error and must surface,
+#: not melt into hash pseudo-features.
 DECODE_ERRORS = (OSError, ValueError, SyntaxError)
 
 
@@ -110,7 +112,15 @@ def image_feature_extract(payload: bytes, dim: int = 8) -> np.ndarray:
     grid, truncated/padded to ``dim`` float32 in [0, 1). Selected by
     ``extract_features`` when PIL is importable; otherwise the
     deterministic sha256 stand-in keeps the pipeline testable."""
-    arr = decode_image(payload).astype(np.float32) / 255.0
+    return image_features_from_array(decode_image(payload), dim)
+
+
+def image_features_from_array(decoded: np.ndarray, dim: int = 8) -> np.ndarray:
+    """Feature math over an already-decoded HxWx3 uint8 array — split
+    from the decode so ``extract_features``' auto fallback can wrap the
+    DECODE alone in its try: a ValueError raised here (a reshape/ix_/
+    pad bug) is a real error that must surface, not a bad payload."""
+    arr = decoded.astype(np.float32) / 255.0
     chans = arr.mean(axis=(0, 1))  # 3 channel means
     lum = arr.mean(axis=2)
     h, w = lum.shape
@@ -182,9 +192,13 @@ def extract_features(
             if not _m.HAS_PIL:
                 return _m.fake_feature_extract(payload, d), True
             try:
-                return _m.image_feature_extract(payload, d), False
+                # try wraps the DECODE alone — post-decode feature math
+                # runs outside it, so its bugs surface instead of
+                # melting into the sha256 fallback
+                decoded = _m.decode_image(payload)
             except _m.DECODE_ERRORS:
                 return _m.fake_feature_extract(payload, d), True
+            return _m.image_features_from_array(decoded, d), False
 
     else:
         raise ValueError(

@@ -31,7 +31,10 @@ that needed them has been materialised by then.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
@@ -43,6 +46,64 @@ from .dedup import (
     release_shingle_caches,
 )
 from .text import quality_filter
+
+
+def _params_fingerprint(params: dict) -> str:
+    """Stable hex fingerprint of the cleaning parameters, stored in each
+    stage's commit artifact so a persist dir reused with DIFFERENT
+    thresholds fails loudly instead of silently serving stale ids."""
+    return hashlib.sha256(
+        json.dumps(params, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def _commit_path(path: str) -> str:
+    # NOT underscore-prefixed and NOT inside the ids dir: Spark's file
+    # index hides leading-underscore files (a binaryFile probe of
+    # _SUCCESS returns 0 rows even when the marker exists — verified),
+    # and a sibling file inside the ids dir would pollute its parquet
+    # footprint. A one-row parquet is readable by every session type.
+    return path.rstrip("/") + "__commit"
+
+
+def _read_commit(
+    spark: SparkSession, path: str, _force_fallback: bool = False
+) -> str | None:
+    """Fingerprint recorded by a completed stage at ``path``, or None if
+    the stage has not committed. The commit artifact is a one-row
+    parquet written AFTER the ids parquet — the commit boundary.
+
+    Only "path absent" maps to None: any other failure (a transient FS
+    outage, a corrupt artifact) PROPAGATES, because mapping it to "not
+    done" would make a resumed 100 TB cleaning run silently recompute a
+    finished stage and overwrite its ids. Classic sessions use a Hadoop
+    FS existence probe (any scheme: hdfs://, s3a://, ...); Spark
+    Connect sessions (no ``_jvm``) distinguish absence by the reader's
+    PATH_NOT_FOUND error class."""
+    marker = _commit_path(path)
+    jvm = None
+    if not _force_fallback:
+        try:
+            jvm = spark._jvm
+        except Exception:
+            jvm = None
+    if jvm is not None:
+        hpath = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        rows = spark.read.parquet(marker).collect()
+    else:
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = spark.read.parquet(marker).collect()
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+    return rows[0]["fingerprint"] if rows else None
 
 
 def clean_corpus(
@@ -75,42 +136,40 @@ def clean_corpus(
     blocks live on executor block managers, so an executor loss forces
     stage recomputation and a driver death loses the run. With a
     directory, each stage's ids are written once and re-read; a killed
-    job RESUMES — stages whose ``_SUCCESS`` marker exists are served
-    from parquet without recomputing the quality scan / dedup joins
-    (same ledger-marker pattern as plans.tiers). Completed markers are
-    trusted blindly, so reuse a dir only for the SAME corpus and
-    parameters. The audit itself is identical either way."""
+    job RESUMES — stages whose ``ids_<stage>__commit`` artifact exists
+    (a one-row parquet written AFTER the ids, the commit boundary) are
+    served from parquet without recomputing the quality scan / dedup
+    joins (same ledger-marker pattern as plans.tiers). The artifact
+    records a fingerprint of the cleaning parameters: reusing a dir
+    with DIFFERENT parameters raises ``ValueError`` instead of
+    silently serving ids computed under other thresholds. (The corpus
+    itself is not fingerprinted — reuse a dir only for the same
+    corpus.) The audit itself is identical either way."""
     spark = df.sparkSession
-
-    def _stage_done(path: str) -> bool:
-        # Hadoop FS probe (not os.path): persist dirs may be hdfs://,
-        # s3a://, ... — the _SUCCESS marker is the commit boundary.
-        # Spark Connect sessions expose no _jvm; fall back to Spark's
-        # binaryFile source, which reads the marker through the same
-        # Hadoop FS stack from the cluster side.
-        marker = path.rstrip("/") + "/_SUCCESS"
-        try:
-            jvm = spark._jvm
-        except Exception:
-            jvm = None
-        if jvm is not None:
-            hpath = jvm.org.apache.hadoop.fs.Path(marker)
-            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            return fs.exists(hpath)
-        try:
-            return (
-                spark.read.format("binaryFile").load(marker).limit(1).count() > 0
-            )
-        except Exception:
-            return False  # path (or marker) absent -> stage not done
 
     if near_dup not in ("minhash", "jaccard"):
         raise ValueError(f"unknown near_dup strategy {near_dup!r}")
 
+    fingerprint = _params_fingerprint(
+        {
+            "text_col": text_col,
+            "id_col": id_col,
+            "has_benchmark": benchmark is not None,
+            "quality_kwargs": quality_kwargs or {},
+            "shingle_k": shingle_k,
+            "jaccard_threshold": jaccard_threshold,
+            "max_shingle_freq": max_shingle_freq,
+            "contamination_n": contamination_n,
+            "bench_text_col": bench_text_col,
+            "bench_id_col": bench_id_col,
+            "near_dup": near_dup,
+        }
+    )
+
     def ids_of(make_frame, stage_name: str) -> DataFrame:
         # materialise a stage's survivor ids ONCE (8-byte rows, lineage
         # truncated) so downstream consumers never re-run the stage.
-        # ``make_frame`` is a THUNK: with a _SUCCESS marker present the
+        # ``make_frame`` is a THUNK: with a commit artifact present the
         # stage is never even constructed — duplicate_clusters and the
         # quality scan run eager actions at build time, so deferring
         # construction (not just the write) is what makes resume skip
@@ -118,8 +177,19 @@ def clean_corpus(
         if persist_ids_to is None:
             return make_frame().select(id_col).localCheckpoint(eager=True)
         path = f"{persist_ids_to.rstrip('/')}/ids_{stage_name}"
-        if not _stage_done(path):
-            make_frame().select(id_col).write.mode("overwrite").parquet(path)
+        stored = _read_commit(spark, path)
+        if stored is not None:
+            if stored != fingerprint:
+                raise ValueError(
+                    f"persist dir {path!r} was committed under different "
+                    f"clean_corpus parameters (fingerprint {stored} != "
+                    f"{fingerprint}); use a fresh persist_ids_to directory"
+                )
+            return spark.read.parquet(path)
+        make_frame().select(id_col).write.mode("overwrite").parquet(path)
+        spark.createDataFrame(
+            [(fingerprint,)], "fingerprint string"
+        ).coalesce(1).write.mode("overwrite").parquet(_commit_path(path))
         return spark.read.parquet(path)
 
     def make_s1() -> DataFrame:
@@ -338,6 +408,12 @@ def pack_contexts(
     ``keep_tokens=True`` appends the token count as ``n_toks`` (the
     input to ``context_manifest``, which needs the span length to cut
     per-context slices without re-scanning text)."""
+    if budget < 1:
+        raise ValueError(
+            f"pack_contexts budget must be >= 1, got {budget!r} "
+            "(0 divides by zero; negative budgets produce nonsense "
+            "context ids that explode downstream in context_manifest)"
+        )
     # NULL token counts occupy no stream space (coalesce here, not at
     # the consumers: F.least/F.greatest SKIP nulls, so a NULL n_toks
     # reaching context_manifest would fabricate phantom full-width
@@ -402,7 +478,7 @@ def prepare_training_data(
 
 def deterministic_sample(
     df: DataFrame,
-    rate: float = 0.0,
+    rate: float | None = None,
     rates: dict[str, float] | None = None,
     stratify_col: str | None = None,
     id_col: str = "doc_id",
@@ -423,7 +499,16 @@ def deterministic_sample(
     curriculum sweep needs).
 
     ``rates`` + ``stratify_col``: per-stratum rates (source mixing /
-    language weights); strata not listed fall back to ``rate``."""
+    language weights); strata not listed fall back to ``rate`` (which
+    defaults to 0.0 — i.e. DROPPED — only when ``rates`` is given;
+    with no ``rates``, ``rate`` is REQUIRED: an accidental bare
+    ``deterministic_sample(df)`` must not silently return the empty
+    frame)."""
+    if rate is None and not rates:
+        raise ValueError(
+            "deterministic_sample requires an explicit rate= (or rates= "
+            "with stratify_col=); rate=0.0 would silently drop the corpus"
+        )
     u = _hash_u32(id_col, salt)
 
     def threshold(r: float) -> Column:
@@ -432,7 +517,7 @@ def deterministic_sample(
     if rates:
         if stratify_col is None:
             raise ValueError("rates= requires stratify_col=")
-        thr: Column = threshold(rate)
+        thr: Column = threshold(rate if rate is not None else 0.0)
         for stratum, r in sorted(rates.items()):
             thr = F.when(F.col(stratify_col) == stratum, threshold(r)).otherwise(thr)
     else:

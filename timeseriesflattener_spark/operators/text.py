@@ -29,15 +29,20 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "for", "on", "as", "are", "was"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenisation: maximal non-whitespace runs, like
-    Python's ``str.split()`` (the BPE-ish regex variant is
-    ``bpe_ish_tokens``). Implemented as ``regexp_extract_all`` over an
-    EXPLICIT whitespace class rather than ``split(trim(text))`` — SQL
+    """Whitespace tokenisation: maximal runs of non-whitespace, where
+    "whitespace" is the EXPLICIT ASCII class ``[ \\t\\r\\n\\f]`` — RE2's
+    ``\\s``, the cross-engine contract. This is deliberately NOT
+    Python's ``str.split()``, which additionally splits on \\x0B and
+    Unicode whitespace (NBSP etc.): Java's ``\\S`` includes \\x0B while
+    RE2's (DuckDB oracles, other-runtime loaders) does not, so the
+    explicit class is the only definition both engines compute
+    identically (the \\x0B divergence is pinned by a differential test
+    whose Python reference uses the same class). Implemented as
+    ``regexp_extract_all`` rather than ``split(trim(text))`` — SQL
     ``trim`` strips spaces only, so a leading/trailing newline used to
     smuggle a phantom empty token into every count (round-4 hypothesis
     differential caught it); empty/whitespace-only text has 0 tokens,
-    not 1. Explicit class, not ``\\S``: Java's includes \\x0B, RE2's
-    (DuckDB oracles, other-runtime loaders) does not."""
+    not 1. (The BPE-ish regex variant is ``bpe_ish_tokens``.)"""
     return F.regexp_extract_all(text, F.lit(r"[^ \t\r\n\f]+"), 0)
 
 
