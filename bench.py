@@ -255,14 +255,17 @@ def _completed_stage_peaks(spark, since_stage: int) -> tuple[int, int]:
 
 
 def run_100x_leg() -> None:
-    """100x cliff probe (VERDICT r4 #6) for the two worst 10x-ratio
-    families: dedup_clusters (star-contraction round count grows with
-    component structure) and gorilla_roundtrip (linear per-point codec
-    on fixed cores). Bounded runtime by basing at sf0.01 — the 100x
-    volume equals 10x the headline sf, so the leg probes a TWO-DECADE
-    span without building a multi-GB blow-up. Reports wall ratio (the
-    linear bound at fixed cores is ~factor; fixed-cost-dominated bases
-    make measured ratios sit well under it — only ratio > factor flags
+    """100x cliff probe (VERDICT r4 #6, widened per r5 #3) for the
+    heaviest families: dedup_clusters (star-contraction round count
+    grows with component structure), gorilla_roundtrip (linear
+    per-point codec on fixed cores), dedup_minhash (the most expensive
+    suite query: shingle scan + 64-agg minima + band join), and
+    transcript_tiers (the production tier job, scaled by conversation
+    count). Bounded runtime by basing at sf0.01 — the 100x volume
+    equals 10x the headline sf, so the leg probes a TWO-DECADE span
+    without building a multi-GB blow-up. Reports wall ratio (the linear
+    bound at fixed cores is ~factor; fixed-cost-dominated bases make
+    measured ratios sit well under it — only ratio > factor flags
     superlinearity) and peak per-stage shuffle bytes at both scales."""
     import __spark_entry__ as entrymod
 
@@ -290,7 +293,7 @@ def run_100x_leg() -> None:
     out: dict[str, dict] = {}
     watermark = 0
     _, watermark = _completed_stage_peaks(spark, 0)  # skip warm-up stages
-    for name in ("dedup_clusters", "gorilla_roundtrip"):
+    for name in ("dedup_clusters", "gorilla_roundtrip", "dedup_minhash"):
         t0 = time.time()
         rows1 = queries[name](spark, base_dir).count()
         w1 = time.time() - t0
@@ -309,10 +312,105 @@ def run_100x_leg() -> None:
             "peak_stage_shuffle_mb_100x": round(peak2 / 1e6, 2),
             "superlinear": w2 / w1 > factor,
         }
+
+    # transcript_tiers: the production job scales by conversation count,
+    # not sf_dir — probe the same two-decade span on its own axis
+    n_base = TRANSCRIPT_CONVS.get(_sf_from_dir(base_dir), 3000)
+    points1, w1 = _tier_job(spark, n_base)
+    peak1, watermark = _completed_stage_peaks(spark, watermark)
+    points2, w2 = _tier_job(spark, n_base * factor)
+    peak2, watermark = _completed_stage_peaks(spark, watermark)
+    out["transcript_tiers"] = {
+        "base_s": round(w1, 3),
+        "scaled_s": round(w2, 3),
+        "ratio": round(w2 / w1, 2),
+        "base_rows": points1,
+        "scaled_rows": points2,
+        "peak_stage_shuffle_mb": round(peak1 / 1e6, 2),
+        "peak_stage_shuffle_mb_100x": round(peak2 / 1e6, 2),
+        "superlinear": w2 / w1 > factor,
+    }
     print(json.dumps({
         "queries_100x": out,
         "factor_100x": factor,
         "base_sf_dir_100x": base_dir,
+    }))
+
+
+def run_featwidth_leg() -> None:
+    """Feature-width leg (VERDICT r5 #7): the reference's headline use
+    case is ~100 features over ~2M prediction times (README anchor:
+    "~30 s pandas concat for 100 features x 2M pred times"). 8 value
+    channels x 4 lookbehind windows x 3 aggregators = 96 features
+    computed by the ONE fused join + ONE aggregation plan (pinned at
+    this width by test_featwidth_fused_plan), over sf_dir events with
+    16 prediction dates per user. Reports features*rows/sec."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from timeseriesflattener_spark import (
+        Flattener,
+        PredictionTimeFrame,
+        PredictorSpec,
+        ValueFrame,
+        strings_to_aggregators,
+    )
+
+    spark = _session(CPUS, "tsf-bench-featwidth")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    vals = ev.select(
+        "user_id", "ts", "event_id",
+        *[(F.col("value") * float(i + 1)).alias(f"v{i}") for i in range(8)],
+    )
+    dates = F.array(*[
+        F.lit(f"2024-{m:02d}-{d:02d} 00:00:00").cast("timestamp")
+        for m in (1, 2, 3, 4) for d in (1, 8, 15, 22)
+    ])
+    pred = ev.select("user_id").distinct().select(
+        "user_id", F.explode(dates).alias("pred_ts")
+    )
+    ptf = PredictionTimeFrame(
+        df=pred, entity_id_col_name="user_id", timestamp_col_name="pred_ts"
+    )
+    windows = [dtm.timedelta(days=d) for d in (7, 30, 90, 365)]
+    specs = [
+        PredictorSpec(
+            value_frame=ValueFrame(
+                df=vals,
+                entity_id_col_name="user_id",
+                value_timestamp_col_name="ts",
+                order_col_name="event_id",
+                value_cols=[f"v{i}"],
+            ),
+            lookbehind_distances=windows,
+            aggregators=strings_to_aggregators(["mean", "max", "count"]),
+            fallback=0,
+        )
+        for i in range(8)
+    ]
+
+    def one_run() -> tuple[int, int, float]:
+        t0 = time.time()
+        out = Flattener(predictiontime_frame=ptf).aggregate_timeseries(
+            specs=specs
+        ).df
+        n_rows = out.count()
+        wall = time.time() - t0
+        n_feats = len(out.columns) - 3  # user_id, pred_ts, uuid
+        return n_rows, n_feats, wall
+
+    one_run()  # warm codegen + JIT (same rationale as the headline leg)
+    n_rows, n_feats, wall = min((one_run() for _ in range(2)), key=lambda r: r[2])
+    print(json.dumps({
+        "featwidth": {
+            "n_features": n_feats,
+            "n_pred_rows": n_rows,
+            "wall_s": round(wall, 3),
+            "features_rows_per_sec": round(n_feats * n_rows / wall, 1),
+        }
     }))
 
 
@@ -369,6 +467,10 @@ def run_headline() -> None:
         payload["factor_100x"] = cliff["factor_100x"]
         payload["base_sf_dir_100x"] = cliff["base_sf_dir_100x"]
         payload["machine_100x"] = cliff["__machine_before"]
+    if os.environ.get("SPARK_GRAFT_FEATWIDTH", "1") != "0":
+        fw = leg(["--featwidth-leg"])
+        payload["featwidth"] = fw["featwidth"]
+        payload["machine_featwidth"] = fw["__machine_before"]
     print(json.dumps(payload))
 
 
@@ -486,10 +588,30 @@ def run_one_leg(cores: str, n_convs: int) -> None:
     print(json.dumps({"points": best[0], "wall_s": round(best[1], 3)}))
 
 
+def _drain_box(target_load1: float = 0.8, max_wait_s: int = 600) -> dict:
+    """Let the box settle before a measured leg: a leg fired right after
+    a saturating run reads 1.5-2x slow even when load1 has dropped below
+    1 (r4/r5 measured; page reclaim + writeback lag the load average).
+    sync, then poll 1-min load until it falls under ``target_load1``,
+    then give reclaim a fixed grace period. Returns the machine state
+    actually observed at release time."""
+    import subprocess
+
+    subprocess.run(["sync"], check=False)
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s and os.getloadavg()[0] >= target_load1:
+        time.sleep(10)
+    time.sleep(45)  # grace for writeback/reclaim behind the load EMA
+    return _machine_state()
+
+
 def run_scaling() -> None:
-    """Same tier job at local[8] then local[32], each leg in its own
-    subprocess: the in-sandbox evidence for the N -> 4N executor scaling
-    criterion (BASELINE.json)."""
+    """Same tier job at local[2] / local[8] / local[32], each leg in its
+    own subprocess with a BOX DRAIN in between (r5's in-sequence 32-core
+    leg fired right after the saturating 8-core leg and read 1.5-1.9x
+    slow — machine state, not plan; r6 pinned 40.9 s on a drained box):
+    the in-sandbox evidence for the N -> 4N executor scaling criterion
+    (BASELINE.json)."""
     import subprocess
 
     sf = _sf_from_dir(SF_DIR)
@@ -502,7 +624,7 @@ def run_scaling() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "2000000"))
     results = {}
     for cores in ("2", "8", "32"):
-        state = _machine_state()  # attribute state-sensitive legs (the
+        state = _drain_box()  # attribute state-sensitive legs (the
         # 8->32 pair reads ~1.5-1.9x slow right after a saturating leg)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one-leg", cores, str(n_convs)],
@@ -607,6 +729,8 @@ if __name__ == "__main__":
         run_tenx_leg(int(sys.argv[sys.argv.index("--tenx-leg") + 1]))
     elif "--hundredx-leg" in sys.argv:
         run_100x_leg()
+    elif "--featwidth-leg" in sys.argv:
+        run_featwidth_leg()
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--scaleup" in sys.argv:

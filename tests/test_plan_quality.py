@@ -190,6 +190,46 @@ def test_bucketed_flatten_join_has_no_join_exchanges(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS tq_vals")
 
 
+def test_featwidth_fused_plan(spark):
+    """The bench feature-width shape (8 specs x 4 windows x 3
+    aggregators = 96 features, one shared wide frame) still fuses into
+    ONE temporal join + ONE aggregation — the one-plan fusion holds at
+    spec-count scale, not just at 2 specs (VERDICT r5 #7)."""
+    from timeseriesflattener_spark.operators.temporal import (
+        process_temporal_specs_fused,
+    )
+
+    pred_frame = str_to_df(spark, "entity_id,pred_timestamp\n1,2021-01-03")
+    wide = str_to_df(
+        spark,
+        "entity_id,timestamp," + ",".join(f"v{i}" for i in range(8)) + "\n"
+        + "1,2021-01-01," + ",".join(str(i) for i in range(8)),
+    )
+    windows = [dt.timedelta(days=d) for d in (7, 30, 90, 365)]
+    specs = [
+        PredictorSpec(
+            value_frame=ValueFrame(df=wide, value_cols=[f"v{i}"]),
+            lookbehind_distances=windows,
+            aggregators=strings_to_aggregators(["mean", "max", "count"]),
+            fallback=0,
+        )
+        for i in range(8)
+    ]
+    fused = process_temporal_specs_fused(
+        specs, PredictionTimeFrame(df=pred_frame)
+    )
+    # 8 x 4 x 3 = 96 feature columns + entity/ts/uuid bookkeeping
+    assert len(fused.columns) == 96 + 3, fused.columns
+    plan = _plan(fused)
+    assert plan.count("Join") == 1, plan
+    n_aggs = (
+        plan.count("HashAggregate")
+        + plan.count("SortAggregate")
+        + plan.count("ObjectHashAggregate")
+    )
+    assert n_aggs <= 2, plan
+
+
 def test_sketch_and_frequency_partials_hash_aggregate(spark):
     """The new tier families must stay in codegen'd HashAggregate like
     the moment partials (struct-free long/double schemas)."""

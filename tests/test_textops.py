@@ -773,6 +773,64 @@ def test_deterministic_sample_requires_rate(spark, docs):
     assert only_even.count() == docs2.filter("src = '0'").count()
 
 
+def test_deterministic_resample(spark, docs):
+    """Epoch upsampling: exact multiset vs a Python md5 reference,
+    monotone in rate, full copies unconditional, guards raise."""
+    import hashlib
+
+    import pytest
+
+    from timeseriesflattener_spark.operators.pipeline import (
+        deterministic_resample,
+    )
+
+    ids = docs.select("doc_id", "lang").limit(200)
+    src = ids.collect()
+    got = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in deterministic_resample(
+            ids, rate=0.4, rates={"en": 1.7, "zh": 2.5},
+            stratify_col="lang", salt="s",
+        ).collect()
+    )
+
+    def u32(k: int, i: int) -> int:
+        return int(hashlib.md5(f"s{k}:{i}".encode()).hexdigest()[:8], 16)
+
+    exp = sorted(
+        (r["doc_id"], k)
+        for r in src
+        for k in range(3)
+        if u32(k, r["doc_id"])
+        < min(max({"en": 1.7, "zh": 2.5}.get(r["lang"], 0.4) - k, 0.0), 1.0)
+        * (1 << 32)
+    )
+    assert got == exp
+
+    # monotone: raising the rate only ADDS rows
+    a = {(r["doc_id"], r["copy_idx"])
+         for r in deterministic_resample(ids, rate=2.2).collect()}
+    b = {(r["doc_id"], r["copy_idx"])
+         for r in deterministic_resample(ids, rate=2.5).collect()}
+    assert a <= b and len(b) > len(a)
+    # floor(rate)=2 full copies are unconditional at rate 2.2
+    n = ids.count()
+    assert sum(1 for (_, k) in a if k in (0, 1)) == 2 * n
+
+    with pytest.raises(ValueError, match="explicit rate"):
+        deterministic_resample(ids)
+    with pytest.raises(ValueError, match=">= 0"):
+        deterministic_resample(ids, rate=-0.5)
+    # ...and deterministic_sample refuses rates above 1 (it would
+    # silently cap at keep-everything; resample is the upsampling tool)
+    from timeseriesflattener_spark.operators.pipeline import (
+        deterministic_sample,
+    )
+
+    with pytest.raises(ValueError, match="resample"):
+        deterministic_sample(ids, rate=1.5)
+
+
 def test_pack_contexts_budget_validation(spark, docs):
     """Round-6 safety: budget < 1 raises at call time instead of
     producing divide-by-zero NaN contexts deep in the plan."""

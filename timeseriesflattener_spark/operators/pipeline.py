@@ -509,6 +509,12 @@ def deterministic_sample(
             "deterministic_sample requires an explicit rate= (or rates= "
             "with stratify_col=); rate=0.0 would silently drop the corpus"
         )
+    if max([rate or 0.0] + list((rates or {}).values())) > 1.0:
+        raise ValueError(
+            "deterministic_sample rates must be <= 1 (a rate above 1 "
+            "would silently cap at keep-everything); use "
+            "deterministic_resample for epoch-style upsampling"
+        )
     u = _hash_u32(id_col, salt)
 
     def threshold(r: float) -> Column:
@@ -523,6 +529,78 @@ def deterministic_sample(
     else:
         thr = threshold(rate)
     return df.filter(u < thr)
+
+
+def deterministic_resample(
+    df: DataFrame,
+    rate: float | None = None,
+    rates: dict[str, float] | None = None,
+    stratify_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """``deterministic_sample`` generalised to rates ABOVE 1 — the
+    source-mixing knob a training pipeline actually turns ("2.5 epochs
+    of wiki, 0.3 of web"): each row is emitted ``floor(rate)`` times
+    plus one fractional md5-threshold draw, so rate 2.5 yields two full
+    copies and a 50% chance of a third. Every emitted row carries
+    ``copy_col`` (0, 1, ...) so downstream ``assign_shards`` can salt
+    per copy and de-correlate repeats.
+
+    Same reproducibility contract as the rest of the md5 family: copy
+    ``k`` of a row survives iff ``u32(md5(salt || k || ':' || id)) <
+    (rate - k) * 2^32`` — a pure per-row expression (explode of a
+    driver-sized copy sequence, no RNG, no shuffle, recomputable in
+    plain SQL), and MONOTONE in rate (raising 2.2 -> 2.5 only adds
+    rows; a curriculum sweep never resamples what it already drew).
+    For ``rate <= 1`` the result is ``deterministic_sample`` plus a
+    constant ``copy_idx = 0`` column (copy 0 uses the hash key
+    ``salt || '0:' || id``, so pass the same composite salt to
+    ``deterministic_sample`` when mixing the two).
+
+    ``rates`` + ``stratify_col``: per-stratum rates; unlisted strata
+    fall back to ``rate`` (required unless ``rates`` is given, same
+    guard as ``deterministic_sample``)."""
+    if rate is None and not rates:
+        raise ValueError(
+            "deterministic_resample requires an explicit rate= (or "
+            "rates= with stratify_col=)"
+        )
+    if rates and stratify_col is None:
+        raise ValueError("rates= requires stratify_col=")
+    all_rates = [rate if rate is not None else 0.0] + sorted(
+        (rates or {}).values()
+    )
+    if any(r < 0 for r in all_rates):
+        raise ValueError("resample rates must be >= 0")
+    max_copies = int(max(all_rates)) + 1  # ceil of the largest rate
+
+    if rates:
+        r_expr: Column = F.lit(float(rate if rate is not None else 0.0))
+        for stratum, r in sorted(rates.items()):
+            r_expr = F.when(
+                F.col(stratify_col) == stratum, F.lit(float(r))
+            ).otherwise(r_expr)
+    else:
+        r_expr = F.lit(float(rate))
+
+    k = F.explode(F.sequence(F.lit(0), F.lit(max_copies - 1))).alias(copy_col)
+    out = df.select("*", k)
+    key = F.concat(
+        F.lit(salt),
+        F.col(copy_col).cast("string"),
+        F.lit(":"),
+        F.col(id_col).cast("string"),
+    )
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    # copy k's threshold = clamp(rate - k, 0, 1) * 2^32; full copies
+    # (rate - k >= 1) pass unconditionally, so the hash only decides
+    # the one fractional copy — monotone in rate by construction
+    thr = F.least(
+        F.greatest(r_expr - F.col(copy_col), F.lit(0.0)), F.lit(1.0)
+    ) * F.lit(float(1 << 32))
+    return out.filter(u.cast("double") < thr)
 
 
 def context_manifest(
