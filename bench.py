@@ -365,10 +365,14 @@ def run_featwidth_leg() -> None:
         "user_id", "ts", "event_id",
         *[(F.col("value") * float(i + 1)).alias(f"v{i}") for i in range(8)],
     )
-    dates = F.array(*[
-        F.lit(f"2024-{m:02d}-{d:02d} 00:00:00").cast("timestamp")
-        for m in (1, 2, 3, 4) for d in (1, 8, 15, 22)
-    ])
+    # 6-hourly prediction grid across the events span (Jan 2024): 120
+    # pred times x every user — dense enough that the leg measures the
+    # fused aggregation, not session fixed costs (sf0.1: 180k pred
+    # times x 96 features = 17.3M feature values per run)
+    dates = F.expr(
+        "sequence(timestamp'2024-01-01 00:00:00', "
+        "timestamp'2024-01-30 18:00:00', interval 6 hours)"
+    )
     pred = ev.select("user_id").distinct().select(
         "user_id", F.explode(dates).alias("pred_ts")
     )

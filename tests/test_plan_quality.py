@@ -218,8 +218,8 @@ def test_featwidth_fused_plan(spark):
     fused = process_temporal_specs_fused(
         specs, PredictionTimeFrame(df=pred_frame)
     )
-    # 8 x 4 x 3 = 96 feature columns + entity/ts/uuid bookkeeping
-    assert len(fused.columns) == 96 + 3, fused.columns
+    # 8 x 4 x 3 = 96 feature columns + the prediction_time_uuid key
+    assert len(fused.columns) == 96 + 1, fused.columns
     plan = _plan(fused)
     assert plan.count("Join") == 1, plan
     n_aggs = (

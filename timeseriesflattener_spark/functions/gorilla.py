@@ -72,10 +72,14 @@ def _unpack_bits(data: bytes, n: int, width: int) -> np.ndarray:
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width).reshape(n, width)
-    out = np.zeros(n, dtype=np.uint64)
-    for j in range(width):  # <=64 iterations, each vectorized over n
-        out = (out << np.uint64(1)) | bits[:, j].astype(np.uint64)
-    return out
+    # left-pad each row to 64 bits and repack to big-endian uint64 — a
+    # CONSTANT number of numpy dispatches. (The old per-bit shift-or
+    # loop was up to 64 dispatches; on the tiny 2-3-point chunks a
+    # (conv, day) tier produces it cost ~180us per chunk and was 80% of
+    # the whole decode wall — measured r6, tools/gorilla_split.json.)
+    padded = np.zeros((n, 64), dtype=np.uint8)
+    padded[:, 64 - width:] = bits
+    return np.packbits(padded, axis=1).view(">u8").ravel().astype(np.uint64)
 
 
 def _zigzag(v: np.ndarray) -> np.ndarray:
