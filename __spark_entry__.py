@@ -1151,6 +1151,45 @@ def q_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_synth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic synthetic-data generation (synth.py,
+    mirroring the reference's synth_data_generator — reference
+    testing/synth_data_generator/synth_col_generators.py:50-144): 20k
+    rows from spark.range, an id column, a uniform_int, a
+    uniform_float, a minute-rounded datetime_uniform, then 10% NA
+    injection on the value columns. Every draw is the first 13 md5 hex
+    digits of (salt || sample_id) over 2^52 — exactly-representable
+    IEEE arithmetic, so the oracle recomputes the identical doubles
+    digit-by-digit in DuckDB and the hash match is bit-exact (no
+    rounding). The only cross-engine seam is the minute rounding
+    (Spark bround = half-even, DuckDB floor(x+0.5)): a tie needs
+    u*1825*1440 to land exactly on k+1/2 with u a 52-bit dyadic, ~2^-47
+    per draw — impossible in practice and absent at this seed."""
+    from timeseriesflattener_spark import synth
+
+    preds = [
+        {"neg_id": {"column_type": "id"}},
+        {"val_int": {"column_type": "uniform_int", "min": 0, "max": 10}},
+        {"val_float": {"column_type": "uniform_float", "min": 0.0, "max": 4.0}},
+        {"ts": {"column_type": "datetime_uniform", "min": 0, "max": 1825}},
+    ]
+    df = synth.generate_synth_frame(spark, preds, 20000, seed="oracle")
+    return synth.replace_vals_with_na(
+        df, 0.1, na_ignore_cols=["neg_id", "ts"], seed="oracle"
+    )
+
+
+def _sql_u01(salt: str) -> str:
+    """DuckDB mirror of synth.u01: first 13 md5 hex digits of
+    (salt || sample_id) as an exact double over 2^52."""
+    h = f"md5('{salt}' || CAST(sample_id AS VARCHAR))"
+    return (
+        f"(list_sum(list_transform(range(1,14), i -> "
+        f"(strpos('0123456789abcdef', substr({h}, CAST(i AS INT), 1)) - 1)"
+        f" * 16.0 ** (13 - i))) / 4503599627370496.0)"
+    )
+
+
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loader-side packing view (operators/pipeline.py::context_manifest):
     one row per (shard, ctx, doc) with the doc's intra-context token
@@ -1598,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "resample_epochs": q_resample_epochs,
         "prepare_training": q_prepare_training,
+        "synth_frame": q_synth_frame,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -2283,6 +2323,26 @@ samp AS (
 SELECT doc_id, shard,
   CAST(row_number() OVER (PARTITION BY shard ORDER BY hh) - 1 AS INTEGER) AS pos
 FROM samp""",
+        # synth_frame: digit-exact mirror of synth.u01 (13 md5 hex
+        # digits / 2^52 — every partial sum an exact integer double, so
+        # min + u*(max-min) is the bit-identical double on both
+        # engines; floats compare unrounded). Minute rounding:
+        # floor(x+0.5) here vs Spark bround — see q_synth_frame on why
+        # ties cannot occur. NA draws are the same u01 under the
+        # per-column __na salt.
+        "synth_frame": f"""
+WITH ids AS (SELECT unnest(range(20000)) AS sample_id)
+SELECT sample_id,
+  -sample_id AS neg_id,
+  CASE WHEN {_sql_u01('oracle:__na:val_int:')} < 0.1 THEN NULL
+       ELSE CAST(0 + floor({_sql_u01('oracle:val_int:')} * 10.0) AS BIGINT)
+  END AS val_int,
+  CASE WHEN {_sql_u01('oracle:__na:val_float:')} < 0.1 THEN NULL
+       ELSE 0.0 + {_sql_u01('oracle:val_float:')} * 4.0
+  END AS val_float,
+  epoch_ms(CAST(floor({_sql_u01('oracle:ts:')} * 1825.0 * 1440.0 + 0.5)
+           AS BIGINT) * 60000) AS ts
+FROM ids""",
         "dedup_jaccard": """
 WITH norm AS (
   SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
