@@ -1151,6 +1151,30 @@ def q_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing to target token budgets (operators/pipeline.py::
+    mix_domains): per-lang rates derived from the data (rate =
+    target_tokens / available_tokens, capped at 10 epochs) and applied
+    via deterministic_resample. The targets exercise every branch:
+    en undersampled (at sf0.01), zh oversampled past 1 epoch, de pinned
+    at the 10x cap by an impossible budget, es/fr absent from targets
+    (dropped before the copy explode). Oracle: the same rate derivation
+    (IEEE division of exact token sums — bit-identical cross-engine)
+    feeding the same md5 copy-threshold arithmetic; the oracle explodes
+    a fixed 11 copies (>= any possible ceil(rate) under the cap) since
+    copies past ceil(rate) always fail the threshold."""
+    from timeseriesflattener_spark.operators.pipeline import mix_domains
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count(F.col("text")).alias("n_toks")
+    )
+    return mix_domains(
+        docs,
+        {"en": 6000.0, "zh": 9000.0, "de": 1000000.0},
+        unit_col="n_toks",
+    ).select("doc_id", "lang", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
 def q_synth_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed deterministic synthetic-data generation (synth.py,
     mirroring the reference's synth_data_generator — reference
@@ -1638,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_epochs": q_resample_epochs,
         "prepare_training": q_prepare_training,
         "synth_frame": q_synth_frame,
+        "mix_domains": q_mix_domains,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
@@ -2323,6 +2348,36 @@ samp AS (
 SELECT doc_id, shard,
   CAST(row_number() OVER (PARTITION BY shard ORDER BY hh) - 1 AS INTEGER) AS pos
 FROM samp""",
+        "mix_domains": """
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks
+  FROM documents),
+avail AS (
+  SELECT lang, CAST(sum(n_toks) AS DOUBLE) AS available
+  FROM t GROUP BY lang),
+plan AS (
+  SELECT v.lang,
+    CASE WHEN coalesce(a.available, 0) > 0
+         THEN least(v.target / a.available, 10.0) ELSE 0.0 END AS rate
+  FROM (VALUES ('de', 1000000.0), ('en', 6000.0), ('zh', 9000.0))
+       v(lang, target)
+  LEFT JOIN avail a USING (lang)),
+copies AS (SELECT unnest(range(0, 11)) AS copy_idx),
+c AS (
+  SELECT t.doc_id, t.lang, p.rate, k.copy_idx
+  FROM t JOIN plan p USING (lang) CROSS JOIN copies k
+  WHERE p.rate > 0),
+h AS (
+  SELECT doc_id, lang, rate, copy_idx,
+    CAST(list_sum(
+      [(strpos('0123456789abcdef',
+               substr(md5(CAST(copy_idx AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) AS u
+  FROM c)
+SELECT doc_id, lang, CAST(copy_idx AS INT) AS copy_idx FROM h
+WHERE CAST(u AS DOUBLE) < least(greatest(rate - copy_idx, 0), 1) * 4294967296""",
         # synth_frame: digit-exact mirror of synth.u01 (13 md5 hex
         # digits / 2^52 — every partial sum an exact integer double, so
         # min + u*(max-min) is the bit-identical double on both

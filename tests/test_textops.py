@@ -1044,3 +1044,74 @@ def test_assign_shards_two_stage_rank(spark, docs):
     for spec in specs:
         if "shard" in spec:
             assert "__b" in spec, spec
+
+
+def test_mixture_plan_and_mix_domains(spark, docs):
+    """Source mixing to target budgets: plan rates = target/available
+    (capped), drop/under/over/cap branches all exercised, counts land
+    near target, draws monotone in target, guards raise."""
+    import pytest
+
+    from timeseriesflattener_spark.operators.pipeline import (
+        mix_domains,
+        mixture_plan,
+    )
+
+    d = docs.select(
+        "doc_id", "lang", T.token_count(F.col("text")).alias("n_toks")
+    )
+    avail = {
+        r["lang"]: r["toks"]
+        for r in d.groupBy("lang").agg(F.sum("n_toks").alias("toks")).collect()
+    }
+    targets = {
+        "en": avail["en"] * 0.5,   # undersample
+        "zh": avail["zh"] * 2.5,   # epoch oversample
+        "de": avail["de"] * 99.0,  # impossible -> capped at 10
+        "xx": 1000.0,              # domain with no rows
+    }
+    plan = {
+        r["lang"]: r.asDict()
+        for r in mixture_plan(d, targets, unit_col="n_toks").collect()
+    }
+    assert set(plan) == set(targets)  # one row per TARGET domain
+    assert plan["en"]["rate"] == pytest.approx(0.5)
+    assert plan["zh"]["rate"] == pytest.approx(2.5)
+    assert plan["de"]["rate"] == 10.0  # cap is visible in the plan
+    assert plan["xx"]["available"] == 0.0 and plan["xx"]["rate"] == 0.0
+
+    out = mix_domains(d, targets, unit_col="n_toks").cache()
+    got = {
+        r["lang"]: r["toks"]
+        for r in out.groupBy("lang").agg(F.sum("n_toks").alias("toks")).collect()
+    }
+    # unlisted (es/fr) and empty (xx) domains are absent
+    assert set(got) <= {"en", "zh", "de"}
+    # sampled token mass within sampling noise of the target
+    assert abs(got["en"] - targets["en"]) / targets["en"] < 0.25
+    assert abs(got["zh"] - targets["zh"]) / targets["zh"] < 0.25
+    # capped domain delivers ~10 epochs, NOT the impossible target
+    assert abs(got["de"] - 10 * avail["de"]) / (10 * avail["de"]) < 0.25
+    # every full copy below ceil(rate) is unconditional for zh: copies
+    # 0 and 1 contain every zh doc
+    n_zh = d.filter("lang = 'zh'").count()
+    for k in (0, 1):
+        assert out.filter((F.col("lang") == "zh") & (F.col("copy_idx") == k)).count() == n_zh
+
+    # monotone in target: raising one target only ADDS (doc, copy) rows
+    lower = mix_domains(
+        d, {**targets, "zh": avail["zh"] * 1.5}, unit_col="n_toks"
+    )
+    assert lower.exceptAll(out).count() == 0
+
+    # row-count mixing when unit_col omitted
+    n_en = d.filter("lang = 'en'").count()
+    by_rows = mix_domains(d, {"en": float(n_en)}, salt="rows")
+    assert by_rows.count() == n_en
+
+    with pytest.raises(ValueError, match="at least one target"):
+        mixture_plan(d, {})
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_plan(d, {"en": -1.0})
+    with pytest.raises(ValueError, match="max_rate"):
+        mixture_plan(d, {"en": 1.0}, max_rate=0.5)

@@ -603,6 +603,110 @@ def deterministic_resample(
     return out.filter(u.cast("double") < thr)
 
 
+def mixture_plan(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    unit_col: str | None = None,
+    max_rate: float = 10.0,
+) -> DataFrame:
+    """The per-domain audit/plan behind ``mix_domains``: one row per
+    TARGET domain with what's ``available`` (row count, or
+    ``sum(unit_col)`` — pass the token-count column to mix by tokens,
+    the unit that actually matters for a training run), the ``target``,
+    and the resulting ``rate = target / available`` capped at
+    ``max_rate`` (an impossible target must not silently explode a tiny
+    domain into thousands of copies — cap it and let the plan SHOW the
+    shortfall: ``rate < target/available`` is visible in the frame).
+
+    One map-side-combined aggregate; the targets join is a broadcast of
+    a len(targets)-row literal frame. Domains present in the data but
+    absent from ``targets`` are excluded by the inner join — they mix
+    at rate 0. A target for a domain with no rows yields
+    ``available = 0, rate = 0`` (nothing to upsample from)."""
+    if not targets:
+        raise ValueError("mixture_plan requires at least one target domain")
+    if any(t < 0 for t in targets.values()):
+        raise ValueError("mixture targets must be >= 0")
+    if max_rate < 1:
+        raise ValueError(f"max_rate must be >= 1, got {max_rate}")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        schema=f"{domain_col} string, target double",
+    )
+    measure = (
+        F.sum(F.col(unit_col)) if unit_col else F.count(F.lit(1))
+    ).cast("double")
+    avail = df.groupBy(domain_col).agg(measure.alias("available"))
+    rate = F.when(
+        F.col("available") > 0,
+        F.least(F.col("target") / F.col("available"), F.lit(float(max_rate))),
+    ).otherwise(F.lit(0.0))
+    return (
+        F.broadcast(tgt)
+        .join(avail, domain_col, "left")
+        .na.fill({"available": 0.0})
+        .select(domain_col, "available", "target", rate.alias("rate"))
+    )
+
+
+def mix_domains(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    unit_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    copy_col: str = "copy_idx",
+    max_rate: float = 10.0,
+) -> DataFrame:
+    """Source mixing to TARGET budgets — the knob a training-data
+    pipeline turns as "300k tokens of en, 80k of zh, drop the rest":
+    derives per-domain rates from the data via ``mixture_plan`` (rate =
+    target / available, by rows or by ``unit_col`` units) and applies
+    them through ``deterministic_resample``, so under- AND over-sampling
+    (epochs > 1) fall out of one call and the draw inherits the whole
+    md5 reproducibility contract: no RNG, partition-order-free, monotone
+    in each target, recomputable in plain SQL (the ``mix_domains``
+    driver oracle re-derives the rates AND the draws in DuckDB and
+    matches exactly — rates are IEEE divisions of exact counts, so even
+    they are bit-identical cross-engine).
+
+    The plan's rates cross the driver (a len(targets)-row collect —
+    driver-side control flow, same class as the tier-day lists), because
+    ``deterministic_resample`` sizes its copy-explode from the LARGEST
+    rate at plan-build time. Domains not in ``targets`` are filtered
+    out BEFORE the explode so the copy fan-out never touches them."""
+    plan = mixture_plan(
+        df,
+        targets,
+        domain_col=domain_col,
+        unit_col=unit_col,
+        max_rate=max_rate,
+    )
+    rates = {
+        r[domain_col]: r["rate"] for r in plan.collect() if r["rate"] > 0
+    }
+    if not rates:
+        return deterministic_resample(
+            df.filter(F.lit(False)),
+            rate=0.0,
+            id_col=id_col,
+            salt=salt,
+            copy_col=copy_col,
+        )
+    return deterministic_resample(
+        df.filter(F.col(domain_col).isin(list(rates))),
+        rate=0.0,
+        rates=rates,
+        stratify_col=domain_col,
+        id_col=id_col,
+        salt=salt,
+        copy_col=copy_col,
+    )
+
+
 def context_manifest(
     df: DataFrame,
     budget: int,
