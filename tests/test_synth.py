@@ -208,3 +208,22 @@ def test_generation_is_one_narrow_stage(spark):
     assert "ShuffleExchange" not in plan2.replace(
         "BroadcastExchange", ""
     ) and "Exchange hashpartitioning" not in plan2
+
+
+def test_constant_model_mirrors_scipy_nan(spark):
+    """sd = 0 (constant model / n_samples=1) must yield NaN probs —
+    exactly what scipy.stats.zscore of a constant vector produces —
+    and binarise to outcome 0 (np.where(nan < p, 1, 0) == 0), never
+    NULL."""
+    preds = [{"c": {"column_type": "uniform_int", "min": 5, "max": 6}}]  # constant 5
+    df = synth.generate_synth_frame(spark, preds, 20, seed="k")
+    probs = [
+        r["outcome_prob"]
+        for r in synth.create_outcome_values(df, "1*c", seed="k").collect()
+    ]
+    assert all(p is not None and math.isnan(p) for p in probs)
+    out = synth.generate_synth_data(
+        spark, preds, "outc", 20, "1*c", na_prob=None, seed="k"
+    )
+    vals = [r["outc"] for r in out.collect()]
+    assert vals == [0] * 20

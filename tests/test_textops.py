@@ -748,6 +748,23 @@ def test_clean_corpus_commit_fingerprint_and_fallback(spark, docs, tmp_path):
     assert again == base
     assert os.path.isdir(qpath + "__commit")  # re-committed
 
+    # (d) a kill DURING the marker write leaves the dir with only
+    # Spark's _temporary staging — must read as uncommitted (None) on
+    # both probe paths, not raise UNABLE_TO_INFER_SCHEMA
+    partial = str(tmp_path / "partial")
+    os.makedirs(partial + "__commit/_temporary/0")
+    assert _read_commit(spark, partial) is None
+    assert _read_commit(spark, partial, _force_fallback=True) is None
+    # and a full clean_corpus resume over that state recomputes the
+    # stage instead of aborting
+    shutil.rmtree(qpath + "__commit")
+    os.makedirs(qpath + "__commit/_temporary/0")
+    resumed = {
+        r["doc_id"]: r["stage"]
+        for r in clean_corpus(corpus, persist_ids_to=pdir, **kw).collect()
+    }
+    assert resumed == base
+
 
 def test_deterministic_sample_requires_rate(spark, docs):
     """Round-6 safety: a bare deterministic_sample(df) must raise, not
@@ -1115,3 +1132,38 @@ def test_mixture_plan_and_mix_domains(spark, docs):
         mixture_plan(d, {"en": -1.0})
     with pytest.raises(ValueError, match="max_rate"):
         mixture_plan(d, {"en": 1.0}, max_rate=0.5)
+
+
+def test_resample_rate_cap(spark, docs):
+    """A typo'd epoch rate (250 for 2.50) must raise instead of
+    silently exploding every row 250-fold; an explicit cap override
+    still works."""
+    import pytest
+
+    from timeseriesflattener_spark.operators.pipeline import (
+        deterministic_resample,
+    )
+
+    ids = docs.select("doc_id").limit(10)
+    with pytest.raises(ValueError, match="max_rate_cap"):
+        deterministic_resample(ids, rate=250.0)
+    with pytest.raises(ValueError, match="max_rate_cap"):
+        deterministic_resample(
+            ids, rate=0.5, rates={"en": 1700.0}, stratify_col="doc_id"
+        )
+    out = deterministic_resample(ids, rate=101.0, max_rate_cap=150.0)
+    assert out.count() >= 101 * 10  # 101 full copies each
+
+
+def test_mixture_plan_broadcasts_aggregate(spark, docs):
+    """Plan shape: the per-domain aggregate is broadcast (hint on the
+    non-preserved side of the right-outer join is honorable); no
+    sort-merge join appears."""
+    from timeseriesflattener_spark.operators.pipeline import mixture_plan
+
+    plan = mixture_plan(
+        docs.select("doc_id", "lang"), {"en": 10.0, "xx": 5.0}
+    )
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s

@@ -73,13 +73,19 @@ def _read_commit(
     the stage has not committed. The commit artifact is a one-row
     parquet written AFTER the ids parquet — the commit boundary.
 
-    Only "path absent" maps to None: any other failure (a transient FS
-    outage, a corrupt artifact) PROPAGATES, because mapping it to "not
-    done" would make a resumed 100 TB cleaning run silently recompute a
-    finished stage and overwrite its ids. Classic sessions use a Hadoop
-    FS existence probe (any scheme: hdfs://, s3a://, ...); Spark
-    Connect sessions (no ``_jvm``) distinguish absence by the reader's
-    PATH_NOT_FOUND error class."""
+    Only "stage did not commit" maps to None: path absent, or the
+    marker dir exists but holds no data files (a kill mid-marker-write
+    leaves only Spark's ``_temporary`` staging dir — that crash window
+    is exactly what the commit boundary is for, so it must read as
+    uncommitted, not as a hard schema error). Any OTHER failure (a
+    transient FS outage, a corrupt artifact) PROPAGATES, because
+    mapping it to "not done" would make a resumed 100 TB cleaning run
+    silently recompute a finished stage and overwrite its ids. Classic
+    sessions use a Hadoop FS existence probe (any scheme: hdfs://,
+    s3a://, ...); Spark Connect sessions (no ``_jvm``) distinguish
+    absence by the reader's error class."""
+    from pyspark.errors import AnalysisException
+
     marker = _commit_path(path)
     jvm = None
     if not _force_fallback:
@@ -92,15 +98,22 @@ def _read_commit(
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return None
-        rows = spark.read.parquet(marker).collect()
+        try:
+            rows = spark.read.parquet(marker).collect()
+        except AnalysisException as e:
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return None  # partial write: dir exists, no data files
+            raise
     else:
-        from pyspark.errors import AnalysisException
-
         try:
             rows = spark.read.parquet(marker).collect()
         except AnalysisException as e:
             msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
                 return None
             raise
     return rows[0]["fingerprint"] if rows else None
@@ -277,14 +290,20 @@ def drop_unclean(df: DataFrame, audit: DataFrame, id_col: str = "doc_id") -> Dat
     )
 
 
-def _hash_u32(id_col: str, salt: str) -> Column:
-    """First 8 hex digits of ``md5(salt || id)`` as a 32-bit integer
-    (exact in a long; conv(hex, 16, 10) — no engine-private hash). The
-    ONE source of randomness-free order/shard/sample decisions in this
-    module: assign_shards, pack_contexts and deterministic_sample all
-    derive from it, so their reproducibility contracts cannot drift."""
-    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+def _u32_of_key(key: Column) -> Column:
+    """First 8 hex digits of ``md5(key)`` as a 32-bit integer (exact in
+    a long; conv(hex, 16, 10) — no engine-private hash). The ONE hash
+    expression behind every randomness-free order/shard/sample decision
+    in this module — ``_hash_u32`` and ``deterministic_resample`` both
+    route through it, so the reproducibility contracts cannot drift."""
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def _hash_u32(id_col: str, salt: str) -> Column:
+    """``_u32_of_key`` over the standard ``salt || id`` key:
+    assign_shards, pack_contexts and deterministic_sample all derive
+    from this form."""
+    return _u32_of_key(F.concat(F.lit(salt), F.col(id_col).cast("string")))
 
 
 def _with_hash_order(
@@ -539,6 +558,7 @@ def deterministic_resample(
     id_col: str = "doc_id",
     salt: str = "",
     copy_col: str = "copy_idx",
+    max_rate_cap: float = 100.0,
 ) -> DataFrame:
     """``deterministic_sample`` generalised to rates ABOVE 1 — the
     source-mixing knob a training pipeline actually turns ("2.5 epochs
@@ -574,6 +594,17 @@ def deterministic_resample(
     )
     if any(r < 0 for r in all_rates):
         raise ValueError("resample rates must be >= 0")
+    if max(all_rates) > max_rate_cap:
+        # symmetric to deterministic_sample's >1 guard: a typo'd rate
+        # (250 for 2.50) would silently fan every row out rate-fold —
+        # a 1B-row corpus becomes a 250B-row stage before anyone
+        # notices. Epochs beyond ~100 are never a real mixing decision;
+        # raise the cap explicitly if one ever is.
+        raise ValueError(
+            f"resample rate {max(all_rates)} exceeds max_rate_cap="
+            f"{max_rate_cap}; each row is emitted ~rate times — pass a "
+            f"higher max_rate_cap= explicitly if this is intentional"
+        )
     max_copies = int(max(all_rates)) + 1  # ceil of the largest rate
 
     if rates:
@@ -593,7 +624,7 @@ def deterministic_resample(
         F.lit(":"),
         F.col(id_col).cast("string"),
     )
-    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    u = _u32_of_key(key)
     # copy k's threshold = clamp(rate - k, 0, 1) * 2^32; full copies
     # (rate - k >= 1) pass unconditionally, so the hash only decides
     # the one fractional copy — monotone in rate by construction
@@ -619,10 +650,14 @@ def mixture_plan(
     domain into thousands of copies — cap it and let the plan SHOW the
     shortfall: ``rate < target/available`` is visible in the frame).
 
-    One map-side-combined aggregate; the targets join is a broadcast of
-    a len(targets)-row literal frame. Domains present in the data but
-    absent from ``targets`` are excluded by the inner join — they mix
-    at rate 0. A target for a domain with no rows yields
+    One map-side-combined aggregate; its per-domain output (one row per
+    distinct domain — small at any corpus scale) is broadcast into a
+    right-outer join that preserves every target row. (For an outer
+    join Spark can only build the non-preserved side, so the broadcast
+    hint goes on the aggregate, not the targets literal — a hint on the
+    preserved side is silently dropped.) Domains present in the data
+    but absent from ``targets`` fall out of the join — they mix at
+    rate 0. A target for a domain with no rows yields
     ``available = 0, rate = 0`` (nothing to upsample from)."""
     if not targets:
         raise ValueError("mixture_plan requires at least one target domain")
@@ -644,8 +679,8 @@ def mixture_plan(
         F.least(F.col("target") / F.col("available"), F.lit(float(max_rate))),
     ).otherwise(F.lit(0.0))
     return (
-        F.broadcast(tgt)
-        .join(avail, domain_col, "left")
+        F.broadcast(avail)
+        .join(tgt, domain_col, "right")
         .na.fill({"available": 0.0})
         .select(domain_col, "available", "target", rate.alias("rate"))
     )
@@ -704,6 +739,9 @@ def mix_domains(
         id_col=id_col,
         salt=salt,
         copy_col=copy_col,
+        # rates here are already capped at max_rate by mixture_plan;
+        # keep resample's typo guard from rejecting a deliberate cap
+        max_rate_cap=max(100.0, float(max_rate)),
     )
 
 

@@ -140,17 +140,19 @@ def generate_data_columns(
     cols = [F.col(c) for c in df.columns]
     for predictor_spec in predictors:
         for col_name, props in predictor_spec.items():
+            ctype = props["column_type"]
             c = generate_col(
-                props["column_type"],
-                props,
-                id_col=id_col,
-                seed=seed,
-                col_name=col_name,
+                ctype, props, id_col=id_col, seed=seed, col_name=col_name
             )
-            if props["column_type"] not in ("datetime_uniform",):
-                if "min" in props and props["column_type"] == "normal":
+            # the reference clips every non-datetime column with
+            # min/max; here only the normal family needs it — uniforms
+            # are in-range by construction (the reference's clip on
+            # them is an identity), and clipping a long column against
+            # float literals would silently promote its type
+            if ctype == "normal":
+                if "min" in props:
                     c = F.greatest(c, F.lit(float(props["min"])))
-                if "max" in props and props["column_type"] == "normal":
+                if "max" in props:
                     c = F.least(c, F.lit(float(props["max"])))
             cols.append(c.alias(col_name))
     return df.select(*cols)
@@ -195,7 +197,15 @@ def create_outcome_values(
     (population sd, matching ``scipy.stats.zscore``'s ddof=0 default)
     -> + gaussian noise -> sigmoid ``1/(1+exp(y))``. The z-score needs
     the global mean/sd — one map-side-combined aggregate broadcast back
-    via a literal-free crossJoin of a 1-row frame, not a collect-loop."""
+    via a literal-free crossJoin of a 1-row frame, not a collect-loop.
+
+    A constant model (sd = 0 — e.g. n_samples=1 or a degenerate
+    column) yields NaN probabilities, mirroring ``scipy.stats.zscore``
+    of a constant vector exactly; ``generate_synth_data`` then
+    binarises NaN to outcome 0, which is what the reference's
+    ``np.where(nan < p, 1, 0)`` does too. Spark's non-ANSI 0/0 would
+    have produced NULL instead — close, but a silent semantic drift,
+    hence the explicit NaN."""
     y = F.lit(float(intercept))
     for term in logistic_outcome_model.split("+"):
         effect, col = term.split("*")
@@ -209,7 +219,10 @@ def create_outcome_values(
     noise = F.lit(float(noise_mean_sd[0])) + F.lit(
         float(noise_mean_sd[1])
     ) * F.sqrt(-2.0 * F.log(1.0 - u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
-    z = (F.col("__y") - F.col("__y_mean")) / F.col("__y_sd")
+    z = F.when(
+        F.col("__y_sd") != 0.0,
+        (F.col("__y") - F.col("__y_mean")) / F.col("__y_sd"),
+    ).otherwise(F.lit(float("nan")))
     prob = 1.0 / (1.0 + F.exp(z + noise))
     return (
         with_y.crossJoin(F.broadcast(stats))
