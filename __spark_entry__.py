@@ -1606,6 +1606,68 @@ def q_tpch_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest gate (``dedup_against``): ref = the accepted
+    corpus (even doc ids), new batch = odd ids (novel) + verbatim copies
+    of even ids < 20 (shifted +3e6, exact dups) + one-token-appended
+    variants of even ids in [20, 60) (shifted +4e6, near dups at
+    J = (n-2)/(n-1)). Survivors = new minus exact fingerprint matches
+    minus verified minhash near-dups at J >= 0.5. FULL oracle: the SQL
+    recomputes the gate with all-pairs exact cross-Jaccard — valid
+    because the LSH verify step computes exact Jaccard on candidates
+    (subset of all-pairs) and recall here is exactly 100%
+    (test_cross_minhash_pairs_matches_exact pins the pair set against a
+    Python all-pairs differential)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            ref.filter(F.col("doc_id") < 20).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(3_000_000)
+            )
+        )
+        .unionByName(
+            ref.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(4_000_000))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" tailmarker")))
+        )
+    )
+    return D.dedup_against(new, ref, near_dup="minhash", threshold=0.5)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup per (lang, source): doc/token/char counts, exact
+    -dup footprint, quality-gate pass counts and exact-numerator means.
+    Gate thresholds match q_quality_filter's discriminating set (minus
+    the word-2-gram repetition override — the default physical-line
+    unit applies) so the pass counts split the corpus instead of
+    passing everything."""
+    from timeseriesflattener_spark.operators.pipeline import corpus_stats
+
+    return corpus_stats(
+        _t(spark, sf_dir, "documents"),
+        quality_kwargs=dict(
+            min_tokens=25,
+            min_stopword_ratio=0.02,
+            min_mean_word_length=4.2,
+            min_alpha_word_ratio=0.5,
+        ),
+    )
+
+
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: per-doc quality score + fixed-threshold bin
+    (stable under ingest — no rank/ntile; see quality_bins docstring)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.quality_score(t).alias("quality"),
+        T.quality_bins(t).alias("curriculum_bin"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-window multi-aggregator flattening at sf0.001."""
     return q_flatten_multiwindow(spark, "/root/testdata/sf0.001")
@@ -1653,7 +1715,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
+        "quality_bins": q_quality_bins,
+        "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
@@ -1669,10 +1734,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "flatten_v1_boundary": q_flatten_v1_boundary,
+        # ann_lsh/ann_ivf share ann_cosine's exact ranking + the
+        # dominance-invariant oracle — redundant twins, tail-ordered
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "legacy_cache_roundtrip": q_legacy_cache_roundtrip,
         "flatten_incident_outcome": q_flatten_incident_outcome,
         "rollup_aligned_window": q_rollup_aligned_window,
@@ -1813,6 +1880,17 @@ LEFT JOIN q ON c.doc_id = q.doc_id
 LEFT JOIN s2 ON c.doc_id = s2.doc_id
 LEFT JOIN s3 ON c.doc_id = s3.doc_id
 LEFT JOIN s4 ON c.doc_id = s4.doc_id"""
+
+
+#: quality_score as DuckDB SQL, rounded to 6 decimals exactly like the
+#: Spark Column (same literal weights, same caps); shared by the
+#: text_stats-adjacent oracles so the score can never drift between them
+_QUALITY_SCORE_SQL = """round(0.5 * least(len(regexp_extract_all(text, '\\S+')) / 20.0, 1.0)
+      + 0.4 * least((len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+            t -> list_contains(['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], t)))
+            / greatest(len(regexp_extract_all(lower(text), '\\S+')), 1)) * 4, 1.0)
+      + 0.1 * (1.0 - least((length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+            / greatest(length(text), 1)) * 5, 1.0)), 6)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2215,6 +2293,49 @@ r AS (
     END AS fail_reason
   FROM j)
 SELECT doc_id, fail_reason IS NULL AS passed, fail_reason FROM r""",
+        "quality_bins": f"""
+WITH q AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality FROM documents)
+SELECT doc_id, quality,
+  CAST(quality >= 0.4 AS INTEGER) + CAST(quality >= 0.7 AS INTEGER)
+    + CAST(quality >= 0.9 AS INTEGER) AS curriculum_bin
+FROM q""",
+        "corpus_stats": f"""
+WITH t AS (
+  SELECT lang, source, text,
+    regexp_extract_all(text, '\\S+') AS toks,
+    regexp_extract_all(lower(text), '\\S+') AS ltoks,
+    list_filter(list_transform(string_split(text, chr(10)),
+        s -> regexp_replace(s, '^[ \\t\\r\\n\\f]+|[ \\t\\r\\n\\f]+$', '', 'g')),
+      s -> s <> '') AS nlines
+  FROM documents),
+m AS (
+  SELECT lang, source,
+    len(toks) AS nt,
+    length(text) AS nc,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    CAST({_QUALITY_SCORE_SQL} AS DECIMAL(18,6)) AS q,
+    CAST((len(toks) >= 25 AND len(toks) <= 100000
+      AND length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) / greatest(length(text), 1) <= 0.3
+      AND len(list_filter(ltoks, x -> list_contains(['the','and','of','to','in','is','that','with','a','an','for','on','as','are','was'], x))) / greatest(len(ltoks), 1) >= 0.02
+      AND (len(nlines) - len(list_distinct(nlines))) / greatest(len(nlines), 1) <= 0.3
+      AND (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) / greatest(len(toks), 1) <= 0.1
+      AND length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1) >= 4.2
+      AND length(regexp_replace(text, '\\s+', '', 'g')) / greatest(len(toks), 1) <= 12.0
+      AND len(list_filter(nlines, s -> regexp_matches(s, '^[-*•]'))) / greatest(len(nlines), 1) <= 0.9
+      AND len(list_filter(nlines, s -> regexp_matches(s, '(\\.\\.\\.|…)$'))) / greatest(len(nlines), 1) <= 0.3
+      AND len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / greatest(len(toks), 1) >= 0.5
+      ) AS BIGINT) AS pass
+  FROM t)
+SELECT lang, source,
+  count(*) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  CAST(sum(nc) AS BIGINT) AS n_chars,
+  count(*) - count(DISTINCT fp) AS n_exact_dups,
+  CAST(sum(pass) AS BIGINT) AS n_quality_pass,
+  CAST(sum(nt) AS BIGINT) / count(*) AS mean_doc_tokens,
+  CAST(sum(q) AS DOUBLE) / count(*) AS mean_quality,
+  CAST(sum(pass) AS BIGINT) / count(*) AS quality_pass_rate
+FROM m GROUP BY lang, source""",
         "scrub_pii": """
 WITH inj AS (
   SELECT doc_id,
@@ -2237,6 +2358,48 @@ FROM inj""",
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1""",
+        "dedup_incremental": """
+WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 20
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, text || ' tailmarker' AS text
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id >= 20 AND doc_id < 60),
+rfp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM ref),
+nnorm AS (
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM newb),
+rnorm AS (
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM ref),
+nsh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM nnorm),
+rsh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+    ELSE [array_to_string(toks, ' ')] END)) AS shingle
+  FROM rnorm),
+nsz AS (SELECT doc_id, count(*) AS n FROM nsh GROUP BY 1),
+rsz AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+com AS (
+  SELECT a.doc_id AS dn, b.doc_id AS dr, count(*) AS c
+  FROM nsh a JOIN rsh b ON a.shingle = b.shingle
+  GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT com.dn
+  FROM com JOIN nsz ON com.dn = nsz.doc_id JOIN rsz ON com.dr = rsz.doc_id
+  WHERE round(com.c / (nsz.n + rsz.n - com.c), 6) >= 0.5)
+SELECT doc_id, text FROM newb
+WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) NOT IN (SELECT f FROM rfp)
+  AND doc_id NOT IN (SELECT dn FROM near)""",
         "pack_shards": """
 WITH h AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),

@@ -388,9 +388,12 @@ def minhash_lsh_candidates(
     return _candidates_from_signatures(sig, num_hashes, bands)
 
 
-def _candidates_from_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bucket) — each signature row exploded to its LSH band
+    buckets; the bucket is a hash of the band's signature slice, so the
+    join key space (band x 64-bit bucket) has no hot keys."""
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -412,6 +415,10 @@ def _candidates_from_signatures(sig: DataFrame, num_hashes: int, bands: int) -> 
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+
+
+def _candidates_from_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    banded = _banded(sig, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -469,6 +476,114 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ----------------------------------------- incremental (batch-vs-corpus)
+
+
+def cross_minhash_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — the incremental-ingest
+    shape: a new crawl batch checked against the already-accepted
+    corpus, without re-pairing the corpus against itself. Returns
+    (doc_new, doc_ref, jaccard) with exact Jaccard >= ``threshold``,
+    candidates from an LSH band-bucket join of the two signature
+    tables (each side touched O(bands) times, never new x ref).
+
+    Same single-scan discipline as ``minhash_dedup_pairs``: each side's
+    hashed shingle explosion is computed once (persisted) and reused
+    for its signatures, sizes, and the verification joins; every
+    shuffle after the text scans moves 8-byte longs. Unlike the
+    within-corpus pairing there is no ``doc_a < doc_b`` tie-break —
+    the two id spaces are unrelated (they may even collide), so the
+    pair is oriented (new, ref) by construction instead."""
+    ex_n = _hashed_exploded(new_df, text_col, id_col, k)
+    ex_r = _hashed_exploded(ref_df, text_col, id_col, k)
+    b_n = _banded(
+        _signatures_from_exploded(ex_n, num_hashes), num_hashes, bands
+    ).select(F.col("doc").alias("doc_new"), "band", "bucket")
+    b_r = _banded(
+        _signatures_from_exploded(ex_r, num_hashes), num_hashes, bands
+    ).select(F.col("doc").alias("doc_ref"), "band", "bucket")
+    cands = (
+        b_n.join(b_r, ["band", "bucket"])
+        .select("doc_new", "doc_ref")
+        .distinct()
+    )
+    n_common = (
+        cands.join(
+            ex_n.select(F.col("doc").alias("doc_new"), "__h"), "doc_new"
+        )
+        .join(ex_r.select(F.col("doc").alias("doc_ref"), "__h"), ["doc_ref", "__h"])
+        .groupBy("doc_new", "doc_ref")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sn = ex_n.groupBy("doc").agg(F.count("*").alias("n_new"))
+    sr = ex_r.groupBy("doc").agg(F.count("*").alias("n_ref"))
+    jac = F.col("n_common") / (F.col("n_new") + F.col("n_ref") - F.col("n_common"))
+    return (
+        n_common.join(sn.withColumnRenamed("doc", "doc_new"), "doc_new")
+        .join(sr.withColumnRenamed("doc", "doc_ref"), "doc_ref")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_ref", "jaccard")
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup: str | None = None,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental dedup: the rows of ``new_df`` that are NOT already in
+    ``ref_df`` — exact (normalised-fingerprint anti-join) and, with
+    ``near_dup="minhash"``, also no verified near-duplicate at
+    ``threshold`` Jaccard. The ingest gate a continuously-crawled
+    corpus needs: the accepted corpus is never re-deduped against
+    itself, only the delta is checked (within-batch duplicates are a
+    separate, composable concern — ``drop_exact_duplicates``).
+
+    The exact path is one anti-join keyed on md5 of the normalised
+    text: uniform key, no hot partitions, and duplicate fingerprints
+    on the reference side need no pre-distinct (anti-join semantics
+    ignore build-side multiplicity). The near path reuses
+    ``cross_minhash_pairs`` and anti-joins the flagged ids — id-only
+    shuffles after the two text scans."""
+    if near_dup not in (None, "minhash"):
+        raise ValueError(f"unknown near_dup strategy {near_dup!r}")
+    fp = F.md5(normalized_text(F.col(text_col)))
+    out = (
+        new_df.withColumn("__fp", fp)
+        .join(ref_df.select(fp.alias("__fp")), "__fp", "left_anti")
+        .drop("__fp")
+    )
+    if near_dup == "minhash":
+        near_ids = cross_minhash_pairs(
+            new_df,
+            ref_df,
+            text_col,
+            id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+        ).select(F.col("doc_new").alias(id_col))
+        out = out.join(near_ids, id_col, "left_anti")
+    return out
 
 
 # -------------------------------------------------------- simhash

@@ -290,6 +290,66 @@ def drop_unclean(df: DataFrame, audit: DataFrame, id_col: str = "doc_id") -> Dat
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    by: tuple[str, ...] | list[str] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_kwargs: dict | None = None,
+) -> DataFrame:
+    """Data-card aggregation — the per-domain summary a training run
+    publishes (and the input to ``mix_domains`` budget decisions): per
+    ``by`` group, document/token/char counts, exact-duplicate footprint
+    (docs minus distinct normalised fingerprints), quality-gate pass
+    counts, and mean doc length / quality / pass rate.
+
+    One map-side-combined ``groupBy`` over a pure projection; the
+    distinct-fingerprint count uses Spark's two-phase distinct
+    expansion (partial distinct per partition, so a hot domain never
+    builds one unbounded buffer). Every emitted mean is derived from
+    an EXACT numerator — integer sums, or the quality score rounded
+    per-row to 6 decimals and summed as DECIMAL — then divided once,
+    so the result is independent of partial-aggregation order and
+    bit-identical cross-engine (a plain ``avg`` over doubles is
+    neither: float summation order varies run to run)."""
+    from .dedup import normalized_text
+    from .text import char_count, quality_pass_expr, quality_score, token_count
+
+    by = list(by)
+    t = F.col(text_col)
+    keyed = df.select(
+        *by,
+        token_count(t).alias("__nt"),
+        char_count(t).alias("__nc"),
+        F.md5(normalized_text(t)).alias("__fp"),
+        quality_score(t).cast("decimal(18,6)").alias("__q"),
+        quality_pass_expr(t, **(quality_kwargs or {})).cast("long").alias("__pass"),
+    )
+    agg = keyed.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nc").alias("n_chars"),
+        F.count_distinct(F.col("__fp")).alias("__nd"),
+        F.sum("__pass").alias("n_quality_pass"),
+        F.sum("__q").cast("decimal(20,6)").alias("__sq"),
+    )
+    return agg.select(
+        *by,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_docs") - F.col("__nd")).alias("n_exact_dups"),
+        "n_quality_pass",
+        (F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_doc_tokens"
+        ),
+        (F.col("__sq").cast("double") / F.col("n_docs")).alias("mean_quality"),
+        (F.col("n_quality_pass").cast("double") / F.col("n_docs")).alias(
+            "quality_pass_rate"
+        ),
+    )
+
+
 def _u32_of_key(key: Column) -> Column:
     """First 8 hex digits of ``md5(key)`` as a 32-bit integer (exact in
     a long; conv(hex, 16, 10) — no engine-private hash). The ONE hash

@@ -148,6 +148,29 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def quality_bins(text: Column, edges: Sequence[float] = (0.4, 0.7, 0.9)) -> Column:
+    """Curriculum bin for a document: ``bin = |{edge <= quality}|``, so
+    ``len(edges) + 1`` bins with bin 0 the lowest quality and the top
+    bin the best — the ordering key for quality-ascending curriculum
+    schedules and the stratum key for per-bin mixing rates. A pure
+    projection over ``quality_score`` (no rank, no sort, no shuffle):
+    binning by FIXED score thresholds rather than by quantile rank is
+    deliberate — a global ntile needs a total sort and re-bins every
+    historical doc whenever the corpus grows, while threshold bins are
+    stable under ingest and recomputable per-row in any engine (the
+    score is rounded to 6 decimals before comparing, so the
+    edge-comparison is bit-exact cross-engine)."""
+    if list(edges) != sorted(set(float(e) for e in edges)):
+        raise ValueError(f"edges must be strictly increasing, got {edges!r}")
+    if not edges:
+        raise ValueError("quality_bins requires at least one edge")
+    q = quality_score(text)
+    b: Column = F.lit(0)
+    for e in edges:
+        b = b + (q >= F.lit(float(e))).cast("int")
+    return b
+
+
 def lang_scores(text: Column) -> list[Column]:
     """One marker-hit-count column per language."""
     toks = tokens(F.lower(text))
