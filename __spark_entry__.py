@@ -663,6 +663,83 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest gate vs a STATIC accepted corpus
+    (stream_dedup_against, streaming/windowed.py): ref = even doc ids;
+    batch-1 file = odd docs + verbatim copies of even ids < 40 (+5e6);
+    batch-2 file (10 min later) = re-normalised clones of odd ids < 30
+    (+6e6) + more even copies (ids in [40, 60), +7e6). Survivors must
+    be exactly the odd corpus: absent +5e6/+7e6 ids prove the
+    stream-static anti-join fires in BOTH micro-batches, absent +6e6
+    ids prove within-stream cross-batch fingerprint state. Output per
+    fingerprint: n_survivors (exactly-once), ref_copy_survived,
+    clone_survived; the oracle emits the constants from the batch
+    corpus (robust to natural dups: distinct odd fingerprints not in
+    the even set)."""
+    import tempfile
+    import time as _time
+
+    from timeseriesflattener_spark.streaming.windowed import stream_dedup_against
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-da-")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    t1, t2 = "2024-01-01 00:00:00", "2024-01-01 00:10:00"
+    batch1 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            ref.filter(F.col("doc_id") < 40).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(5_000_000)
+            )
+        )
+        .withColumn("ts", F.lit(t1).cast("timestamp"))
+    )
+    batch2 = (
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 30))
+        .select((F.col("doc_id") + 6_000_000).alias("doc_id"), "text")
+        .unionByName(
+            ref.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).select(
+                (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+            )
+        )
+        .withColumn("ts", F.lit(t2).cast("timestamp"))
+    )
+    batch1.coalesce(1).write.parquet(f"{work}/input")
+    _time.sleep(1.05)  # file-source ordering is by modification time
+    batch2.coalesce(1).write.mode("append").parquet(f"{work}/input")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/input")
+    )
+    (
+        stream_dedup_against(stream, ref, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    survivors = spark.read.parquet(f"{work}/out")
+    return (
+        survivors.select(
+            F.md5(D.normalized_text(F.col("text"))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.max(
+                ((F.col("doc_id") >= 5_000_000) & (F.col("doc_id") < 6_000_000))
+                | (F.col("doc_id") >= 7_000_000)
+            ).alias("ref_copy_survived"),
+            F.max(
+                (F.col("doc_id") >= 6_000_000) & (F.col("doc_id") < 7_000_000)
+            ).alias("clone_survived"),
+        )
+    )
+
+
 def q_stream_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last ungated streaming operator (VERDICT r4 #5):
     ``running_profiles`` — a CUSTOM stateful operator via
@@ -1691,7 +1768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_earliest_latest": q_flatten_earliest_latest,
         "flatten_slope": q_flatten_slope,
         "flatten_outcome": q_flatten_outcome,
-        "flatten_boolean_outcome": q_flatten_boolean_outcome,
         "flatten_static": q_flatten_static,
         "flatten_timedelta": q_flatten_timedelta,
         "rollup_1h": q_rollup_1h,
@@ -1699,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1h": q_stream_rollup_1h,
         "stream_windowed_1h": q_stream_windowed_1h,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_dedup_against": q_stream_dedup_against,
         "stream_clean_corpus": q_stream_clean_corpus,
         "stream_sessionize_30m": q_stream_sessionize_30m,
         "stream_profiles": q_stream_profiles,
@@ -1737,9 +1814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "flatten_v1_boundary": q_flatten_v1_boundary,
         # ann_lsh/ann_ivf share ann_cosine's exact ranking + the
-        # dominance-invariant oracle — redundant twins, tail-ordered
+        # dominance-invariant oracle; flatten_boolean_outcome's lit(1)
+        # injection + bool agg overlap flatten_outcome +
+        # flatten_var_unique_bool — redundant twins, tail-ordered
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "flatten_boolean_outcome": q_flatten_boolean_outcome,
         "legacy_cache_roundtrip": q_legacy_cache_roundtrip,
         "flatten_incident_outcome": q_flatten_incident_outcome,
         "rollup_aligned_window": q_rollup_aligned_window,
@@ -1994,6 +2074,18 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        CAST(1 AS BIGINT) AS n_survivors,
        FALSE AS clone_survived
 FROM documents GROUP BY 1""",
+        "stream_dedup_against": """
+WITH rf AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents WHERE doc_id % 2 = 0),
+oddf AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents WHERE doc_id % 2 = 1)
+SELECT fingerprint,
+       CAST(1 AS BIGINT) AS n_survivors,
+       FALSE AS ref_copy_survived,
+       FALSE AS clone_survived
+FROM oddf WHERE fingerprint NOT IN (SELECT f FROM rf)""",
         "stream_profiles": """
 SELECT CAST(user_id AS VARCHAR) AS conv_id,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -175,6 +175,64 @@ def test_stream_drop_exact_duplicates_across_batches(spark, tmp_path):
     assert {1, 2, 4} <= kept
 
 
+def test_stream_dedup_against_static_ref(spark, tmp_path):
+    """The streaming ingest gate: docs already in the STATIC accepted
+    corpus are dropped in every micro-batch (stream-static left anti),
+    within-stream duplicates are dropped across batches, and novel docs
+    survive exactly once. Also drives the pre-materialised-fingerprint
+    path (ref_fingerprint_col) — identical survivors."""
+    import time as _time
+
+    from timeseriesflattener_spark.operators.dedup import normalized_text
+    from timeseriesflattener_spark.streaming.windowed import stream_dedup_against
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string"
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batches = [
+        # 1 = copy of ref 100 (mod case/ws) -> dropped by the anti-join
+        [(1, t0, " Alpha  beta GAMMA "), (2, t0, "novel one here")],
+        # 3 = within-stream dup of 2 -> dropped by cross-batch state;
+        # 4 = copy of ref 101 -> anti-join again (stateless, per-batch)
+        [(3, t0 + dt.timedelta(minutes=2), "Novel  one HERE"),
+         (4, t0 + dt.timedelta(minutes=3), "delta epsilon zeta"),
+         (5, t0 + dt.timedelta(minutes=4), "novel two there")],
+    ]
+    in_dir = str(tmp_path / "da_in")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.05)  # file source orders batches by mtime
+
+    def run(out_name, **kwargs):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_dir = str(tmp_path / out_name)
+        (
+            stream_dedup_against(stream, watermark="1 hour", **kwargs)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / (out_name + "_ckpt")))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+        return {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+
+    assert run("da_out", ref_df=ref) == {2, 5}
+    # pre-materialised fingerprint table -> same survivors
+    fps = ref.select(F.md5(normalized_text(F.col("text"))).alias("fingerprint"))
+    assert run("da_out_fp", ref_df=fps, ref_fingerprint_col="fingerprint") == {2, 5}
+    # without within-stream state, only the static gate applies
+    assert run("da_out_ws", ref_df=ref, within_stream=False) == {2, 3, 5}
+
+
 def test_full_stats_stream_feeds_finalize(spark, tmp_path):
     """full_stats=True (round 4): the watermarked stream sink carries the
     complete rollup partial-state schema, so plans.rollup.finalize turns

@@ -222,6 +222,49 @@ def stream_clean(
     return stream_drop_exact_duplicates(passed, text_col, ts_col, watermark)
 
 
+def stream_dedup_against(
+    stream_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    within_stream: bool = True,
+    ref_fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Streaming ingest gate against an already-accepted STATIC corpus
+    — the continuous twin of ``operators.dedup.dedup_against``'s exact
+    path: incoming docs whose normalised ``md5`` fingerprint already
+    exists in ``ref_df`` are dropped via a stream-static LEFT ANTI join
+    (stateless: the static side is re-planned per micro-batch, so an
+    accepted-corpus table that grows between batches is picked up
+    without restarting the query), then, with ``within_stream=True``,
+    duplicates WITHIN the stream are dropped with watermark-bounded
+    cross-batch state (``stream_drop_exact_duplicates`` semantics,
+    identical fingerprint key — batch and stream agree exactly on what
+    counts as a duplicate).
+
+    Scale shape: at 100 TB the accepted corpus is huge but its
+    fingerprint table is compact (16 bytes + id per doc) — pass that
+    pre-materialised table via ``ref_fingerprint_col`` so the static
+    side never re-reads raw text per micro-batch; the anti-join keys on
+    uniform md5, so no hot partitions, and duplicate fingerprints on
+    the reference side need no pre-distinct (anti-join semantics ignore
+    build-side multiplicity)."""
+    from ..operators.dedup import normalized_text
+
+    fp = F.md5(normalized_text(F.col(text_col)))
+    if ref_fingerprint_col is None:
+        ref_fp = ref_df.select(fp.alias("__fp"))
+    else:
+        ref_fp = ref_df.select(F.col(ref_fingerprint_col).alias("__fp"))
+    out = stream_df.withColumn("__fp", fp).join(ref_fp, "__fp", "left_anti")
+    if within_stream:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__fp"]
+        )
+    return out.drop("__fp")
+
+
 def stream_drop_exact_duplicates(
     stream_df: DataFrame,
     text_col: str = "text",
