@@ -1733,6 +1733,19 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split next-fit packing (pack_documents): budget 256, 4 shards
+    over whitespace token counts. FULL oracle: the recurrence is
+    order-defined over the same md5 order, so DuckDB replays it exactly
+    with a recursive CTE stepping each shard one doc per iteration."""
+    from timeseriesflattener_spark.operators.pipeline import pack_documents
+
+    sized = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_toks")
+    )
+    return pack_documents(sized, 256, "n_toks", n_shards=4)
+
+
 def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning: per-doc quality score + fixed-threshold bin
     (stable under ingest — no rank/ntile; see quality_bins docstring)."""
@@ -1773,7 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "stream_rollup_1h": q_stream_rollup_1h,
-        "stream_windowed_1h": q_stream_windowed_1h,
+        "stream_windowed_full_1h": q_stream_windowed_full_1h,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_against": q_stream_dedup_against,
         "stream_clean_corpus": q_stream_clean_corpus,
@@ -1799,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
+        "pack_documents": q_pack_documents,
         "pack_manifest": q_pack_manifest,
         "sample_stratified": q_sample_stratified,
         "resample_epochs": q_resample_epochs,
@@ -1825,7 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_aligned_window": q_rollup_aligned_window,
         "flatten_mean_30d": q_flatten_mean_30d,
         "sessionize_window_30m": q_sessionize_window_30m,
-        "stream_windowed_full_1h": q_stream_windowed_full_1h,
+        # stream_windowed_1h ⊂ stream_windowed_full_1h (now in-window)
+        "stream_windowed_1h": q_stream_windowed_1h,
         "rollup_unique_1h": q_rollup_unique_1h,
         "gapfill_locf_1d": q_gapfill_locf_1d,
         "tpch_pricing_summary": q_tpch_pricing_summary,
@@ -2525,6 +2540,35 @@ SELECT doc_id, shard, tok_start,
   CAST(floor(tok_start / 512) AS BIGINT) AS first_ctx,
   CAST(floor((tok_start + greatest(toks, 1) - 1) / 512) AS BIGINT) AS last_ctx
 FROM c""",
+        # next-fit is order-defined, so the oracle replays the exact
+        # recurrence: a recursive CTE advancing every shard one doc per
+        # iteration (depth = max docs per shard)
+        "pack_documents": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS t,
+         md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents),
+s AS (
+  SELECT doc_id, t, hh,
+    CAST(CAST(list_sum(
+      [(strpos('0123456789abcdef', substr(hh, i, 1)) - 1) * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) % 4 AS INTEGER) AS shard
+  FROM t),
+r AS (
+  SELECT doc_id, t, shard,
+    CAST(row_number() OVER (PARTITION BY shard ORDER BY hh) - 1 AS BIGINT) AS pos
+  FROM s),
+st AS (
+  SELECT shard, pos, doc_id, CAST(0 AS BIGINT) AS bin, t AS fill,
+         CAST(0 AS BIGINT) AS bin_tok_start
+  FROM r WHERE pos = 0
+  UNION ALL
+  SELECT r.shard, r.pos, r.doc_id,
+    CASE WHEN st.fill + r.t > 256 AND st.fill > 0 THEN st.bin + 1 ELSE st.bin END,
+    CASE WHEN st.fill + r.t > 256 AND st.fill > 0 THEN r.t ELSE st.fill + r.t END,
+    CASE WHEN st.fill + r.t > 256 AND st.fill > 0 THEN CAST(0 AS BIGINT) ELSE st.fill END
+  FROM st JOIN r ON r.shard = st.shard AND r.pos = st.pos + 1)
+SELECT doc_id, shard, bin, bin_tok_start FROM st""",
         "sample_stratified": """
 WITH h AS (
   SELECT doc_id, lang, source,

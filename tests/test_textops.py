@@ -1335,3 +1335,73 @@ def test_quality_bins_validation(spark):
         T.quality_bins(F.col("text"), edges=(0.7, 0.4))
     with pytest.raises(ValueError, match="edge"):
         T.quality_bins(F.col("text"), edges=())
+
+
+# ----------------------------------------------- no-split (next-fit) packing
+
+
+def test_pack_documents_matches_python_nextfit(spark, docs):
+    """Differential vs a Python replay of the recurrence over the same
+    md5 order, plus the packing invariants: bins never exceed the
+    budget except a single oversized doc alone, bins are contiguous
+    from 0 per shard, bin_tok_start is the running fill."""
+    from timeseriesflattener_spark.operators.pipeline import pack_documents
+    from timeseriesflattener_spark.operators.text import token_count
+
+    budget, n_shards = 256, 4
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+    got = pack_documents(
+        sized, budget, "n_toks", n_shards=n_shards
+    ).collect()
+    toks = {r["doc_id"]: r["n_toks"] for r in sized.collect()}
+    import hashlib
+
+    def md5hex(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    def shard_of(i):
+        return int(md5hex(i)[:8], 16) % n_shards
+
+    expect = {}
+    for sh in range(n_shards):
+        ids = sorted(
+            (i for i in toks if shard_of(i) == sh), key=md5hex
+        )
+        b, fill = 0, 0
+        for i in ids:
+            t = toks[i]
+            if fill + t > budget and fill > 0:
+                b, fill = b + 1, 0
+            expect[i] = (sh, b, fill)
+            fill += t
+    assert len(got) == len(expect)
+    for r in got:
+        assert (r["shard"], r["bin"], r["bin_tok_start"]) == expect[r["doc_id"]], r
+    # invariants
+    from collections import defaultdict
+
+    fills = defaultdict(list)
+    for r in got:
+        fills[(r["shard"], r["bin"])].append(toks[r["doc_id"]])
+    for (sh, b), ts in fills.items():
+        assert sum(ts) <= budget or len(ts) == 1  # oversized doc sits alone
+    for sh in range(n_shards):
+        bs = sorted(b for s2, b in fills if s2 == sh)
+        assert bs == list(range(len(bs)))  # contiguous bin ids from 0
+
+
+def test_pack_documents_partition_invariant(spark, docs):
+    from timeseriesflattener_spark.operators.pipeline import pack_documents
+    from timeseriesflattener_spark.operators.text import token_count
+
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+    a = pack_documents(sized, 256, "n_toks", n_shards=3).collect()
+    b = pack_documents(
+        sized.repartition(17), 256, "n_toks", n_shards=3
+    ).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
+        map(tuple, b), key=lambda t: t[0]
+    )
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(sized, 0, "n_toks")

@@ -518,6 +518,83 @@ def pack_contexts(
     return packed.select(*cols)
 
 
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_shards: int = 1,
+) -> DataFrame:
+    """No-split (next-fit) document packing — the complement of
+    ``pack_contexts`` for loaders that must NOT fragment documents
+    (instruction tuning, long-context curricula): docs are walked in
+    the same deterministic per-shard md5 order and greedily appended to
+    the current bin; a doc that would overflow ``budget`` opens a new
+    bin. A doc larger than the budget occupies a bin alone (it is
+    placed when its bin is empty — never an infinite cascade). Returns
+    (id, shard, bin, bin_tok_start).
+
+    Unlike every other op in this module, next-fit is a true sequential
+    recurrence (each bin boundary depends on the entire packing prefix
+    — neither a prefix sum nor any window expresses it), so this is the
+    one place the packing family crosses into Python: an Arrow-batched
+    ``mapInPandas`` scan per shard, with shard-hash ``repartition`` +
+    ``sortWithinPartitions`` arranging each shard's docs contiguously
+    in md5 order and a per-shard carry dict across Arrow batches (the
+    Gorilla-encode pattern — measured far cheaper than per-group
+    applyInPandas). Parallelism therefore equals ``n_shards``: at
+    100 TB you pick n_shards for bounded shard size anyway, and each
+    task is one linear pass. Determinism: the md5 order is
+    partition-layout-free and the scan is order-defined, so output is
+    byte-identical for any input partitioning — and the recurrence is
+    reproducible in plain SQL (the driver oracle replays it with a
+    recursive CTE)."""
+    if budget < 1:
+        raise ValueError(
+            f"pack_documents budget must be >= 1, got {budget!r}"
+        )
+    import pandas as pd
+
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    out = _with_hash_order(
+        df.select(F.col(id_col), toks.alias("__t")), id_col, salt, n_shards
+    )
+    sc = out.sparkSession.sparkContext
+    nparts = max(1, min(n_shards, sc.defaultParallelism))
+    arranged = (
+        out.repartition(nparts, "shard")
+        .sortWithinPartitions("shard", "__h")
+        .select(id_col, "shard", "__t")
+    )
+    schema = f"{id_col} long, shard int, bin long, bin_tok_start long"
+
+    def pack(batches):
+        state: dict[int, tuple[int, int]] = {}  # shard -> (bin, fill)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            ts = pdf["__t"].to_numpy()
+            n = len(pdf)
+            bins = [0] * n
+            starts = [0] * n
+            for i in range(n):
+                sh = int(shards[i])
+                t = int(ts[i])
+                b, fill = state.get(sh, (0, 0))
+                if fill + t > budget and fill > 0:
+                    b += 1
+                    fill = 0
+                bins[i] = b
+                starts[i] = fill
+                state[sh] = (b, fill + t)
+            yield pd.DataFrame(
+                {id_col: ids, "shard": shards, "bin": bins, "bin_tok_start": starts}
+            )
+
+    return arranged.mapInPandas(pack, schema)
+
+
 def prepare_training_data(
     df: DataFrame,
     text_col: str = "text",
