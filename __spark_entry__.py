@@ -1801,7 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_30m": q_sessionize_30m,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        "text_repetition": q_text_repetition,
+        "multimodal_meta": q_multimodal_meta,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
@@ -1819,18 +1819,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prepare_training": q_prepare_training,
         "synth_frame": q_synth_frame,
         "mix_domains": q_mix_domains,
-        "dedup_jaccard": q_dedup_jaccard,
+        "flatten_v1_boundary": q_flatten_v1_boundary,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "flatten_v1_boundary": q_flatten_v1_boundary,
-        # ann_lsh/ann_ivf share ann_cosine's exact ranking + the
-        # dominance-invariant oracle; flatten_boolean_outcome's lit(1)
-        # injection + bool agg overlap flatten_outcome +
-        # flatten_var_unique_bool — redundant twins, tail-ordered
+        # tail = redundant twins of in-window queries: ann_lsh/ann_ivf
+        # share ann_cosine's exact ranking + the dominance-invariant
+        # oracle; flatten_boolean_outcome's lit(1) injection + bool agg
+        # overlap flatten_outcome + flatten_var_unique_bool;
+        # text_repetition's dup-line machinery drives quality_filter's
+        # repetition rule; dedup_jaccard at threshold 0.5 yields the
+        # same verified pair set dedup_minhash is oracle-checked on
+        "text_repetition": q_text_repetition,
+        "dedup_jaccard": q_dedup_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "flatten_boolean_outcome": q_flatten_boolean_outcome,
