@@ -1758,6 +1758,16 @@ def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quality-ascending training order with NO total sort
+    Spark-side (projection bins + two-stage bucketed rank + broadcast
+    bin offsets); the oracle states the contract as the one-window
+    total order it is value-identical to."""
+    from timeseriesflattener_spark.operators.pipeline import curriculum_schedule
+
+    return curriculum_schedule(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-window multi-aggregator flattening at sf0.001."""
     return q_flatten_multiwindow(spark, "/root/testdata/sf0.001")
@@ -1798,7 +1808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "asof_latest_value": q_asof_latest_value,
-        "sessionize_30m": q_sessionize_30m,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "multimodal_meta": q_multimodal_meta,
@@ -1806,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
         "quality_bins": q_quality_bins,
+        "curriculum_schedule": q_curriculum_schedule,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
@@ -1831,7 +1841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlap flatten_outcome + flatten_var_unique_bool;
         # text_repetition's dup-line machinery drives quality_filter's
         # repetition rule; dedup_jaccard at threshold 0.5 yields the
-        # same verified pair set dedup_minhash is oracle-checked on
+        # same verified pair set dedup_minhash is oracle-checked on;
+        # sessionize_30m shares its oracle with sessionize_window_30m
+        # and the streaming twin stays in-window
+        "sessionize_30m": q_sessionize_30m,
         "text_repetition": q_text_repetition,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2409,6 +2422,20 @@ SELECT doc_id, quality,
   CAST(quality >= 0.4 AS INTEGER) + CAST(quality >= 0.7 AS INTEGER)
     + CAST(quality >= 0.9 AS INTEGER) AS curriculum_bin
 FROM q""",
+        # the Spark side computes this WITHOUT a total sort (projection
+        # bins + two-stage bucketed rank + broadcast bin offsets); the
+        # oracle states the value contract as the total order itself
+        "curriculum_schedule": f"""
+WITH q AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality FROM documents),
+b AS (
+  SELECT doc_id,
+    CAST(quality >= 0.4 AS INTEGER) + CAST(quality >= 0.7 AS INTEGER)
+      + CAST(quality >= 0.9 AS INTEGER) AS bin
+  FROM q)
+SELECT doc_id, bin,
+  CAST(row_number() OVER (ORDER BY bin, md5(CAST(doc_id AS VARCHAR))) - 1
+       AS BIGINT) AS pos
+FROM b""",
         "corpus_stats": f"""
 WITH t AS (
   SELECT lang, source, text,

@@ -1405,3 +1405,56 @@ def test_pack_documents_partition_invariant(spark, docs):
     )
     with pytest.raises(ValueError, match="budget"):
         pack_documents(sized, 0, "n_toks")
+
+
+# ------------------------------------------------- curriculum scheduling
+
+
+def test_curriculum_schedule_total_order(spark, docs):
+    """pos is a permutation of [0, n); bins are nondecreasing along pos;
+    within a bin the order is exactly the md5(salt||id) permutation
+    (replayed in Python); a salt change re-permutes within bins but
+    never across bins."""
+    import hashlib
+
+    from timeseriesflattener_spark.operators.pipeline import curriculum_schedule
+
+    got = curriculum_schedule(docs).collect()
+    n = len(got)
+    assert sorted(r["pos"] for r in got) == list(range(n))
+    by_pos = sorted(got, key=lambda r: r["pos"])
+    bins = [r["bin"] for r in by_pos]
+    assert bins == sorted(bins)  # schedule walks bins ascending
+    for b in set(bins):
+        ids = [r["doc_id"] for r in by_pos if r["bin"] == b]
+        expect = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        assert ids == expect
+    salted = curriculum_schedule(docs, salt="v2").collect()
+    assert {r["doc_id"]: r["bin"] for r in salted} == {
+        r["doc_id"]: r["bin"] for r in got
+    }  # bins are salt-free
+    assert {r["doc_id"]: r["pos"] for r in salted} != {
+        r["doc_id"]: r["pos"] for r in got
+    }  # order re-permutes
+
+
+def test_curriculum_schedule_no_binwide_window(spark, docs):
+    """Plan pin: no Window partitioned by the low-cardinality bin alone
+    over the corpus — the only corpus-side window keys include the
+    h-prefix bucket (the broadcast offset frames are <= #bins rows)."""
+    from timeseriesflattener_spark.operators.pipeline import curriculum_schedule
+
+    plan = (
+        curriculum_schedule(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "__b" not in spec and "shard" in spec:
+            # allowed only on the tiny aggregated offset frames; those
+            # specs carry __n/__bt aggregates, never corpus row exprs
+            assert "__n" in plan or "__bt" in plan

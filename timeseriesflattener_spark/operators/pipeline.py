@@ -518,6 +518,56 @@ def pack_contexts(
     return packed.select(*cols)
 
 
+def curriculum_schedule(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    edges: tuple[float, ...] | list[float] = (0.4, 0.7, 0.9),
+    salt: str = "",
+) -> DataFrame:
+    """Quality-curriculum training order: every doc gets a global
+    position ``pos`` in a schedule that walks the quality bins in
+    ascending order (lowest-quality bin first — the common "save the
+    best data for the end of training" schedule; invert upstream by
+    negating the bin if needed) and, within a bin, the deterministic
+    md5(salt || id) permutation the rest of the packing family uses.
+    Returns (id, bin, pos) with ``pos`` a permutation of [0, n).
+
+    No total sort anywhere: the bin is a pure projection
+    (``text.quality_bins``), the within-bin rank is the two-stage
+    (bin, h-prefix bucket) scaffold shared with ``assign_shards`` (no
+    window partitioned by the low-cardinality bin alone), and the
+    global bin offsets are a <= (#bins) row broadcast. Value-identical
+    to ``row_number() over (order by bin, md5hex) - 1`` — the DuckDB
+    oracle states it exactly that way — at a max task size of
+    corpus/(#bins * 256) instead of one machine holding a total sort."""
+    from pyspark.sql import Window
+
+    from .text import quality_bins
+
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    out = (
+        df.select(
+            F.col(id_col),
+            quality_bins(F.col(text_col), edges).alias("bin"),
+        )
+        .withColumn("__h", F.md5(key))
+        .withColumn("shard", F.col("bin").cast("int"))
+        .withColumn("__b", F.substring(F.col("__h"), 1, 2))
+    )
+    ranked = _running_total_before(out, F.lit(1))
+    sizes = out.groupBy("shard").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__goff", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    ).select("shard", "__goff")
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .withColumn("pos", (F.col("__goff") + F.col("__runtot")).cast("long"))
+        .select(F.col(id_col), F.col("bin"), F.col("pos"))
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,
