@@ -1439,9 +1439,12 @@ def test_curriculum_schedule_total_order(spark, docs):
 
 
 def test_curriculum_schedule_no_binwide_window(spark, docs):
-    """Plan pin: no Window partitioned by the low-cardinality bin alone
-    over the corpus — the only corpus-side window keys include the
-    h-prefix bucket (the broadcast offset frames are <= #bins rows)."""
+    """Plan pin: the corpus-wide rank window (the only one ordered by
+    the full md5 key ``__h``) must be partitioned by the h-prefix
+    bucket ``__b`` too — a regression to one window per low-cardinality
+    bin would order by ``__h`` WITHOUT ``__b`` in the spec and fail
+    here. The remaining windows (bucket/bin offset cumsums) run on
+    aggregated frames of <= #bins*256 rows and never reference __h."""
     from timeseriesflattener_spark.operators.pipeline import curriculum_schedule
 
     plan = (
@@ -1452,9 +1455,37 @@ def test_curriculum_schedule_no_binwide_window(spark, docs):
     )
     import re
 
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        spec = m.group(1)
-        if "__b" not in spec and "shard" in spec:
-            # allowed only on the tiny aggregated offset frames; those
-            # specs carry __n/__bt aggregates, never corpus row exprs
-            assert "__n" in plan or "__bt" in plan
+    specs = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+    ]
+    corpus_specs = [s for s in specs if "__h" in s]
+    assert corpus_specs, specs  # the rank window must exist (non-vacuous)
+    for s in corpus_specs:
+        assert "__b" in s, s  # ...and must be bucketed, never bin-only
+
+
+def test_pack_documents_string_ids(spark):
+    """The id column passes through with its own type (string ids pack
+    exactly like longs — same contract as assign_shards/pack_contexts)."""
+    from timeseriesflattener_spark.operators.pipeline import pack_documents
+
+    rows = [(f"doc-{i:03d}", 10 + (i % 50)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, n_toks long")
+    out = pack_documents(df, 64, "n_toks", n_shards=2)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = out.collect()
+    assert {r["doc_id"] for r in got} == {r[0] for r in rows}
+    assert all(r["bin_tok_start"] + 0 >= 0 for r in got)
+
+
+def test_release_pipeline_caches(spark, docs):
+    from timeseriesflattener_spark.operators.pipeline import (
+        curriculum_schedule,
+        release_pipeline_caches,
+    )
+
+    release_pipeline_caches()  # start clean
+    curriculum_schedule(docs).count()
+    assert release_pipeline_caches() >= 1
+    assert release_pipeline_caches() == 0

@@ -518,6 +518,28 @@ def pack_contexts(
     return packed.select(*cols)
 
 
+# Persisted narrow frames created by pipeline calls (same contract as
+# dedup._SHINGLE_CACHES: the functions are lazy, so they cannot unpersist
+# their own cache — drivers call release_pipeline_caches() after the
+# consuming action).
+_PIPELINE_CACHES: list[DataFrame] = []
+
+
+def release_pipeline_caches() -> int:
+    """Unpersist every frame cached by prior pipeline calls in this
+    session; returns how many were released. Safe any time — an
+    unpersisted plan silently recomputes."""
+    released = 0
+    while _PIPELINE_CACHES:
+        frame = _PIPELINE_CACHES.pop()
+        try:
+            frame.unpersist()
+            released += 1
+        except Exception:
+            pass
+    return released
+
+
 def curriculum_schedule(
     df: DataFrame,
     text_col: str = "text",
@@ -542,16 +564,22 @@ def curriculum_schedule(
     oracle states it exactly that way — at a max task size of
     corpus/(#bins * 256) instead of one machine holding a total sort."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     from .text import quality_bins
 
+    # the bin projection is ~10 regex passes over every doc's text and
+    # the plan below consumes it through THREE un-shared branches (rank
+    # window, bucket totals, per-bin sizes) — persist the NARROW
+    # (id, bin) frame so the text is scanned once, not three times
+    # (release via release_pipeline_caches)
+    base = df.select(
+        F.col(id_col), quality_bins(F.col(text_col), edges).alias("bin")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PIPELINE_CACHES.append(base)
     key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
     out = (
-        df.select(
-            F.col(id_col),
-            quality_bins(F.col(text_col), edges).alias("bin"),
-        )
-        .withColumn("__h", F.md5(key))
+        base.withColumn("__h", F.md5(key))
         .withColumn("shard", F.col("bin").cast("int"))
         .withColumn("__b", F.substring(F.col("__h"), 1, 2))
     )
@@ -617,7 +645,11 @@ def pack_documents(
         .sortWithinPartitions("shard", "__h")
         .select(id_col, "shard", "__t")
     )
-    schema = f"{id_col} long, shard int, bin long, bin_tok_start long"
+    # id type passes through unchanged (string/int/... ids all pack —
+    # same contract as assign_shards/pack_contexts, which hash the id
+    # as a string and carry the original column)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, shard int, bin long, bin_tok_start long"
 
     def pack(batches):
         state: dict[int, tuple[int, int]] = {}  # shard -> (bin, fill)
