@@ -1778,6 +1778,52 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_schedule(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (RefinedWeb/MassiveText boilerplate
+    pass). The synthetic documents are single-line, so the query builds
+    a 4-line corpus the operator can actually discriminate: a
+    source-shared header (boilerplate — removed wherever the source has
+    >= 2 docs), the original text (removed only for natural exact-dup
+    docs), a blank line (structure — never removed), and a unique
+    footer (always kept). The oracle replays the same construction."""
+    built = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("SRC "), F.col("source"), F.lit(" header")),
+            F.col("text"),
+            F.lit(""),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return D.dedup_lines(built)
+
+
+def q_vocab_induct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokeniser-induction statistics: top-300 BPE-ish pre-tokens and
+    top-300 adjacent pairs (the first BPE merge round's candidate
+    ranking), ties broken on the token string so the top-K set is
+    engine-deterministic."""
+    return T.vocab_induct(
+        _t(spark, sf_dir, "documents"), top_terms=300, top_pairs=300
+    )
+
+
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic named train/val/test split (75/12.5/12.5) on the
+    md5-u32 of doc_id — exact binary fractions so both engines compute
+    identical integer thresholds. The leakage-aware group_col path
+    (whole dedup-cluster / source families pinned to one split) is
+    pytest-pinned; the driver query exercises the per-row threshold
+    bands over every distinct hash."""
+    from timeseriesflattener_spark.operators.pipeline import split_corpus
+
+    return split_corpus(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-window multi-aggregator flattening at sf0.001."""
     return q_flatten_multiwindow(spark, "/root/testdata/sf0.001")
@@ -1829,20 +1875,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_lines": q_dedup_lines,
+        "vocab_induct": q_vocab_induct,
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
         "pack_documents": q_pack_documents,
-        "pack_manifest": q_pack_manifest,
         "sample_stratified": q_sample_stratified,
-        "resample_epochs": q_resample_epochs,
+        "split_corpus": q_split_corpus,
         "prepare_training": q_prepare_training,
         "synth_frame": q_synth_frame,
         "mix_domains": q_mix_domains,
         "flatten_v1_boundary": q_flatten_v1_boundary,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         # tail = redundant twins of in-window queries: ann_lsh/ann_ivf
@@ -1853,7 +1899,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repetition rule; dedup_jaccard at threshold 0.5 yields the
         # same verified pair set dedup_minhash is oracle-checked on;
         # sessionize_30m shares its oracle with sessionize_window_30m
-        # and the streaming twin stays in-window
+        # and the streaming twin stays in-window; dedup_simhash's
+        # near-dup family keeps minhash + embedding legs in-window;
+        # pack_manifest is the pure-arithmetic view of in-window
+        # pack_contexts; resample_epochs shares the md5-threshold
+        # contract with in-window sample_stratified + split_corpus
+        "dedup_simhash": q_dedup_simhash,
+        "pack_manifest": q_pack_manifest,
+        "resample_epochs": q_resample_epochs,
         "sessionize_30m": q_sessionize_30m,
         "text_repetition": q_text_repetition,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2616,6 +2669,76 @@ SELECT doc_id, lang, source FROM h
 WHERE u < CASE WHEN lang = 'en' THEN 2147483648
                WHEN lang = 'zh' THEN 4294967296
                ELSE 429496729 END""",
+        # thresholds are exact binary fractions of 2^32 (0.75 / 0.125 /
+        # 0.125), so both engines hold identical integer literals
+        "split_corpus": """
+WITH h AS (
+  SELECT doc_id, lang, source,
+    CAST(list_sum(
+      [(strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) * (16 ** (8 - i))
+       for i in range(1, 9)]) AS BIGINT) AS u
+  FROM documents)
+SELECT doc_id, lang, source,
+  CASE WHEN u < 3221225472 THEN 'train'
+       WHEN u < 3758096384 THEN 'val'
+       ELSE 'test' END AS split
+FROM h""",
+        # mirrors q_dedup_lines' constructed 4-line corpus, then the
+        # operator contract: md5(trim(line)) keys, >= 2 distinct docs,
+        # blank lines never counted, order-preserving reassembly
+        "dedup_lines": r"""
+WITH c AS (
+  SELECT doc_id,
+    'SRC ' || source || ' header' || chr(10) || text || chr(10)
+      || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents),
+l AS (
+  SELECT doc_id,
+    unnest(string_split(text, chr(10))) AS line,
+    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM c),
+k AS (
+  SELECT doc_id, pos, line,
+    CASE WHEN regexp_replace(line, '^[ \t\r\n\f]+|[ \t\r\n\f]+$', '', 'g') <> ''
+         THEN md5(regexp_replace(line, '^[ \t\r\n\f]+|[ \t\r\n\f]+$', '', 'g'))
+    END AS kk
+  FROM l),
+d AS (SELECT kk FROM k WHERE kk IS NOT NULL
+      GROUP BY kk HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT doc_id, pos, line FROM k
+         WHERE kk IS NULL OR kk NOT IN (SELECT kk FROM d)),
+r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id)
+SELECT c.doc_id, coalesce(r.text, '') AS text,
+  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(string_split(c.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
+    AS n_removed
+FROM c LEFT JOIN r ON c.doc_id = r.doc_id""",
+        # top-K sets are deterministic: ties at the cutoff break on the
+        # token string in BOTH engines
+        "vocab_induct": r"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(text,
+    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\r\n\f]')) AS token
+  FROM documents),
+terms AS (
+  SELECT 'term' AS kind, token, CAST(count(*) AS BIGINT) AS freq
+  FROM tk GROUP BY token ORDER BY freq DESC, token LIMIT 300),
+tl AS (
+  SELECT regexp_extract_all(text,
+    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\r\n\f]') AS toks
+  FROM documents),
+pu AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+    THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+    ELSE [] END) AS token
+  FROM tl),
+pairs AS (
+  SELECT 'pair' AS kind, token, CAST(count(*) AS BIGINT) AS freq
+  FROM pu GROUP BY token ORDER BY freq DESC, token LIMIT 300)
+SELECT * FROM terms UNION ALL SELECT * FROM pairs""",
         "resample_epochs": """
 WITH c AS (
   SELECT doc_id, lang,

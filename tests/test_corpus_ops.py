@@ -1,0 +1,190 @@
+"""Tests for the round-6 late additions: corpus-level line dedup
+(RefinedWeb/MassiveText boilerplate pass), tokenizer-induction vocab
+statistics, and deterministic leakage-aware train/val/test splitting.
+
+These are beyond-reference training-pipeline mandate ops; the reference
+(timeseriesflattener v2.5.2) has no counterpart surface. Each also has a
+full DuckDB oracle in ``__spark_entry__.oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesflattener_spark.operators.dedup import dedup_lines
+from timeseriesflattener_spark.operators.pipeline import split_corpus
+from timeseriesflattener_spark.operators.text import adjacent_pairs, vocab_induct
+
+
+# ---------------------------------------------------------------- dedup_lines
+
+
+@pytest.fixture(scope="module")
+def line_corpus(spark):
+    rows = [
+        # boilerplate "Subscribe now" appears in docs 1, 2, 3
+        (1, "Unique opening line\nSubscribe now\nBody of doc one"),
+        (2, "Subscribe now\n\nBody of doc two"),
+        (3, "  Subscribe now  \nBody of doc three"),  # trims to same key
+        # doc 4: intra-doc duplicate only — NOT removed (1 distinct doc)
+        (4, "echo line\necho line\ntail four"),
+        # doc 5: every line is boilerplate shared with doc 6
+        (5, "shared a\nshared b"),
+        (6, "shared a\nshared b\nsix only"),
+        # doc 7: single line, unique
+        (7, "solo seven"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark, line_corpus):
+    out = {r["doc_id"]: r for r in dedup_lines(line_corpus).collect()}
+    assert out[1]["text"] == "Unique opening line\nBody of doc one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    # blank line is structure: preserved even though '' trims empty
+    assert out[2]["text"] == "\nBody of doc two"
+    # whitespace-edge variants share one trimmed key
+    assert out[3]["text"] == "Body of doc three"
+
+
+def test_dedup_lines_intra_doc_duplicates_survive(spark, line_corpus):
+    out = {r["doc_id"]: r for r in dedup_lines(line_corpus).collect()}
+    # duplicate WITHIN one doc is repetition_stats' business, not ours
+    assert out[4]["text"] == "echo line\necho line\ntail four"
+    assert out[4]["n_removed"] == 0
+
+
+def test_dedup_lines_fully_removed_doc_preserved_as_empty(spark, line_corpus):
+    out = {r["doc_id"]: r for r in dedup_lines(line_corpus).collect()}
+    assert out[5]["text"] == "" and out[5]["n_removed"] == 2
+    assert out[6]["text"] == "six only" and out[6]["n_removed"] == 2
+    assert out[7]["text"] == "solo seven" and out[7]["n_removed"] == 0
+    assert len(out) == 7  # no row vanishes
+
+
+def test_dedup_lines_min_docs_threshold(spark, line_corpus):
+    out = {r["doc_id"]: r for r in dedup_lines(line_corpus, min_docs=4).collect()}
+    # 'Subscribe now' spans only 3 docs: below the threshold, kept
+    assert out[2]["n_removed"] == 0
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup_lines(line_corpus, min_docs=1)
+
+
+def test_dedup_lines_partition_invariance(spark, line_corpus):
+    a = sorted(map(tuple, dedup_lines(line_corpus).collect()))
+    b = sorted(map(tuple, dedup_lines(line_corpus.repartition(7)).collect()))
+    assert a == b
+
+
+# --------------------------------------------------------------- vocab_induct
+
+
+def test_adjacent_pairs_unit(spark):
+    df = spark.createDataFrame([("a b c",), ("x",), ("",)], ["t"])
+    from timeseriesflattener_spark.operators.text import bpe_ish_tokens
+
+    got = df.select(adjacent_pairs(bpe_ish_tokens(F.col("t"))).alias("p")).collect()
+    assert [r["p"] for r in got] == [["a b", "b c"], [], []]
+
+
+def test_vocab_induct_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa cc, aa")], ["doc_id", "text"]
+    )
+    # tokens: doc1 [aa bb aa bb]; doc2 [aa cc , aa]
+    out = vocab_induct(df, top_terms=2, top_pairs=3)
+    rows = {(r["kind"], r["token"]): r["freq"] for r in out.collect()}
+    # aa:4 wins; bb:2 vs cc:1 ',':1 — bb second
+    assert rows[("term", "aa")] == 4 and rows[("term", "bb")] == 2
+    # pairs: doc1 'aa bb','bb aa','aa bb'; doc2 'aa cc','cc ,',', aa'
+    assert rows[("pair", "aa bb")] == 2
+    # freq-1 pairs tie: lexicographic token order decides which two of
+    # {', aa', 'aa cc', 'bb aa', 'cc ,'} fill the remaining top-3 slots
+    one_freq = sorted(t for (k, t), f in rows.items() if k == "pair" and f == 1)
+    assert one_freq == [", aa", "aa cc"]
+
+
+def test_vocab_induct_validates(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="top_terms"):
+        vocab_induct(df, top_terms=0)
+
+
+def test_vocab_induct_topk_plan_has_no_total_sort(spark):
+    """The top-K must be TakeOrderedAndProject (per-partition heaps),
+    never a global Sort + Limit — the difference between moving 2K rows
+    and sorting the whole vocabulary at 100 TB."""
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = vocab_induct(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [freq" not in plan
+
+
+# --------------------------------------------------------------- split_corpus
+
+
+@pytest.fixture(scope="module")
+def fam_docs(spark):
+    return spark.createDataFrame(
+        [(i, f"fam{i % 17}") for i in range(500)], ["doc_id", "family"]
+    )
+
+
+def test_split_corpus_total_split_covers_everything(spark, fam_docs):
+    out = split_corpus(fam_docs, {"train": 0.75, "val": 0.125, "test": 0.125})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert None not in counts and sum(counts.values()) == 500
+    # rough proportions at n=500 (md5 is uniform; 3-sigma bands)
+    assert 320 <= counts["train"] <= 430
+    assert 30 <= counts["val"] <= 100 and 30 <= counts["test"] <= 100
+
+
+def test_split_corpus_partial_split_leaves_explicit_null_pool(spark, fam_docs):
+    out = split_corpus(fam_docs, {"train": 0.5})
+    n_null = out.filter(F.col("split").isNull()).count()
+    assert 0 < n_null < 500
+
+
+def test_split_corpus_group_col_prevents_leakage(spark, fam_docs):
+    out = split_corpus(
+        fam_docs, {"train": 0.6, "test": 0.4}, group_col="family"
+    )
+    # every family lands wholly inside ONE split
+    spread = (
+        out.groupBy("family")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert spread == 0
+
+
+def test_split_corpus_deterministic_and_partition_invariant(spark, fam_docs):
+    fr = {"train": 0.75, "val": 0.125, "test": 0.125}
+    a = sorted(map(tuple, split_corpus(fam_docs, fr).collect()))
+    b = sorted(map(tuple, split_corpus(fam_docs.repartition(13), fr).collect()))
+    assert a == b
+
+
+def test_split_corpus_salt_draws_independent_assignment(spark, fam_docs):
+    fr = {"train": 0.5, "test": 0.5}
+    a = {r["doc_id"]: r["split"] for r in split_corpus(fam_docs, fr).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(fam_docs, fr, salt="v2").collect()
+    }
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_split_corpus_validates(spark, fam_docs):
+    with pytest.raises(ValueError, match="at least one"):
+        split_corpus(fam_docs, {})
+    with pytest.raises(ValueError, match="sum"):
+        split_corpus(fam_docs, {"a": 0.8, "b": 0.3})
+    with pytest.raises(ValueError, match="must be in"):
+        split_corpus(fam_docs, {"a": 0.0})
+    with pytest.raises(ValueError, match="must be in"):
+        split_corpus(fam_docs, {"a": -0.1, "b": 0.5})

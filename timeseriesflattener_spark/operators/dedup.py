@@ -854,3 +854,81 @@ def drop_near_duplicates(
         F.col("doc").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+_WS_EDGE = r"^[ \t\r\n\f]+|[ \t\r\n\f]+$"
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE deduplication — the RefinedWeb / MassiveText
+    boilerplate pass: a physical line whose trimmed form appears in at
+    least ``min_docs`` DISTINCT documents (nav bars, cookie banners,
+    footers, license blurbs) is removed from EVERY document; the
+    remaining lines are re-joined in their original order. Distinct
+    from ``repetition_stats`` (intra-document duplicate lines) and from
+    ``exact_duplicates`` (whole-document fingerprints): this is the
+    cross-document sub-document pass between the two.
+
+    Contract (cross-engine, like every dedup decision in this module):
+    the line unit is ``split(text, '\\n')``; the duplicate key is
+    ``md5(trim(line))`` with the explicit ASCII class ``[ \\t\\r\\n\\f]``
+    trim (RE2/Java-portable — see ``operators.text.tokens``);
+    empty-after-trim lines are NEVER counted or removed (blank lines are
+    structure, not boilerplate, and would otherwise match across every
+    document in the corpus). Docs whose every line is removed come back
+    with ``text = ''`` — the row is preserved so the caller can audit or
+    drop via ``n_removed``.
+
+    Scale shape (100 TB): one explode of the corpus into lines feeds
+    both legs; the duplicated-line set is a hash aggregation on the
+    FIXED-WIDTH md5 key (map-side combined; the full line string never
+    enters that shuffle), then lines LEFT-join it on the same key to
+    carry a dup flag, and a SINGLE groupBy(id) reassembles the kept
+    text AND counts total/removed lines in one pass (``collect_list``
+    skips the nulled-out dup lines) — no join back to the base frame,
+    no row can vanish (every doc has >= 1 line). No windows, no driver
+    loops, no broadcast of an unbounded set. Returns
+    ``(id_col, text, n_lines, n_removed)``.
+    """
+    if min_docs < 2:
+        raise ValueError(f"dedup_lines min_docs must be >= 2, got {min_docs!r}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(text, "\n", -1)).alias("__pos", "__line"),
+    )
+    trimmed = F.regexp_replace(F.col("__line"), _WS_EDGE, "")
+    keyed = lines.withColumn(
+        "__k", F.when(trimmed != "", F.md5(trimmed))
+    )
+    dup_keys = (
+        keyed.filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__k", F.lit(True).alias("__dup"))
+    )
+    # LEFT join on a nullable key: NULL (empty-trim) lines never match,
+    # so blank lines always survive — exactly the contract above.
+    marked = keyed.join(dup_keys, "__k", "left")
+    kept_line = F.when(
+        F.col("__dup").isNull(), F.struct("__pos", "__line")
+    )
+    return marked.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_line)),
+                lambda s: s.getField("__line"),
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    ).withColumnRenamed("__id", id_col)

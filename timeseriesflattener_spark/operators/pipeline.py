@@ -1005,3 +1005,58 @@ def context_manifest(
         slice_start.cast("long").alias("slice_start"),
         F.greatest(slice_len, F.lit(0)).cast("long").alias("slice_len"),
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic named train/validation/test split. Each row gets a
+    ``split`` label by where the first 8 hex digits of
+    ``md5(salt || key)`` land among the cumulative ``fractions``
+    thresholds — the same randomness-free u32 contract as
+    ``deterministic_sample`` / ``assign_shards``, so the split is
+    identical on every run, in every engine, and under any
+    partitioning. ``fractions`` is ordered (insertion order defines the
+    threshold bands); if it sums to < 1 the remainder gets
+    ``split = NULL`` (an explicit held-out pool, visible rather than
+    silently dropped).
+
+    **Leakage control**: pass ``group_col`` to key the hash on a family
+    column (dedup cluster id, conversation id, source domain) instead of
+    the row id — every row of a family then lands in the SAME split, so
+    near-duplicate documents can never straddle train and test. This is
+    the step naive random splits get wrong at corpus scale.
+
+    Scale shape: a pure per-row projection — no shuffle, no sort, no
+    sample(), nothing stateful. One scan pass at 100 TB.
+    """
+    if not fractions:
+        raise ValueError("split_corpus requires at least one split fraction")
+    for name, frac in fractions.items():
+        if not (0.0 < frac <= 1.0):
+            raise ValueError(
+                f"split_corpus fraction {name!r} must be in (0, 1], got {frac!r}"
+            )
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split_corpus fractions sum to {total!r} > 1; they must sum "
+            "to at most 1 (use deterministic_resample for upsampling)"
+        )
+    key_col = group_col if group_col is not None else id_col
+    u = _hash_u32(key_col, salt)
+    span = 1 << 32
+    cum = 0.0
+    label: Column | None = None
+    for name, frac in fractions.items():
+        cum += frac
+        # exact-at-1.0 guard: float cum drift must not leave a 1-ulp
+        # sliver of NULLs when the user asked for a total split
+        thr = span if cum > 1.0 - 1e-9 else int(round(cum * span))
+        branch = (u < F.lit(thr), F.lit(name))
+        label = F.when(*branch) if label is None else label.when(*branch)
+    return df.withColumn("split", label)

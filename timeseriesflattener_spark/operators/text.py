@@ -469,3 +469,61 @@ def drop_low_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Keep only docs passing ``quality_filter`` (left-semi join)."""
     keep = quality_filter(df, text_col, id_col, **kwargs).filter("passed").select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def adjacent_pairs(toks: Column) -> Column:
+    """Adjacent token pairs ``tok[i] || ' ' || tok[i+1]`` — the BPE
+    merge-candidate unit. Empty array below 2 tokens."""
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+
+
+def vocab_induct(
+    df: DataFrame,
+    text_col: str = "text",
+    top_terms: int = 500,
+    top_pairs: int = 500,
+) -> DataFrame:
+    """Tokeniser induction statistics over the corpus: the ``top_terms``
+    most frequent BPE-ish pre-tokens (``bpe_ish_tokens`` — words,
+    numbers, single punctuation) and the ``top_pairs`` most frequent
+    ADJACENT token pairs (the candidate set a BPE trainer's first merge
+    round ranks). Returns ``(kind, token, freq)`` with
+    ``kind in ('term','pair')``; ties at the cutoff break on the token
+    string so the top-K set is deterministic across engines and runs.
+
+    Scale shape (100 TB): each leg is explode -> map-side-combined hash
+    aggregation -> global top-K via ``orderBy().limit(K)``, which Spark
+    executes as TakeOrderedAndProject (per-partition heap of K, driver
+    merge of n_partitions * K rows — no total sort, no single-key
+    window funnel). The two legs union AFTER their limits, so the
+    combined plan moves 2K rows past the aggregations, regardless of
+    corpus size.
+    """
+    if top_terms < 1 or top_pairs < 1:
+        raise ValueError(
+            f"vocab_induct top_terms/top_pairs must be >= 1, got "
+            f"{top_terms!r}/{top_pairs!r}"
+        )
+    toks = bpe_ish_tokens(F.col(text_col))
+
+    def _topk(unit: Column, kind: str, k: int) -> DataFrame:
+        return (
+            df.select(F.explode(unit).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("token").asc())
+            .limit(k)
+            .select(F.lit(kind).alias("kind"), "token", "freq")
+        )
+
+    return _topk(toks, "term", top_terms).unionByName(
+        _topk(adjacent_pairs(toks), "pair", top_pairs)
+    )
