@@ -1809,6 +1809,17 @@ def q_vocab_induct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (size 32, stride 16 — overlapping,
+    the RAG-index convention). Pure projection + explode: the plan has
+    NO exchange (pytest-pinned). Chunk text is tokens re-joined with
+    single spaces, identical in both engines via the explicit ASCII
+    whitespace class."""
+    return T.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=32, stride=16
+    )
+
+
 def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic named train/val/test split (75/12.5/12.5) on the
     md5-u32 of doc_id — exact binary fractions so both engines compute
@@ -1877,13 +1888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_lines": q_dedup_lines,
         "vocab_induct": q_vocab_induct,
+        "chunk_documents": q_chunk_documents,
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
         "pack_documents": q_pack_documents,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
-        "prepare_training": q_prepare_training,
         "synth_frame": q_synth_frame,
         "mix_domains": q_mix_domains,
         "flatten_v1_boundary": q_flatten_v1_boundary,
@@ -1903,10 +1914,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup family keeps minhash + embedding legs in-window;
         # pack_manifest is the pure-arithmetic view of in-window
         # pack_contexts; resample_epochs shares the md5-threshold
-        # contract with in-window sample_stratified + split_corpus
+        # contract with in-window sample_stratified + split_corpus;
+        # prepare_training composes in-window corpus_clean +
+        # sample_stratified + pack_shards (oracle reuses
+        # _CORPUS_CLEAN_CTES byte-for-byte)
         "dedup_simhash": q_dedup_simhash,
         "pack_manifest": q_pack_manifest,
         "resample_epochs": q_resample_epochs,
+        "prepare_training": q_prepare_training,
         "sessionize_30m": q_sessionize_30m,
         "text_repetition": q_text_repetition,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2716,6 +2731,21 @@ SELECT c.doc_id, coalesce(r.text, '') AS text,
   CAST(len(string_split(c.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
     AS n_removed
 FROM c LEFT JOIN r ON c.doc_id = r.doc_id""",
+        # DuckDB list slicing is 1-based inclusive: [s+1 : s+32] is the
+        # same 32-token window as Spark's slice(toks, s+1, 32)
+        "chunk_documents": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\r\n\f]+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS tok_start
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+  CAST(tok_start // 16 AS BIGINT) AS chunk_id,
+  CAST(tok_start AS BIGINT) AS tok_start,
+  CAST(least(32, len(toks) - tok_start) AS BIGINT) AS n_toks,
+  array_to_string(toks[tok_start + 1 : tok_start + 32], ' ') AS chunk_text
+FROM s""",
         # top-K sets are deterministic: ties at the cutoff break on the
         # token string in BOTH engines
         "vocab_induct": r"""

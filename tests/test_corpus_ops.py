@@ -188,3 +188,64 @@ def test_split_corpus_validates(spark, fam_docs):
         split_corpus(fam_docs, {"a": 0.0})
     with pytest.raises(ValueError, match="must be in"):
         split_corpus(fam_docs, {"a": -0.1, "b": 0.5})
+
+
+# ------------------------------------------------------------ chunk_documents
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    from timeseriesflattener_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, ""), (3, "  \n ")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        map(tuple, chunk_documents(df, size=4, stride=2).collect())
+    )
+    # doc 1: starts 0,2,4,6,8; the final window is short
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 2, 4, "t2 t3 t4 t5"),
+        (1, 2, 4, 4, "t4 t5 t6 t7"),
+        (1, 3, 6, 4, "t6 t7 t8 t9"),
+        (1, 4, 8, 2, "t8 t9"),
+    ]
+    # docs 2/3 (zero tokens) produce zero chunks — and every token of
+    # doc 1 is covered at least once
+    covered = set()
+    for _, _, s, n, _ in rows:
+        covered.update(range(s, s + n))
+    assert covered == set(range(10))
+
+
+def test_chunk_documents_disjoint_default_and_validation(spark):
+    from timeseriesflattener_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = sorted(map(tuple, chunk_documents(df, size=2).collect()))
+    assert [r[4] for r in rows] == ["a b", "c d", "e"]
+    with pytest.raises(ValueError, match="size"):
+        chunk_documents(df, size=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=2, stride=3)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=2, stride=0)
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    """Chunking must stay a pure projection + explode: NO exchange in
+    the physical plan — at 100 TB it runs entirely map-side, one pass,
+    co-partitioned with the input."""
+    from timeseriesflattener_spark.operators.text import chunk_documents
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")
+    )
+    plan = (
+        chunk_documents(df, size=2, stride=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -527,3 +527,58 @@ def vocab_induct(
     return _topk(toks, "term", top_terms).unionByName(
         _topk(adjacent_pairs(toks), "pair", top_pairs)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the retrieval / long-eval
+    counterpart of ``pipeline.pack_contexts``: each document is cut into
+    windows of ``size`` whitespace tokens every ``stride`` tokens
+    (``stride`` defaults to ``size`` = disjoint; ``stride < size``
+    overlaps, the RAG-index convention). Chunk text is the tokens
+    re-joined with single spaces (tokeniser-normalised, the unit every
+    downstream embedder sees). Every token lands in at least one chunk;
+    the final window may be short; docs with zero tokens produce zero
+    chunks. Returns ``(id_col, chunk_id, tok_start, n_toks, chunk_text)``
+    with ``chunk_id = tok_start / stride``.
+
+    Scale shape (100 TB): pure per-row arithmetic — one projection
+    computes the start offsets (``sequence(0, n-1, stride)``), one
+    explode emits the windows, ``slice`` + ``array_join`` build the
+    text. No shuffle, no window functions, no Python. Fan-out is
+    ``ceil(n/stride)`` rows per doc, the same ratio in every engine.
+    """
+    if size < 1:
+        raise ValueError(f"chunk_documents size must be >= 1, got {size!r}")
+    stride = size if stride is None else stride
+    if not (1 <= stride <= size):
+        raise ValueError(
+            f"chunk_documents stride must be in [1, size], got {stride!r} "
+            f"(stride > size would silently drop tokens between windows)"
+        )
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(starts).alias("tok_start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("tok_start") / stride).cast("long").alias("chunk_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.least(F.lit(size), F.size("__toks") - F.col("tok_start"))
+        .cast("long")
+        .alias("n_toks"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("tok_start") + 1, F.lit(size)), " "
+        ).alias("chunk_text"),
+    )

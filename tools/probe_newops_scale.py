@@ -19,6 +19,10 @@ NEW_OPS = [
     "curriculum_schedule",
     "dedup_incremental",
     "pack_documents",
+    "dedup_lines",
+    "vocab_induct",
+    "split_corpus",
+    "chunk_documents",
 ]
 
 
