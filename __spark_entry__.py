@@ -1809,6 +1809,21 @@ def q_vocab_induct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity scoring: model trained on the
+    even-doc_id half of the corpus, scores the odd half — so the
+    unseen-bigram and unseen-left-word backoff paths both fire (a
+    self-scored corpus would never produce an unseen bigram and the
+    oracle could not distinguish a broken backoff). lm_score is
+    DECIMAL(18,6): the rounding pins the double mean across engines'
+    libm log2 implementations."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.lm_score(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ref=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 32, stride 16 — overlapping,
     the RAG-index convention). Pure projection + explode: the plan has
@@ -1881,7 +1896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
-        "quality_bins": q_quality_bins,
         "curriculum_schedule": q_curriculum_schedule,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -1889,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "vocab_induct": q_vocab_induct,
         "chunk_documents": q_chunk_documents,
+        "lm_score": q_lm_score,
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
@@ -1917,8 +1932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract with in-window sample_stratified + split_corpus;
         # prepare_training composes in-window corpus_clean +
         # sample_stratified + pack_shards (oracle reuses
-        # _CORPUS_CLEAN_CTES byte-for-byte)
+        # _CORPUS_CLEAN_CTES byte-for-byte); quality_bins is the bin
+        # projection curriculum_schedule (in-window) already contains
         "dedup_simhash": q_dedup_simhash,
+        "quality_bins": q_quality_bins,
         "pack_manifest": q_pack_manifest,
         "resample_epochs": q_resample_epochs,
         "prepare_training": q_prepare_training,
@@ -2731,6 +2748,39 @@ SELECT c.doc_id, coalesce(r.text, '') AS text,
   CAST(len(string_split(c.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
     AS n_removed
 FROM c LEFT JOIN r ON c.doc_id = r.doc_id""",
+        # train on even doc_ids, score odd; DECIMAL(18,6) rounding pins
+        # the double mean across libm log2 implementations
+        "lm_score": r"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\r\n\f]+') AS toks
+  FROM documents),
+bgr AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+    THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+    ELSE [] END) AS pair
+  FROM tl WHERE doc_id % 2 = 0),
+pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_pair FROM bgr GROUP BY pair),
+lc AS (SELECT split_part(pair, ' ', 1) AS w1, sum(c_pair) AS c_left
+       FROM pc GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vocab_size
+      FROM (SELECT unnest(toks) AS tok FROM tl WHERE doc_id % 2 = 0)),
+bgd AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+    THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+    ELSE [] END) AS pair
+  FROM tl WHERE doc_id % 2 = 1),
+j AS (
+  SELECT b.doc_id, pc.c_pair, lc.c_left, v.vocab_size
+  FROM bgd b
+  LEFT JOIN pc USING (pair)
+  LEFT JOIN lc ON split_part(b.pair, ' ', 1) = lc.w1
+  CROSS JOIN v)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(CASE WHEN c_pair IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+  CAST(avg(log2(coalesce(c_left, 0) + 1.0 * vocab_size)
+           - log2(coalesce(c_pair, 0) + 1.0)) AS DECIMAL(18,6)) AS lm_score
+FROM j GROUP BY doc_id""",
         # DuckDB list slicing is 1-based inclusive: [s+1 : s+32] is the
         # same 32-token window as Spark's slice(toks, s+1, 32)
         "chunk_documents": r"""

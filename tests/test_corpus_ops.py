@@ -249,3 +249,57 @@ def test_chunk_documents_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------- lm_score
+
+
+def test_lm_score_hand_computed_bigram_model(spark):
+    """ref 'a b a' -> c('a b')=1, c('b a')=1, V=2, c_left(a)=1,
+    c_left(b)=1. Scoring 'a b c': P(b|a)=(1+1)/(1+2), P(c|b)=(0+1)/(1+2)
+    -> mean(-log2) = log2(3) - 0.5. Scoring 'c a' (unseen left word):
+    P(a|c)=(0+1)/(0+2) -> score 1.0."""
+    import math
+
+    from timeseriesflattener_spark.operators.text import lm_score
+
+    ref = spark.createDataFrame([(100, "a b a")], ["doc_id", "text"])
+    df = spark.createDataFrame([(1, "a b c"), (2, "c a")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_score(df, ref=ref).collect()}
+    assert out[1]["n_bigrams"] == 2 and out[1]["n_unseen"] == 1
+    assert float(out[1]["lm_score"]) == pytest.approx(
+        math.log2(3) - 0.5, abs=1e-6
+    )
+    assert out[2]["n_bigrams"] == 1 and out[2]["n_unseen"] == 1
+    assert float(out[2]["lm_score"]) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lm_score_self_scoring_ranks_repetitive_text_lower(spark):
+    """Self-scored corpus: a doc made of the corpus' dominant bigram
+    must score lower (more likely) than one of rare bigrams."""
+    from timeseriesflattener_spark.operators.text import lm_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat the cat the cat the cat"),
+            (2, "the cat sat on a quiet old mat"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: float(r["lm_score"]) for r in lm_score(df).collect()}
+    assert out[1] < out[2]
+    # self-scoring never sees an unseen bigram
+    assert all(
+        r["n_unseen"] == 0 for r in lm_score(df).collect()
+    )
+
+
+def test_lm_score_case_normalisation_and_validation(spark):
+    from timeseriesflattener_spark.operators.text import lm_score
+
+    ref = spark.createDataFrame([(9, "Hello World")], ["doc_id", "text"])
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    out = lm_score(df, ref=ref).collect()
+    assert out[0]["n_unseen"] == 0  # 'Hello World' lowercased matches
+    with pytest.raises(ValueError, match="alpha"):
+        lm_score(df, alpha=0)

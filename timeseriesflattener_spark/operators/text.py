@@ -582,3 +582,91 @@ def chunk_documents(
             F.slice(F.col("__toks"), F.col("tok_start") + 1, F.lit(size)), " "
         ).alias("chunk_text"),
     )
+
+
+def bigram_model(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, Column]:
+    """Word-bigram counts over a reference corpus — the model side of
+    ``lm_score``. Returns ``(pair_counts, left_counts, vocab_size)``:
+    ``pair_counts(pair, c_pair)``, ``left_counts(w1, c_left)`` (count of
+    bigrams starting at ``w1``), and a 1-row vocab-size frame to
+    cross-join (distinct lowercased tokens). Tokens are lowercased
+    whitespace tokens; bigrams are ``'w1 w2'`` strings.
+
+    Scale shape: two map-side-combined hash aggregations (pair counts,
+    then left-marginals FROM the pair counts — the raw bigram stream is
+    aggregated once); vocab size is a two-phase distinct count
+    collapsing to one row. All keyed, no windows."""
+    toks_lower = tokens(F.lower(F.col(text_col)))
+    pairs = ref.select(
+        F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("pair")
+    )
+    pair_counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c_pair"))
+    left_counts = (
+        pair_counts.groupBy(
+            F.substring_index(F.col("pair"), " ", 1).alias("w1")
+        )
+        .agg(F.sum("c_pair").alias("c_left"))
+    )
+    vocab = ref.select(F.explode(toks_lower).alias("tok")).agg(
+        F.count_distinct("tok").alias("vocab_size")
+    )
+    return pair_counts, left_counts, vocab
+
+
+def lm_score(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality scoring: the per-document
+    mean negative log2 likelihood under an add-``alpha``-smoothed word
+    BIGRAM model trained on ``ref`` (default: ``df`` itself — self-
+    scoring, the usual first pass; production trains ``ref`` on a
+    trusted corpus like Wikipedia and keeps the lowest-perplexity web
+    docs). ``P(w2|w1) = (c(w1 w2) + alpha) / (c(w1 .) + alpha * V)``
+    with ``V`` the reference vocab size; unseen bigrams back off to
+    ``alpha / (c_left + alpha * V)``, unseen left-words to ``1/V``.
+    Returns ``(id_col, n_bigrams, n_unseen, lm_score)`` for every doc
+    with at least one bigram — lower score = more reference-like.
+    ``lm_score`` is rounded to DECIMAL(18,6): the mean is a double, and
+    the rounding is what keeps the value reproducible across engines'
+    libm implementations.
+
+    Scale shape (100 TB): model build is two keyed aggregations; scoring
+    is explode -> shuffle join on the bigram string -> second join on
+    the left word (both spill-safe sort/hash joins on uniform keys —
+    natural-language bigram skew is capped by the aggregation running
+    BEFORE the join: the join is counts-to-counts, never raw-to-raw) ->
+    one groupBy(id). The 1-row vocab frame broadcasts."""
+    ref = df if ref is None else ref
+    if alpha <= 0:
+        raise ValueError(f"lm_score alpha must be > 0, got {alpha!r}")
+    pair_counts, left_counts, vocab = bigram_model(ref, text_col)
+    doc_pairs = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("pair"),
+    )
+    joined = (
+        doc_pairs.join(pair_counts, "pair", "left")
+        .withColumn("w1", F.substring_index(F.col("pair"), " ", 1))
+        .join(left_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    num = F.coalesce(F.col("c_pair"), F.lit(0)) + F.lit(alpha)
+    den = (
+        F.coalesce(F.col("c_left"), F.lit(0))
+        + F.lit(alpha) * F.col("vocab_size")
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c_pair").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.avg(F.log2(den) - F.log2(num))
+        .cast("decimal(18,6)")
+        .alias("lm_score"),
+    )

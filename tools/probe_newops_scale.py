@@ -23,6 +23,7 @@ NEW_OPS = [
     "vocab_induct",
     "split_corpus",
     "chunk_documents",
+    "lm_score",
 ]
 
 
