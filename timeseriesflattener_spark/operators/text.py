@@ -636,19 +636,26 @@ def lm_score(
     the rounding is what keeps the value reproducible across engines'
     libm implementations.
 
-    Scale shape (100 TB): model build is two keyed aggregations; scoring
-    is explode -> shuffle join on the bigram string -> second join on
-    the left word (both spill-safe sort/hash joins on uniform keys —
-    natural-language bigram skew is capped by the aggregation running
-    BEFORE the join: the join is counts-to-counts, never raw-to-raw) ->
-    one groupBy(id). The 1-row vocab frame broadcasts."""
+    Scale shape (100 TB): model build is two keyed aggregations; the
+    scoring side pre-aggregates to ``(doc, pair, n_occ)`` (map-side
+    combined) BEFORE joining, so the raw per-instance bigram stream
+    never shuffles on the bigram key, and the score is the
+    occurrence-weighted mean. Head bigrams ('of the' appears in nearly
+    every doc) still skew the join key itself — that is the AQE
+    skew-join case: the model side is one row per key, so Spark can
+    split the skewed doc-side partitions and replicate the count row.
+    One groupBy(id) finishes; the 1-row vocab frame broadcasts."""
     ref = df if ref is None else ref
     if alpha <= 0:
         raise ValueError(f"lm_score alpha must be > 0, got {alpha!r}")
     pair_counts, left_counts, vocab = bigram_model(ref, text_col)
-    doc_pairs = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("pair"),
+    doc_pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("pair"),
+        )
+        .groupBy(id_col, "pair")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
     )
     joined = (
         doc_pairs.join(pair_counts, "pair", "left")
@@ -661,12 +668,13 @@ def lm_score(
         F.coalesce(F.col("c_left"), F.lit(0))
         + F.lit(alpha) * F.col("vocab_size")
     )
+    nll = F.log2(den) - F.log2(num)
     return joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum(F.when(F.col("c_pair").isNull(), 1).otherwise(0))
+        F.sum("n_occ").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c_pair").isNull(), F.col("n_occ")).otherwise(0))
         .cast("long")
         .alias("n_unseen"),
-        F.avg(F.log2(den) - F.log2(num))
+        (F.sum(F.col("n_occ") * nll) / F.sum("n_occ"))
         .cast("decimal(18,6)")
         .alias("lm_score"),
     )
