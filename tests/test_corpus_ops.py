@@ -303,3 +303,122 @@ def test_lm_score_case_normalisation_and_validation(spark):
     assert out[0]["n_unseen"] == 0  # 'Hello World' lowercased matches
     with pytest.raises(ValueError, match="alpha"):
         lm_score(df, alpha=0)
+
+
+# ------------------------------------------- hypothesis differentials (Python)
+
+
+def _py_dedup_lines(docs: dict[int, str], min_docs: int = 2):
+    """Independent pure-Python replay of the dedup_lines contract."""
+    import re as _re
+
+    trim = lambda s: _re.sub(r"^[ \t\r\n\f]+|[ \t\r\n\f]+$", "", s)  # noqa: E731
+    owners: dict[str, set[int]] = {}
+    for i, t in docs.items():
+        for ln in t.split("\n"):
+            k = trim(ln)
+            if k:
+                owners.setdefault(k, set()).add(i)
+    dup = {k for k, o in owners.items() if len(o) >= min_docs}
+    out = {}
+    for i, t in docs.items():
+        lines = t.split("\n")
+        kept = [ln for ln in lines if trim(ln) == "" or trim(ln) not in dup]
+        out[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+def test_dedup_lines_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # line alphabet engineered for collisions: few distinct payloads,
+    # whitespace-edge variants, blanks
+    line = st.sampled_from(
+        ["dup one", " dup one ", "dup two", "uniq", "", "  ", "\tdup two"]
+    )
+    corpus = st.dictionaries(
+        st.integers(min_value=1, max_value=8),
+        st.lists(line, min_size=1, max_size=5).map("\n".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(docs=corpus)
+    def inner(docs):
+        from timeseriesflattener_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame(
+            list(docs.items()), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in dedup_lines(df).collect()
+        }
+        assert got == _py_dedup_lines(docs)
+
+    inner()
+
+
+def test_chunk_documents_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.lists(
+            st.sampled_from(["tok", "x", "longer-token", "9"]),
+            min_size=0, max_size=13,
+        ).map(" ".join),
+        min_size=1, max_size=5,
+    )
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=texts, size=st.integers(1, 5), stride_off=st.integers(0, 4))
+    def inner(texts, size, stride_off):
+        from timeseriesflattener_spark.operators.text import chunk_documents
+
+        stride = max(1, size - stride_off)
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        got = sorted(
+            map(tuple, chunk_documents(df, size, stride).collect())
+        )
+        want = []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            for s in range(0, len(toks), stride):
+                want.append(
+                    (i, s // stride, s, min(size, len(toks) - s),
+                     " ".join(toks[s : s + size]))
+                )
+        assert got == sorted(want)
+
+    inner()
+
+
+def test_split_corpus_python_md5_differential(spark, fam_docs):
+    """The split label must be recomputable from the documented md5-u32
+    contract in plain Python — the cross-engine reproducibility claim."""
+    import hashlib
+
+    out = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            fam_docs, {"train": 0.75, "val": 0.125, "test": 0.125}
+        ).collect()
+    }
+    for i, got in out.items():
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        want = (
+            "train" if u < 3221225472
+            else ("val" if u < 3758096384 else "test")
+        )
+        assert got == want, (i, u, got, want)
