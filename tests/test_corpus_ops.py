@@ -422,3 +422,22 @@ def test_split_corpus_python_md5_differential(spark, fam_docs):
             else ("val" if u < 3758096384 else "test")
         )
         assert got == want, (i, u, got, want)
+
+
+def test_ngram_builders_bind_tokeniser_once(spark):
+    """Expression-tree pin for the shingles_from_tokens pitfall: the
+    tokeniser regex must appear exactly ONCE in the n-gram builders'
+    trees (bound via the single-element transform wrapper) — the
+    pre-fix trees carried it into the per-element lambda, re-running
+    the regex per n-gram position (O(len^2) per doc; measured 16x wall
+    on vocab_induct at sf0.1)."""
+    from timeseriesflattener_spark.operators.text import (
+        bpe_ish_tokens,
+        word_ngrams,
+    )
+
+    for expr in (
+        word_ngrams(F.col("text"), 2),
+        adjacent_pairs(bpe_ish_tokens(F.col("text"))),
+    ):
+        assert expr._jc.toString().count("regexp_extract_all") == 1

@@ -137,6 +137,12 @@ def clean_corpus(
     """(id, stage) audit frame for the 4-stage cleaning pipeline; stage
     is the first stage that dropped the doc, or ``kept``.
 
+    This pipeline decides each document's FATE; it never rewrites text.
+    The RefinedWeb-style pass that DOES rewrite text — cross-document
+    boilerplate line removal — is ``dedup.dedup_lines``: run it first
+    and feed its cleaned ``text`` here, so quality rules and shingles
+    see the de-boilerplated form.
+
     ``near_dup``: "jaccard" (all-pairs over capped shingles — exact,
     the oracle-checked default) or "minhash" (MinHash+LSH candidates
     verified with exact Jaccard — the 100 TB path: same precision,

