@@ -2,7 +2,8 @@
 round-comparable bench HEADLINE, so their scale evidence lives here):
 single timed pass base vs 10x, wall ratio + row counts, same scaled-dir
 construction as bench.py's tenx leg. Usage:
-    python tools/probe_newops_scale.py [out.json]
+    python tools/probe_newops_scale.py [out.json] [op ...]
+(op names default to NEW_OPS; pass a subset to probe only those)
 """
 import json
 import os
@@ -29,6 +30,8 @@ NEW_OPS = [
 
 def main() -> None:
     import __spark_entry__ as entrymod
+
+    ops = sys.argv[2:] if len(sys.argv) > 2 else NEW_OPS
     from timeseriesflattener_spark.operators.dedup import release_shingle_caches
     from timeseriesflattener_spark.operators.pipeline import release_pipeline_caches
 
@@ -39,7 +42,7 @@ def main() -> None:
     spark.range(1).mapInPandas(lambda it: it, "id long").count()  # Arrow warm
     big_dir = _scaled_dir(spark, 10)
     out = {}
-    for name in NEW_OPS:
+    for name in ops:
         spark.catalog.clearCache()
         t0 = time.time()
         rows1 = queries[name](spark, SF_DIR).count()
