@@ -3,7 +3,9 @@ round-comparable bench HEADLINE, so their scale evidence lives here):
 single timed pass base vs 10x, wall ratio + row counts, same scaled-dir
 construction as bench.py's tenx leg. Usage:
     python tools/probe_newops_scale.py [out.json] [op ...]
-(op names default to NEW_OPS; pass a subset to probe only those)
+(op names default to NEW_OPS; pass a subset to probe only those;
+SPARK_GRAFT_PROBE_FACTOR overrides the 10x scale-up, e.g. =100 with
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 for a cliff probe)
 """
 import json
 import os
@@ -40,7 +42,8 @@ def main() -> None:
     queries = entrymod.queries()
     queries["tpch_pricing_summary"](spark, SF_DIR).count()  # JVM warm
     spark.range(1).mapInPandas(lambda it: it, "id long").count()  # Arrow warm
-    big_dir = _scaled_dir(spark, 10)
+    factor = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
+    big_dir = _scaled_dir(spark, factor)
     out = {}
     for name in ops:
         spark.catalog.clearCache()
@@ -59,11 +62,12 @@ def main() -> None:
             "scaled_rows": rows2,
         }
     payload = {
-        "metric": "newops_scaleup_ratio_10x",
+        "metric": f"newops_scaleup_ratio_{factor}x",
         "value": max(v["ratio"] for v in out.values()),
         "unit": "x",
         "families": out,
         "sf_dir": SF_DIR,
+        "factor": factor,
         "machine_before": _machine_state(),
     }
     print(json.dumps(payload))
