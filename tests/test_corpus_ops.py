@@ -441,3 +441,47 @@ def test_ngram_builders_bind_tokeniser_once(spark):
         adjacent_pairs(bpe_ish_tokens(F.col("text"))),
     ):
         assert expr._jc.toString().count("regexp_extract_all") == 1
+
+
+# ------------------------------------------------------- write_training_shards
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Shard directories, jsonl + parquet roundtrip, and the loader
+    contract: rows inside each shard's files, read in file-name order,
+    replay the packing order exactly."""
+    import glob
+    import json as jsonlib
+
+    from timeseriesflattener_spark.sources.io import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"doc-{i}") for i in range(60)],
+        ["pos", "shard", "text"],
+    )
+    # parquet roundtrip
+    p = str(tmp_path / "shards_pq")
+    write_training_shards(df, p, order_col="pos")
+    back = spark.read.parquet(p)
+    assert back.count() == 60
+    assert sorted(
+        r["shard"] for r in back.select("shard").distinct().collect()
+    ) == [0, 1, 2]
+    # jsonl + max_records_per_file: name-ordered files replay pos order
+    j = str(tmp_path / "shards_jl")
+    write_training_shards(
+        df, j, order_col="pos", fmt="jsonl", max_records_per_file=7
+    )
+    for shard in (0, 1, 2):
+        rows = []
+        for f in sorted(glob.glob(f"{j}/shard={shard}/part-*.json")):
+            with open(f) as fh:
+                rows += [jsonlib.loads(line) for line in fh if line.strip()]
+        assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
+        assert len(rows) == 20
+    with pytest.raises(ValueError, match="fmt"):
+        write_training_shards(df, str(tmp_path / "x"), fmt="csv")
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_training_shards(
+            df, str(tmp_path / "y"), max_records_per_file=0
+        )

@@ -143,3 +143,57 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet`` of the files would LOSE the bucketing
     metadata and reintroduce the shuffle)."""
     return spark.table(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_col: str | None = None,
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialise packed training data as one directory per shard —
+    the sink side of ``pipeline.assign_shards`` / ``pack_documents`` /
+    ``curriculum_schedule`` (no reference counterpart; training-data
+    pipeline mandate).
+
+    Layout contract: ``partitionBy(shard_col)`` gives
+    ``path/shard=N/part-*`` directories a loader can claim
+    shard-per-worker; rows are first ``repartition(shard_col)``-ed so a
+    shard's rows are contiguous in one task, then
+    ``sortWithinPartitions(shard_col, order_col)`` so the rows inside
+    each file appear in the deterministic order the packing op
+    assigned — a loader streaming a shard's files in name order
+    replays the curriculum / packing order exactly (a file split by
+    ``max_records_per_file`` keeps task-sequential part numbering, so
+    name order = row order). ``fmt``: ``parquet`` or ``jsonl``
+    (Spark's native JSON-Lines writer — the interchange format most
+    training stacks ingest).
+
+    Scale shape: one shuffle on the shard key (uniform by
+    construction — shards are md5 buckets), then a within-partition
+    sort; no global sort, no driver involvement. On a cluster size
+    ``spark.sql.shuffle.partitions`` >= n_shards so each shard gets
+    its own task.
+    """
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(
+            f"write_training_shards fmt must be 'parquet' or 'jsonl', "
+            f"got {fmt!r}"
+        )
+    sort_cols = [shard_col] + ([order_col] if order_col else [])
+    out = df.repartition(F.col(shard_col)).sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode).partitionBy(shard_col)
+    if max_records_per_file is not None:
+        if max_records_per_file < 1:
+            raise ValueError(
+                f"max_records_per_file must be >= 1, got "
+                f"{max_records_per_file!r}"
+            )
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if fmt == "jsonl":
+        writer.json(path)
+    else:
+        writer.parquet(path)
