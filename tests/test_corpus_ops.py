@@ -485,3 +485,75 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         write_training_shards(
             df, str(tmp_path / "y"), max_records_per_file=0
         )
+
+
+def test_lm_score_hypothesis_differential(spark):
+    """Pure-Python replay of the smoothed-bigram NLL contract on
+    generated ref/score corpora (small token alphabet so seen, unseen-
+    pair and unseen-left-word paths all fire)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from timeseriesflattener_spark.operators.text import lm_score
+
+    text = st.lists(
+        st.sampled_from(["aa", "bb", "cc", "Dd"]), min_size=0, max_size=6
+    ).map(" ".join)
+    corpus = st.lists(text, min_size=1, max_size=4)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(ref_texts=corpus, score_texts=corpus)
+    def inner(ref_texts, score_texts):
+        from hypothesis import assume
+
+        # an empty-vocabulary reference makes the smoothed denominator
+        # log2(0): degenerate user error, not part of the contract
+        assume(any(t.split() for t in ref_texts))
+        ref = spark.createDataFrame(
+            list(enumerate(ref_texts)), ["doc_id", "text"]
+        )
+        df = spark.createDataFrame(
+            list(enumerate(score_texts)), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_unseen"], float(r["lm_score"]))
+            for r in lm_score(df, ref=ref).collect()
+        }
+        # python model
+        pc: Counter = Counter()
+        vocab = set()
+        for t in ref_texts:
+            toks = t.lower().split()
+            vocab.update(toks)
+            pc.update(zip(toks, toks[1:]))
+        lc: Counter = Counter()
+        for (w1, _), c in pc.items():
+            lc[w1] += c
+        V = len(vocab)
+        want = {}
+        for i, t in enumerate(score_texts):
+            toks = t.lower().split()
+            pairs = list(zip(toks, toks[1:]))
+            if not pairs:
+                continue
+            nll = [
+                math.log2(lc.get(p[0], 0) + 1.0 * V) - math.log2(pc.get(p, 0) + 1.0)
+                for p in pairs
+            ]
+            want[i] = (
+                len(pairs),
+                sum(1 for p in pairs if p not in pc),
+                sum(nll) / len(pairs),
+            )
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][:2] == want[i][:2]
+            assert got[i][2] == pytest.approx(want[i][2], abs=1e-6)
+
+    inner()
