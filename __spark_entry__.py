@@ -1824,6 +1824,18 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive terms per source by domain-level TF-IDF.
+    Spark ranks via the de-funnelled two-stage (domain, md5-bucket)
+    window + exact re-rank of the <=16k survivors; the oracle states
+    the value contract as the one-window rank it is identical to
+    (same pattern as curriculum_schedule). tfidf is DECIMAL(18,6)
+    rounded BEFORE ranking so rank order matches across libm ln."""
+    return T.domain_tfidf_topk(
+        _t(spark, sf_dir, "documents"), domain_col="source", k=10
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 32, stride 16 — overlapping,
     the RAG-index convention). Pure projection + explode: the plan has
@@ -1899,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_lines": q_dedup_lines,
         "vocab_induct": q_vocab_induct,
+        "domain_tfidf": q_domain_tfidf,
         "chunk_documents": q_chunk_documents,
         "lm_score": q_lm_score,
         "corpus_clean": q_corpus_clean,
@@ -1909,7 +1922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
         "mix_domains": q_mix_domains,
-        "flatten_v1_boundary": q_flatten_v1_boundary,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1931,7 +1943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample_stratified + pack_shards (oracle reuses
         # _CORPUS_CLEAN_CTES byte-for-byte); quality_bins is the bin
         # projection curriculum_schedule (in-window) already contains
+        # flatten_v1_boundary: v1 boundary mode carries 12 independent
+        # pytest goldens; the v1 family stays represented in-tail
         "dedup_simhash": q_dedup_simhash,
+        "flatten_v1_boundary": q_flatten_v1_boundary,
         "quality_bins": q_quality_bins,
         "pack_manifest": q_pack_manifest,
         "resample_epochs": q_resample_epochs,
@@ -2802,6 +2817,27 @@ SELECT doc_id,
   CAST(least(32, len(toks) - tok_start) AS BIGINT) AS n_toks,
   array_to_string(toks[tok_start + 1 : tok_start + 32], ' ') AS chunk_text
 FROM s""",
+        # one-window statement of the two-stage (domain, bucket) rank;
+        # tfidf rounded to DECIMAL(18,6) before ranking in both engines
+        "domain_tfidf": r"""
+WITH tl AS (
+  SELECT source AS domain,
+         unnest(regexp_extract_all(lower(text), '[^ \t\r\n\f]+')) AS term
+  FROM documents),
+tf AS (SELECT domain, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tl GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT source) AS n FROM documents),
+s AS (
+  SELECT domain, term, tf, df_t,
+    CAST(tf * ln(CAST(n AS DOUBLE) / df_t) AS DECIMAL(18,6)) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+r AS (
+  SELECT domain, term, tf, df_t, tfidf,
+    CAST(row_number() OVER (PARTITION BY domain ORDER BY tfidf DESC, term)
+         AS BIGINT) AS rank
+  FROM s)
+SELECT domain, term, tf, df_t, tfidf, rank FROM r WHERE rank <= 10""",
         # top-K sets are deterministic: ties at the cutoff break on the
         # token string in BOTH engines
         "vocab_induct": r"""

@@ -557,3 +557,109 @@ def test_lm_score_hypothesis_differential(spark):
             assert got[i][2] == pytest.approx(want[i][2], abs=1e-6)
 
     inner()
+
+
+# --------------------------------------------------------------- domain_tfidf
+
+
+def test_domain_tfidf_golden_and_tiebreak(spark):
+    """Two domains, hand-computed scores: 'web' owns 'spam' (tf 2,
+    df 1 of 2 domains -> 2*ln(2)); 'the' appears in both domains
+    (idf 0 -> tfidf 0, ranked by term tie-break after positives)."""
+    import math
+
+    from timeseriesflattener_spark.operators.text import domain_tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", "the spam spam"),
+            (2, "wiki", "the atom"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = domain_tfidf_topk(df, k=5)
+    rows = {(r["domain"], r["term"]): r for r in out.collect()}
+    web_spam = rows[("web", "spam")]
+    assert web_spam["tf"] == 2 and web_spam["df_t"] == 1
+    assert float(web_spam["tfidf"]) == pytest.approx(2 * math.log(2), abs=1e-6)
+    assert web_spam["rank"] == 1
+    assert float(rows[("web", "the")]["tfidf"]) == 0.0
+    assert rows[("wiki", "atom")]["rank"] == 1
+    with pytest.raises(ValueError, match="k must be"):
+        domain_tfidf_topk(df, k=0)
+
+
+def test_domain_tfidf_two_stage_equals_one_window(spark):
+    """The de-funnelled (domain, md5-bucket) prune + exact re-rank must
+    be value-identical to the naive one-window top-k (the oracle's
+    formulation)."""
+    from pyspark.sql.window import Window
+
+    from timeseriesflattener_spark.operators.text import (
+        domain_tfidf_topk,
+        tokens,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, domain_tfidf_topk(docs, k=7).collect()))
+
+    tf = (
+        docs.select(
+            F.col("source").alias("domain"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("domain", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    ndom = docs.agg(F.count_distinct("source").alias("n_domains"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(ndom)
+        .select(
+            "domain", "term", "tf", "df_t",
+            (F.col("tf") * F.log(F.col("n_domains").cast("double") / F.col("df_t")))
+            .cast("decimal(18,6)").alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    naive = scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= 7)
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+
+
+def test_domain_tfidf_plan_has_no_domain_only_window_on_full_stream(spark):
+    """Both Window nodes exist, and the FIRST (full-stream) one
+    partitions by (domain, md5-prefix bucket) — the low-cardinality
+    domain alone only ever ranks the pruned <=16k survivors."""
+    from timeseriesflattener_spark.operators.text import domain_tfidf_topk
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.lit("alpha beta gamma delta").alias("text"),
+    )
+    plan = (
+        domain_tfidf_topk(df, k=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    windows = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert len(windows) == 2
+    # partition spec is the second bracketed list on the Window line;
+    # the optimizer pre-projects the md5 bucket as an attribute, so pin
+    # the SHAPE: outer (survivor re-rank) window partitions by domain
+    # alone, inner full-stream window by (domain, bucket)
+    specs = [
+        re.search(r"\], \[([^\]]*)\], \[", ln).group(1).split(", ")
+        for ln in windows
+    ]
+    assert sorted(len(s) for s in specs) == [1, 2]
+    # and Spark's rank-limit pushdown pre-prunes BOTH windows
+    assert plan.count("WindowGroupLimit") == 2

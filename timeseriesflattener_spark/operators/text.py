@@ -696,3 +696,82 @@ def lm_score(
         .cast("decimal(18,6)")
         .alias("lm_score"),
     )
+
+
+def domain_tfidf_topk(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` most DISTINCTIVE terms per domain (source / language /
+    subcorpus) by TF-IDF with domains as the "documents": the data-card
+    view that tells you what a slice of the corpus is actually about
+    before you weight it in a mixture. ``tfidf = tf * ln(N/df_t)`` with
+    ``tf`` the term's count inside the domain, ``df_t`` the number of
+    domains containing it and ``N`` the domain count; the score is
+    rounded to DECIMAL(18,6) BEFORE ranking so the rank order (and its
+    ``(tfidf DESC, term)`` tie-break) is identical in every engine's
+    libm. Returns ``(domain, term, tf, df_t, tfidf, rank)``, rank 1..k.
+
+    Scale shape (100 TB): term counts and domain frequencies are two
+    map-side-combined aggregations joined counts-to-counts on the term
+    key; the 1-row domain-count frame broadcasts. The per-domain top-k
+    deliberately avoids a window partitioned by the LOW-CARDINALITY
+    domain alone over the full term stream (a handful of domains would
+    funnel the whole vocabulary through a handful of tasks — the
+    ``assign_shards``/``curriculum_schedule`` lesson): stage 1 ranks
+    within ``(domain, md5-prefix bucket)`` — 16 buckets, high fan-out —
+    and keeps each bucket's local top-k (any global top-k row is
+    necessarily in its bucket's top-k); stage 2 ranks the <= 16k
+    survivors per domain exactly. Spark >= 3.5 additionally inserts
+    ``WindowGroupLimit`` under BOTH windows (map-side per-partition
+    top-k before each shuffle — pinned in the plan test), so the
+    domain-only exchange moves at most ``k x n_tasks`` rows even
+    before the bucket stage; the two layers together bound the
+    reduce-side sort at <= 16k rows per domain regardless of
+    vocabulary size. Value-identical to the one-window formulation
+    (pytest-pinned), which is what the oracle states."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"domain_tfidf_topk k must be >= 1, got {k!r}")
+    dom = F.col(domain_col)
+    tf = (
+        df.select(dom.alias("domain"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy("domain", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    ndom = df.agg(F.count_distinct(dom).alias("n_domains"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndom))
+        .select(
+            "domain",
+            "term",
+            "tf",
+            "df_t",
+            (
+                F.col("tf")
+                * F.log(F.col("n_domains").cast("double") / F.col("df_t"))
+            )
+            .cast("decimal(18,6)")
+            .alias("tfidf"),
+        )
+    )
+    bucket = F.substring(F.md5(F.col("term")), 1, 1)
+    w_bucket = Window.partitionBy("domain", bucket).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    pruned = scored.withColumn("__br", F.row_number().over(w_bucket)).filter(
+        F.col("__br") <= k
+    )
+    w_dom = Window.partitionBy("domain").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_dom).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("__br")
+    )
