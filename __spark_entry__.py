@@ -1836,6 +1836,37 @@ def q_domain_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1h rolling stats + z-score at EVERY event (per-entity
+    RANGE window over epoch-micros; peers-by-timestamp share a frame in
+    both engines; mean/std/z DECIMAL(18,6)-rounded)."""
+    from timeseriesflattener_spark.operators.rolling import rolling_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return rolling_stats(ev, dt.timedelta(hours=1), entity_col="user_id")
+
+
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware per-1h counter increase (PromQL ``increase``): lag
+    deltas per entity (event_id tie-break), negative delta = reset =
+    post-reset value, delta attributed to the later sample's bucket,
+    first sample dropped."""
+    from timeseriesflattener_spark.operators.rolling import counter_increase
+
+    ev = _t(spark, sf_dir, "events")
+    return counter_increase(ev, dt.timedelta(hours=1), entity_col="user_id")
+
+
+def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsample: first/last/min/max point per
+    (entity, 6h bucket) in ONE hash aggregate of 4 struct min/max
+    partials; ties pinned by (ts,value)/(value,ts) struct order."""
+    from timeseriesflattener_spark.operators.rolling import downsample_m4
+
+    ev = _t(spark, sf_dir, "events")
+    return downsample_m4(ev, dt.timedelta(hours=6), entity_col="user_id")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 32, stride 16 — overlapping,
     the RAG-index convention). Pure projection + explode: the plan has
@@ -1887,7 +1918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": q_rollup_1h,
         "rollup_1d_from_1h": q_rollup_1d_from_1h,
         "stream_rollup_1h": q_stream_rollup_1h,
-        "stream_windowed_full_1h": q_stream_windowed_full_1h,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_against": q_stream_dedup_against,
         "stream_clean_corpus": q_stream_clean_corpus,
@@ -1908,10 +1938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_schedule": q_curriculum_schedule,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_lines": q_dedup_lines,
         "vocab_induct": q_vocab_induct,
         "domain_tfidf": q_domain_tfidf,
+        "rolling_zscore": q_rolling_zscore,
+        "counter_increase": q_counter_increase,
+        "downsample_m4": q_downsample_m4,
         "chunk_documents": q_chunk_documents,
         "lm_score": q_lm_score,
         "corpus_clean": q_corpus_clean,
@@ -1945,6 +1976,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # projection curriculum_schedule (in-window) already contains
         # flatten_v1_boundary: v1 boundary mode carries 12 independent
         # pytest goldens; the v1 family stays represented in-tail
+        # stream_windowed_full_1h / dedup_incremental / dedup_lines
+        # moved in-tail for the r6 rolling/counter/m4 additions: their
+        # semantics stay in-window via stream_windowed_1h+stream_rollup
+        # (complete-mode twin), stream_dedup_against (the streaming
+        # form of the same accepted-corpus gate) and dedup_exact (the
+        # same normalise+hash groupBy at line grain)
+        "stream_windowed_full_1h": q_stream_windowed_full_1h,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_lines": q_dedup_lines,
         "dedup_simhash": q_dedup_simhash,
         "flatten_v1_boundary": q_flatten_v1_boundary,
         "quality_bins": q_quality_bins,
@@ -2838,6 +2878,57 @@ r AS (
          AS BIGINT) AS rank
   FROM s)
 SELECT domain, term, tf, df_t, tfidf, rank FROM r WHERE rank <= 10""",
+        # RANGE frame over integer epoch-micros: timestamp peers share a
+        # frame in both engines; doubles DECIMAL(18,6)-rounded at the edge
+        "rolling_zscore": """
+SELECT event_id, user_id, ts, value,
+  count(value) OVER w AS roll_n,
+  CAST(avg(value) OVER w AS DECIMAL(18,6)) AS roll_mean,
+  CAST(CASE WHEN count(value) OVER w >= 2
+       THEN stddev_samp(value) OVER w END AS DECIMAL(18,6)) AS roll_std,
+  CAST(CASE WHEN count(value) OVER w >= 2
+             AND stddev_samp(value) OVER w > 0
+       THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+       END AS DECIMAL(18,6)) AS roll_z
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+        # PromQL increase: negative lag-delta = reset = post-reset value;
+        # delta lands in the LATER sample's bucket; first sample dropped
+        "counter_increase": """
+WITH d AS (
+  SELECT user_id, ts, value,
+    value - lag(value) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS delta
+  FROM events),
+c AS (
+  SELECT user_id AS entity,
+    make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_start,
+    CASE WHEN delta < 0 THEN value ELSE delta END AS contrib
+  FROM d WHERE delta IS NOT NULL)
+SELECT entity, bucket_start,
+  CAST(sum(contrib) AS DECIMAL(18,6)) AS increase,
+  CAST(count(*) AS BIGINT) AS n_deltas
+FROM c GROUP BY 1, 2""",
+        # M4: 4 struct min/max aggregates — lexicographic struct order is
+        # the tie-break contract in BOTH engines
+        "downsample_m4": """
+WITH g AS (
+  SELECT user_id AS entity,
+    make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket_start,
+    min({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS f,
+    max({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS l,
+    min({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS lo,
+    max({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS hi,
+    CAST(count(*) AS BIGINT) AS n_points
+  FROM events GROUP BY 1, 2)
+SELECT entity, bucket_start,
+  make_timestamp(f.t) AS first_ts, CAST(f.v AS DECIMAL(18,6)) AS first_val,
+  make_timestamp(lo.t) AS min_ts, CAST(lo.v AS DECIMAL(18,6)) AS min_val,
+  make_timestamp(hi.t) AS max_ts, CAST(hi.v AS DECIMAL(18,6)) AS max_val,
+  make_timestamp(l.t) AS last_ts, CAST(l.v AS DECIMAL(18,6)) AS last_val,
+  n_points
+FROM g""",
         # top-K sets are deterministic: ties at the cutoff break on the
         # token string in BOTH engines
         "vocab_induct": r"""

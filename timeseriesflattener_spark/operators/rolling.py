@@ -1,0 +1,242 @@
+"""Per-observation trailing-window statistics, counter rates, and
+visualization downsampling over raw event streams.
+
+These are the observability-side timeseries primitives the reference's
+flatten step assumes already happened upstream (the reference consumes
+pre-shaped predictor frames — `src/timeseriesflattener/main.py` — and
+has no raw-stream operators): rolling anomaly scores at every
+observation, PromQL-style counter ``increase`` per bucket (reset-aware),
+and the M4 min/max/first/last downsample (Jugel et al., VLDB 2014) that
+renders a billion-point series into the <= 4 points per pixel column a
+plot can actually show.
+
+Scale shape (100 TB): every operator here shuffles AT MOST once, on the
+entity key — the same partitioning every per-entity op in this repo
+(sessionize, asof, flatten) already uses, so a pipeline that chains them
+reuses one exchange. Rolling stats are a single window pass ordered by
+event time with a RANGE frame (whole-stage codegen, no Python);
+counter_increase is lag + one map-side-combined groupBy; downsample_m4
+is ONE groupBy with min/max-of-struct aggregates (4 orderings in one
+hash aggregate, partial merge on the map side), emitting <= 4 rows per
+(entity, bucket) regardless of input density.
+
+Cross-engine determinism: all derived doubles are rounded to
+DECIMAL(18,6) before they leave the operator (the repo-wide oracle
+contract), window frames are RANGE frames over integer epoch-microsecond
+keys so timestamp peers land in the same frame in every engine, and
+every argmin/argmax tie is broken inside an explicit struct ordering.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.timeutils import micros
+from ..plans.rollup import floor_to_width
+from ..specs import timedelta_to_micros
+
+_DEC = "decimal(18,6)"
+
+
+def _require_positive(name: str, td: dt.timedelta) -> int:
+    us = timedelta_to_micros(td)
+    if us <= 0:
+        raise ValueError(f"{name} must be a positive timedelta, got {td!r}")
+    return us
+
+
+def rolling_stats(
+    df: DataFrame,
+    window: dt.timedelta,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_periods: int = 2,
+) -> DataFrame:
+    """Trailing-window statistics AT EVERY OBSERVATION: for each input
+    row, the count / mean / sample-stddev of ``value_col`` over the
+    entity's events in ``[ts - window, ts]`` (both ends inclusive, the
+    v2 flatten convention), plus ``roll_z`` — the z-score of the current
+    value against that trailing window — the standard streaming anomaly
+    score. ``roll_std``/``roll_z`` are NULL when the frame holds fewer
+    than ``min_periods`` points or the window is constant (std == 0):
+    a too-young or flat series is "no evidence", never ±inf.
+
+    Unlike ``Flattener`` (stats at chosen prediction times) this scores
+    every event — the shape needed for alerting/outlier-tagging passes.
+
+    One exchange (entity), ONE window pass: all four outputs are window
+    expressions over the same (partition, order, frame) spec emitted in
+    a single ``select``, so Catalyst plans exactly one Window node with
+    one Sort — a ``withColumn`` chain would plan one Window+Sort per
+    column. The RANGE frame is over integer epoch-micros, so rows with
+    identical timestamps are frame peers and get identical stats and
+    the result is partition- and arrival-order-free. Stats stay in
+    whole-stage codegen; nothing leaves the JVM. Appends columns; all
+    input columns pass through.
+    """
+    us = _require_positive("window", window)
+    if min_periods < 2:
+        raise ValueError(f"min_periods must be >= 2, got {min_periods}")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(micros(F.col(ts_col)))
+        .rangeBetween(-us, 0)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    ok = (n >= F.lit(min_periods)) & (std > 0)
+    return df.select(
+        "*",
+        n.alias("roll_n"),
+        mean.cast(_DEC).alias("roll_mean"),
+        F.when(n >= F.lit(min_periods), std).cast(_DEC).alias("roll_std"),
+        F.when(ok, (v - mean) / std).cast(_DEC).alias("roll_z"),
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    bucket: dt.timedelta,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "event_id",
+    monotonic: bool = False,
+) -> DataFrame:
+    """Per-``bucket`` increase of a cumulative counter, reset-aware
+    (PromQL ``increase`` semantics, rate()'s building block): within
+    each entity, order samples by time, take adjacent deltas, and treat
+    a NEGATIVE delta as a counter reset — the post-reset VALUE is the
+    increase (the counter restarted from 0 and climbed back). Each
+    delta is attributed to the bucket of its LATER sample; an entity's
+    first-ever sample contributes nothing (no predecessor — PromQL
+    drops it too). Returns one row per (entity, bucket_start) that saw
+    at least one delta: ``(entity, bucket_start, increase, n_deltas)``
+    with ``increase`` DECIMAL(18,6).
+
+    ``monotonic=True`` asserts the no-reset fast path: negative deltas
+    raise instead of being reinterpreted, catching broken feeds where a
+    gauge was wired into a counter pipeline.
+
+    ``order_col`` breaks equal-timestamp ties so ``lag`` is
+    deterministic under any partitioning; pass None only when
+    (entity, ts) is known unique.
+
+    One exchange on the entity key for the lag pass; the bucket groupBy
+    then combines map-side (each task already holds whole entities, so
+    the second aggregation shuffles at most one partial row per
+    (entity, bucket) — in Spark the optimizer reuses the entity
+    exchange because bucket is a function of ts within the entity
+    partition)."""
+    us = _require_positive("bucket", bucket)
+    order: list[Column] = [micros(F.col(ts_col))]
+    if order_col is not None:
+        order.append(F.col(order_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    delta = v - F.lag(v).over(w)
+    if monotonic:
+        contrib = F.when(
+            delta < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("counter_increase(monotonic=True): negative delta "),
+                    delta.cast("string"),
+                    F.lit(" for entity "),
+                    F.col(entity_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(delta)
+    else:
+        contrib = F.when(delta < 0, v).otherwise(delta)
+    bucketed = df.withColumn("__contrib", contrib).withColumn(
+        "__bucket_us", floor_to_width(micros(F.col(ts_col)), us)
+    )
+    return (
+        bucketed.filter(F.col("__contrib").isNotNull())
+        .groupBy(
+            F.col(entity_col).alias("entity"),
+            F.timestamp_micros(F.col("__bucket_us")).alias("bucket_start"),
+        )
+        .agg(
+            F.sum("__contrib").cast(_DEC).alias("increase"),
+            F.count(F.lit(1)).alias("n_deltas"),
+        )
+    )
+
+
+def downsample_m4(
+    df: DataFrame,
+    bucket: dt.timedelta,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
+    Series Data Aggregation", VLDB 2014): per (entity, bucket) keep the
+    FIRST, LAST, MIN and MAX points — the exact set needed for a
+    pixel-perfect line rendering of the bucket, and the standard
+    preview/dashboard reduction for raw series. Emits ONE wide row per
+    (entity, bucket_start): ``first_ts first_val min_ts min_val max_ts
+    max_val last_ts last_val n_points``, values DECIMAL(18,6).
+
+    Ties are deterministic by construction: first/last order by
+    (ts, value) — equal-timestamp duplicates resolve to the smaller /
+    larger value — and min/max order by (value, ts), so the min point
+    is the EARLIEST minimal sample and the max point the LATEST maximal
+    sample. Each argmin/argmax is a lexicographic min/max over an
+    explicit struct, identical in every engine. NULL values/timestamps
+    sort engine-dependently inside struct comparisons — drop or impute
+    them upstream (the quality/gap-fill operators) before downsampling.
+
+    ONE map-side-combined aggregate, one exchange on (entity, bucket):
+    the 4 struct min/max partials merge associatively, so a 100 TB scan
+    reduces locally to <= 1 partial row per group per task before the
+    shuffle. Struct aggregation buffers aren't UnsafeRow-mutable, so
+    Spark plans this as a SortAggregate (partial_min/max BEFORE the
+    exchange — pinned) rather than a hash aggregate: each task pays one
+    in-memory sort by (entity, bucket) but never spills more than its
+    partial rows, and the shuffle itself stays <= one row per group per
+    task. Output is <= 4 points per group no matter how dense the input
+    — the 100× cliff is capped by ceil(span/bucket) × entities, not by
+    input rows."""
+    us = _require_positive("bucket", bucket)
+    ts_us = micros(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    by_time = F.struct(ts_us.alias("t"), v.alias("v"))
+    by_value = F.struct(v.alias("v"), ts_us.alias("t"))
+    out = (
+        df.groupBy(
+            F.col(entity_col).alias("entity"),
+            F.timestamp_micros(floor_to_width(ts_us, us)).alias(
+                "bucket_start"
+            ),
+        )
+        .agg(
+            F.min(by_time).alias("__first"),
+            F.max(by_time).alias("__last"),
+            F.min(by_value).alias("__min"),
+            F.max(by_value).alias("__max"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    return out.select(
+        "entity",
+        "bucket_start",
+        F.timestamp_micros(F.col("__first.t")).alias("first_ts"),
+        F.col("__first.v").cast(_DEC).alias("first_val"),
+        F.timestamp_micros(F.col("__min.t")).alias("min_ts"),
+        F.col("__min.v").cast(_DEC).alias("min_val"),
+        F.timestamp_micros(F.col("__max.t")).alias("max_ts"),
+        F.col("__max.v").cast(_DEC).alias("max_val"),
+        F.timestamp_micros(F.col("__last.t")).alias("last_ts"),
+        F.col("__last.v").cast(_DEC).alias("last_val"),
+        "n_points",
+    )
