@@ -1867,6 +1867,83 @@ def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_m4(ev, dt.timedelta(hours=6), entity_col="user_id")
 
 
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized time-in-state: each event opens [ts, next ts) for its
+    event_type; intervals chopped at 6h boundaries, horizon closed at
+    2024-02-01; integer-us arithmetic, DECIMAL(18,6) seconds."""
+    from timeseriesflattener_spark.operators.intervals import state_durations
+
+    ev = _t(spark, sf_dir, "events")
+    return state_durations(
+        ev,
+        dt.timedelta(hours=6),
+        entity_col="user_id",
+        state_col="event_type",
+        end_ts=dt.datetime(2024, 2, 1),
+    )
+
+
+def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed EWMA (halflife 2h, pandas ewm(times=) semantics) at
+    every event via the per-entity O(n) Arrow recurrence; equal-ts rows
+    are peers; NULL values weightless."""
+    from timeseriesflattener_spark.operators.rolling import ewma
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return ewma(ev, dt.timedelta(hours=2), entity_col="user_id")
+
+
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile z-score per user: slot = pure
+    epoch-micros arithmetic (UTC), baseline = whole-(entity, slot)
+    window including the current point; std/z NULL below min_periods=3."""
+    from timeseriesflattener_spark.operators.rolling import seasonal_baseline
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return seasonal_baseline(ev, entity_col="user_id")
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (2.5) value histogram per event_type: one map-side-
+    combined hash aggregate; floor-toward--inf binning; NULLs excluded."""
+    from timeseriesflattener_spark.operators.rolling import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(ev, 2.5, group_cols=("event_type",))
+
+
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic interval-overlap join: clicks landing in the half-open
+    2h window after each error, same user. Bucket co-location turns the
+    inequality join into an (entity, cell) equi-join; each pair kept in
+    exactly one cell (greatest-start attribution), no dedup pass."""
+    from timeseriesflattener_spark.operators.intervals import overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(7_200_000_000)
+        ).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = overlap_join(
+        errors,
+        clicks,
+        dt.timedelta(hours=2),
+        left_start="start",
+        left_end="end",
+        right_start="click_ts",
+    )
+    return out.select("user_id", "error_id", "click_id", "click_ts")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 32, stride 16 — overlapping,
     the RAG-index convention). Pure projection + explode: the plan has
@@ -1924,13 +2001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_30m": q_stream_sessionize_30m,
         "stream_profiles": q_stream_profiles,
         "topk_event_types_1h": q_topk_event_types_1h,
-        "hll_unique_1d": q_hll_unique_1d,
         "sketch_quantiles_1h": q_sketch_quantiles_1h,
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "asof_latest_value": q_asof_latest_value,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
         "multimodal_meta": q_multimodal_meta,
         "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
@@ -1943,19 +2018,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "counter_increase": q_counter_increase,
         "downsample_m4": q_downsample_m4,
+        "state_durations": q_state_durations,
+        "ewma_halflife": q_ewma_halflife,
+        "seasonal_baseline": q_seasonal_baseline,
+        "value_histogram": q_value_histogram,
+        "overlap_join": q_overlap_join,
         "chunk_documents": q_chunk_documents,
         "lm_score": q_lm_score,
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
-        "pack_documents": q_pack_documents,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
-        "mix_domains": q_mix_domains,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
-        "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         # tail = redundant twins of in-window queries: ann_lsh/ann_ivf
         # share ann_cosine's exact ranking + the dominance-invariant
@@ -1983,6 +2060,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form of the same accepted-corpus gate) and dedup_exact (the
         # same normalise+hash groupBy at line grain)
         "stream_windowed_full_1h": q_stream_windowed_full_1h,
+        # hll_unique_1d / lang_id / pack_documents / mix_domains moved
+        # in-tail for the r6 state/ewma/seasonal/histogram additions:
+        # the sketch-tier contract stays in-window via topk + quantiles
+        # (HLL merge carries pytest + hypothesis goldens); lang_id is
+        # the same pure-projection text scoring as in-window text_stats;
+        # pack_documents is the no-split variant of in-window
+        # pack_contexts (FULL recursive-CTE oracle stays in the
+        # self-check artifact); mix_domains applies the same
+        # md5-threshold draw as in-window sample_stratified
+        "hll_unique_1d": q_hll_unique_1d,
+        "lang_id": q_lang_id,
+        "pack_documents": q_pack_documents,
+        "mix_domains": q_mix_domains,
+        # embedding_near_dup moved in-tail for overlap_join: its cosine
+        # machinery is in-window via ann_cosine_topk and the near-dup
+        # gate family keeps dedup_minhash + dedup_clusters in-window
+        "embedding_near_dup": q_embedding_near_dup,
         "dedup_incremental": q_dedup_incremental,
         "dedup_lines": q_dedup_lines,
         "dedup_simhash": q_dedup_simhash,
@@ -2929,6 +3023,78 @@ SELECT entity, bucket_start,
   make_timestamp(l.t) AS last_ts, CAST(l.v AS DECIMAL(18,6)) AS last_val,
   n_points
 FROM g""",
+        # lead-closed intervals clipped to the horizon, chopped by
+        # generate_series; exclusive ends: a boundary-ending interval
+        # never touches the next bucket
+        "state_durations": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events),
+iv AS (
+  SELECT user_id AS entity, event_type AS state, t AS s,
+    LEAST(COALESCE(nxt, 1706745600000000), 1706745600000000) AS e
+  FROM e
+  WHERE LEAST(COALESCE(nxt, 1706745600000000), 1706745600000000) > t),
+ch AS (
+  SELECT entity, state, s, e,
+    unnest(generate_series(s - s % 21600000000,
+                           (e - 1) - (e - 1) % 21600000000,
+                           21600000000)) AS b
+  FROM iv)
+SELECT entity, state, make_timestamp(b) AS bucket_start,
+  CAST(SUM(LEAST(e, b + 21600000000) - GREATEST(s, b)) / 1000000.0
+       AS DECIMAL(18,6)) AS seconds,
+  CAST(count(*) AS BIGINT) AS n_intervals
+FROM ch GROUP BY 1, 2, 3""",
+        # closed form of the recurrence: weight 0.5^(dt/halflife); the
+        # b.t <= a.t predicate makes equal-ts rows peers, matching the
+        # peer-grouped scan; NULL values join out (weightless)
+        "ewma_halflife": """
+WITH e AS (SELECT event_id, user_id, ts, value, epoch_us(ts) AS t
+           FROM events)
+SELECT a.event_id, a.user_id, a.ts, a.value,
+  CAST(SUM(b.value * POW(0.5, (a.t - b.t) / 7200000000.0)) /
+       SUM(POW(0.5, (a.t - b.t) / 7200000000.0)) AS DECIMAL(18,6)) AS ewma
+FROM e a LEFT JOIN e b
+  ON a.user_id = b.user_id AND b.t <= a.t AND b.value IS NOT NULL
+GROUP BY a.event_id, a.user_id, a.ts, a.value""",
+        # slot = pure epoch-micros arithmetic (UTC session), baseline =
+        # whole-(entity, slot) frame including the current point
+        "seasonal_baseline": """
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS slot
+  FROM events)
+SELECT event_id, user_id, ts, value, slot,
+  count(value) OVER w AS season_n,
+  CAST(avg(value) OVER w AS DECIMAL(18,6)) AS season_mean,
+  CAST(CASE WHEN count(value) OVER w >= 3
+       THEN stddev_samp(value) OVER w END AS DECIMAL(18,6)) AS season_std,
+  CAST(CASE WHEN count(value) OVER w >= 3
+             AND stddev_samp(value) OVER w > 0
+       THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+       END AS DECIMAL(18,6)) AS season_z
+FROM s
+WINDOW w AS (PARTITION BY user_id, slot)""",
+        # floor-toward--inf double binning is bit-identical cross-engine
+        "value_histogram": """
+SELECT event_type,
+  CAST(FLOOR(value / 2.5) * 2.5 AS DECIMAL(18,6)) AS bin_lo,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(value) AS DECIMAL(18,6)) AS total
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2""",
+        # half-open point-in-interval: t in [error_ts, error_ts + 2h)
+        "overlap_join": """
+SELECT l.user_id, l.event_id AS error_id, r.event_id AS click_id,
+       r.ts AS click_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'error' AND r.event_type = 'click'
+ AND epoch_us(r.ts) >= epoch_us(l.ts)
+ AND epoch_us(r.ts) < epoch_us(l.ts) + 7200000000""",
         # top-K sets are deterministic: ties at the cutoff break on the
         # token string in BOTH engines
         "vocab_induct": r"""

@@ -1,5 +1,13 @@
 from .asof import asof_join
-from .rolling import counter_increase, downsample_m4, rolling_stats
+from .intervals import overlap_join, state_durations
+from .rolling import (
+    counter_increase,
+    downsample_m4,
+    ewma,
+    rolling_stats,
+    seasonal_baseline,
+    value_histogram,
+)
 from .sessions import session_stats, sessionize
 from .static import process_static_spec
 from .temporal import process_temporal_spec
@@ -7,9 +15,17 @@ from .timedelta import process_timedelta_spec
 
 __all__ = [
     "asof_join",
+    "counter_increase",
+    "downsample_m4",
+    "ewma",
+    "overlap_join",
     "process_static_spec",
     "process_temporal_spec",
     "process_timedelta_spec",
+    "rolling_stats",
+    "seasonal_baseline",
     "session_stats",
     "sessionize",
+    "state_durations",
+    "value_histogram",
 ]

@@ -1,0 +1,205 @@
+"""Interval analytics: bucketized time-in-state over state-change event
+streams, and a generic interval-overlap join.
+
+The reference consumes pre-shaped value frames (its predictors are
+point-in-time observations — `src/timeseriesflattener/main.py`); it has
+no notion of a state that HOLDS between events, and its only join is the
+prediction-time range join inside flatten. This module closes both gaps
+for raw streams: ``state_durations`` treats each event as a state
+transition (the entity occupies ``state_col`` from the event until the
+entity's next event) and chops the occupancy intervals into fixed
+buckets — the shape behind "time in status per day", uptime/error
+budgets, and billing meters; ``overlap_join`` is the general
+interval x interval (or interval x point) range join.
+
+Scale shape (100 TB): everything here keys on the entity.
+``state_durations`` is one entity exchange (lead) + a PURE PROJECTION
+chop — ``sequence`` + ``explode`` fan each interval out to the buckets
+it overlaps, bounded by ceil(span / bucket) rows per interval, never by
+input density — + one map-side-combined groupBy; the bucket grid is
+arithmetic, not a generated dimension table. ``overlap_join`` turns the
+inequality join Spark would execute as a per-entity cross filter into an
+(entity, grid-cell) EQUI-join, with each qualifying pair attributed to
+exactly one cell so no dedup pass is needed.
+
+Cross-engine determinism: interval ends come from ``lead`` ordered by
+(epoch-micros, order_col) so equal-timestamp transitions are ordered
+identically in every engine; durations are exact integer microsecond
+arithmetic converted to DECIMAL(18,6) seconds at the edge.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.timeutils import micros
+from ..plans.rollup import floor_to_width
+from ..specs import timedelta_to_micros
+
+_DEC = "decimal(18,6)"
+
+
+def state_durations(
+    df: DataFrame,
+    bucket: dt.timedelta,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str | None = "event_id",
+    end_ts: dt.datetime | None = None,
+) -> DataFrame:
+    """Seconds each entity spent in each state per ``bucket``: every
+    event opens an occupancy interval ``[ts, next event's ts)`` for its
+    ``state_col`` value; intervals are chopped at bucket boundaries and
+    the overlap summed per (entity, state, bucket). Returns
+    ``(entity, state, bucket_start, seconds, n_intervals)`` with
+    ``seconds`` DECIMAL(18,6) and ``n_intervals`` the number of
+    interval fragments that touched the bucket.
+
+    The entity's LAST event has no successor: with ``end_ts`` given its
+    interval closes there (events at/after ``end_ts`` are dropped, and
+    earlier intervals are clipped to it); with ``end_ts=None`` the open
+    interval is dropped — an unclosed state contributes nothing rather
+    than a guessed duration. Zero-length intervals (two transitions at
+    the same microsecond — the earlier one, ordered by ``order_col``,
+    held the state for 0 time) are dropped. ``order_col`` breaks
+    equal-timestamp ties so ``lead`` is deterministic under any
+    partitioning; pass None only when (entity, ts) is known unique.
+
+    One entity exchange (lead), one arithmetic explode whose fanout per
+    interval is ceil(interval span / bucket) — bound it by closing
+    streams with a sane ``end_ts`` rather than letting a years-idle
+    entity fan one interval across the whole calendar — then one
+    map-side-combined groupBy.
+    """
+    us = timedelta_to_micros(bucket)
+    if us <= 0:
+        raise ValueError(f"bucket must be a positive timedelta, got {bucket!r}")
+    order = [micros(F.col(ts_col))]
+    if order_col is not None:
+        order.append(F.col(order_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+
+    start = micros(F.col(ts_col))
+    nxt = F.lead(start).over(w)
+    if end_ts is not None:
+        end_us = timedelta_to_micros(end_ts - dt.datetime(1970, 1, 1))
+        nxt = F.least(F.coalesce(nxt, F.lit(end_us)), F.lit(end_us))
+
+    iv = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.col(state_col).alias("state"),
+            start.alias("__start"),
+            nxt.alias("__end"),
+        )
+        # drops open last intervals (end NULL when end_ts=None),
+        # zero-length ties, and post-end_ts starts in one predicate
+        .filter(F.col("__end") > F.col("__start"))
+    )
+
+    b0 = floor_to_width(F.col("__start"), us)
+    # __end is exclusive: an interval ending exactly on a boundary does
+    # not touch the next bucket
+    b1 = floor_to_width(F.col("__end") - F.lit(1), us)
+    chopped = iv.select(
+        "entity",
+        "state",
+        "__start",
+        "__end",
+        F.explode(
+            F.sequence(b0, b1, F.lit(us).cast("long"))
+        ).alias("__bucket_us"),
+    )
+    dur = F.least(F.col("__end"), F.col("__bucket_us") + F.lit(us)) - F.greatest(
+        F.col("__start"), F.col("__bucket_us")
+    )
+    return (
+        chopped.withColumn("__dur_us", dur)
+        .groupBy(
+            "entity",
+            "state",
+            F.timestamp_micros(F.col("__bucket_us")).alias("bucket_start"),
+        )
+        .agg(
+            (F.sum("__dur_us") / F.lit(1_000_000.0)).cast(_DEC).alias("seconds"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket: dt.timedelta,
+    entity_col: str = "user_id",
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "ts",
+    right_end: str | None = None,
+) -> DataFrame:
+    """Distributed interval-overlap join (the generic range join Spark
+    lacks): pair every left interval ``[left_start, left_end)`` with
+    every right interval — or point, when ``right_end=None`` — of the
+    SAME entity that overlaps it. Overlap is half-open
+    (``l.start < r.end AND r.start < l.end``); a point overlaps when
+    ``l.start <= t < l.end``. Returns all left columns joined with all
+    right columns (collisions on shared names must be resolved by the
+    caller renaming beforehand; ``entity_col`` is emitted once).
+
+    Why not a plain conditional join: Spark executes a join whose ONLY
+    equality key is the entity as one sort-merge join per entity with a
+    full per-entity cross filter — fine until one entity is hot. This
+    operator adds a derived equality key: both sides explode to the
+    ``bucket``-grid cells they span, the join runs on
+    ``(entity, cell)`` — an equi-join AQE can split on skew — and each
+    qualifying pair is counted EXACTLY ONCE by keeping it only in the
+    cell containing ``greatest(l.start, r.start)`` (every overlapping
+    pair shares that cell by construction, so no post-join ``distinct``
+    pass and no duplicate inflation). Explode fanout per row is
+    ceil(span / bucket): pick ``bucket`` near the typical interval
+    length; a years-long interval with a tiny bucket trades fanout for
+    join selectivity.
+
+    Cross-engine determinism: pure integer epoch-micros arithmetic;
+    output is a plain inner join, order-free.
+    """
+    us = timedelta_to_micros(bucket)
+    if us <= 0:
+        raise ValueError(f"bucket must be a positive timedelta, got {bucket!r}")
+
+    def _cells(df, start_col, end_col, prefix):
+        s = micros(F.col(start_col))
+        e = micros(F.col(end_col)) if end_col is not None else s + F.lit(1)
+        b0 = floor_to_width(s, us)
+        b1 = floor_to_width(e - F.lit(1), us)
+        return (
+            df.filter(e > s)
+            .withColumn(f"__{prefix}s", s)
+            .withColumn(f"__{prefix}e", e)
+            .withColumn(
+                "__cell" if prefix == "l" else "__rcell",
+                F.explode(F.sequence(b0, b1, F.lit(us).cast("long"))),
+            )
+        )
+
+    lc = _cells(left, left_start, left_end, "l")
+    rc = _cells(right, right_start, right_end, "r").withColumnRenamed(
+        entity_col, "__r_entity"
+    )
+    pair_cell = floor_to_width(F.greatest(F.col("__ls"), F.col("__rs")), us)
+    joined = lc.join(
+        rc,
+        (lc["__cell"] == rc["__rcell"])
+        & (F.col(entity_col) == F.col("__r_entity"))
+        & (F.col("__ls") < F.col("__re"))
+        & (F.col("__rs") < F.col("__le"))
+        & (F.col("__cell") == pair_cell),
+        "inner",
+    )
+    drop = ["__ls", "__le", "__rs", "__re", "__cell", "__rcell", "__r_entity"]
+    return joined.drop(*drop)

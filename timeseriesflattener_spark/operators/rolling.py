@@ -30,9 +30,11 @@ every argmin/argmax tie is broken inside an explicit struct ordering.
 from __future__ import annotations
 
 import datetime as dt
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 from pyspark.sql.window import Window
 
 from ..functions.timeutils import micros
@@ -239,4 +241,177 @@ def downsample_m4(
         F.timestamp_micros(F.col("__last.t")).alias("last_ts"),
         F.col("__last.v").cast(_DEC).alias("last_val"),
         "n_points",
+    )
+
+
+def ewma(
+    df: DataFrame,
+    halflife: dt.timedelta,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-decayed exponentially-weighted mean at every observation
+    for IRREGULARLY spaced series: each prior point's weight is
+    ``0.5 ** (Δt / halflife)`` (pandas ``ewm(halflife=..., times=...)``
+    semantics, adjust=True), so the smoothing horizon is WALL-CLOCK
+    time, not a row count — the correct baseline for event streams
+    whose cadence varies per entity. Appends ``ewma`` DECIMAL(18,6).
+
+    Semantics: rows with identical timestamps are peers — they all
+    receive the same ewma, computed over every point at-or-before that
+    timestamp, regardless of arrival or partition order. NULL values
+    carry no weight (the row still gets the mean of its history); a row
+    with no non-NULL history yet gets NULL.
+
+    This is a per-entity linear recurrence (``num/den`` decay-and-add),
+    which no Spark window frame expresses — weights depend on the
+    CURRENT row's timestamp. It runs as ONE entity exchange into an
+    Arrow-batched ``applyInPandas`` doing the O(n) two-accumulator scan
+    (numerically stable: the decay factor is always <= 1, so
+    accumulators never overflow, unlike the closed-form
+    ``exp(t/tau)`` factorization). At 100 TB the recurrence
+    parallelises across entities; a single entity's history bounds one
+    task, same contract as sessionize/pack_documents.
+    """
+    us = _require_positive("halflife", halflife)
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+    hl_ns = float(us) * 1000.0
+    n_in = len(df.columns)
+
+    def _scan(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        t = (
+            pd.to_datetime(pdf[ts_col])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .to_numpy()
+        )
+        v = pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(dtype=float)
+        out = np.full(len(t), np.nan)
+        num = den = 0.0
+        last = None
+        i, n = 0, len(t)
+        while i < n:
+            j = i
+            while j + 1 < n and t[j + 1] == t[i]:
+                j += 1
+            if last is not None:
+                d = 0.5 ** ((t[i] - last) / hl_ns)
+                num *= d
+                den *= d
+            blk = v[i : j + 1]
+            m = ~np.isnan(blk)
+            num += float(blk[m].sum())
+            den += float(m.sum())
+            if den > 0:
+                out[i : j + 1] = num / den
+            last = t[i]
+            i = j + 1
+        pdf["ewma"] = out
+        return pdf
+
+    out = df.groupBy(entity_col).applyInPandas(_scan, schema=out_schema)
+    # NaN (no history) casts to NULL; rounding happens once, at the edge
+    return out.select(
+        *df.columns[:n_in], F.col("ewma").cast(_DEC).alias("ewma")
+    )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    period: dt.timedelta = dt.timedelta(days=1),
+    slot: dt.timedelta = dt.timedelta(hours=1),
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_periods: int = 3,
+) -> DataFrame:
+    """Seasonal-profile z-score: score every observation against the
+    entity's OWN history for the same phase of a recurring ``period``
+    (default: same hour-of-day) — the standard "is this normal for
+    3am?" anomaly baseline that a plain trailing window cannot express.
+    Appends ``slot`` (0-based slot index within the period),
+    ``season_n``, ``season_mean``, ``season_std``, ``season_z`` —
+    mean/std/z DECIMAL(18,6); std/z NULL below ``min_periods`` or on
+    flat slots. The baseline INCLUDES the current point (profile
+    semantics — leave-one-out would shift every historical mean when a
+    point arrives late).
+
+    The slot index is pure integer arithmetic on epoch-micros
+    (``pmod(t, period) // slot``, UTC — sessions here pin UTC), so it
+    is engine- and timezone-independent and correct pre-1970. ONE
+    exchange on (entity, slot) and ONE whole-partition Window node (no
+    sort needed — the frame is the entire partition); everything stays
+    in whole-stage codegen.
+
+    ``period`` must be a positive multiple of ``slot`` so slots tile
+    the period exactly.
+    """
+    p_us = _require_positive("period", period)
+    s_us = _require_positive("slot", slot)
+    if p_us % s_us != 0:
+        raise ValueError(
+            f"period must be a multiple of slot, got {period!r} % {slot!r}"
+        )
+    if min_periods < 2:
+        raise ValueError(f"min_periods must be >= 2, got {min_periods}")
+
+    slot_idx = (
+        F.pmod(micros(F.col(ts_col)), F.lit(p_us)) / F.lit(s_us)
+    ).cast("long")
+    w = Window.partitionBy(F.col(entity_col), slot_idx)
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    ok = (n >= F.lit(min_periods)) & (std > 0)
+    return df.select(
+        "*",
+        slot_idx.alias("slot"),
+        n.alias("season_n"),
+        mean.cast(_DEC).alias("season_mean"),
+        F.when(n >= F.lit(min_periods), std).cast(_DEC).alias("season_std"),
+        F.when(ok, (v - mean) / std).cast(_DEC).alias("season_z"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    bin_width: float,
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width value histogram per group: NULL-value rows are
+    excluded, each remaining value lands in the bin
+    ``[floor(v / bin_width) * bin_width, +bin_width)`` (floor-toward
+    -inf, so negative values bin correctly), and the result is one row
+    per non-empty (group, bin): ``(*group_cols, bin_lo, n, total)``
+    with ``bin_lo``/``total`` DECIMAL(18,6). The density companion to
+    :func:`downsample_m4` — M4 renders the line, this renders the
+    distribution heatmap.
+
+    ONE map-side-combined hash aggregate; output is bounded by
+    groups x occupied bins, never input rows. Bin assignment is a
+    single double division + floor, bit-identical across engines.
+    """
+    if not bin_width > 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
+    v = F.col(value_col).cast("double")
+    bin_lo = (F.floor(v / F.lit(float(bin_width))) * F.lit(float(bin_width))).cast(
+        _DEC
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*[F.col(c) for c in group_cols], bin_lo.alias("bin_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast(_DEC).alias("total"),
+        )
     )
