@@ -1944,6 +1944,53 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "error_id", "click_id", "click_ts")
 
 
+_SIGNAL_CORR_SIGS = ["click", "view", "error", "purchase", "signup"]
+
+
+def q_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the five event-type signals
+    per user, aligned on daily bucket means; covar/stddev co-moments
+    with pairwise-masked stddevs (NULL below 2 shared buckets or on a
+    constant side — never an ANSI divide-by-zero)."""
+    from timeseriesflattener_spark.operators.rolling import signal_corr
+
+    ev = _t(spark, sf_dir, "events")
+    return signal_corr(
+        ev, _SIGNAL_CORR_SIGS, dt.timedelta(days=1), entity_col="user_id"
+    )
+
+
+def _signal_corr_oracle() -> str:
+    """Mirror of signal_corr's two-stage plan in DuckDB SQL, generated
+    over the same signal list so the pair set cannot drift."""
+    sigs = _SIGNAL_CORR_SIGS
+    avgs = ",\n    ".join(
+        f"avg(CASE WHEN event_type = '{s}' THEN value END) AS s{i}"
+        for i, s in enumerate(sigs)
+    )
+    pair_sqls = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            n = f"count(CASE WHEN s{i} IS NOT NULL AND s{j} IS NOT NULL THEN 1 END)"
+            sx = f"stddev_samp(CASE WHEN s{j} IS NOT NULL THEN s{i} END)"
+            sy = f"stddev_samp(CASE WHEN s{i} IS NOT NULL THEN s{j} END)"
+            pair_sqls.append(
+                f"""SELECT entity, '{sigs[i]}' AS sig_a, '{sigs[j]}' AS sig_b,
+  CAST(CASE WHEN {n} >= 2 AND {sx} > 0 AND {sy} > 0
+       THEN covar_samp(s{i}, s{j}) / ({sx} * {sy}) END
+       AS DECIMAL(18,6)) AS corr,
+  CAST({n} AS BIGINT) AS n_buckets
+FROM a GROUP BY entity"""
+            )
+    return (
+        "WITH a AS (\n  SELECT user_id AS entity,\n"
+        "    epoch_us(ts) - epoch_us(ts) % 86400000000 AS b,\n    "
+        + avgs
+        + "\n  FROM events GROUP BY 1, 2)\n"
+        + "\nUNION ALL\n".join(pair_sqls)
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 32, stride 16 — overlapping,
     the RAG-index convention). Pure projection + explode: the plan has
@@ -1998,7 +2045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_against": q_stream_dedup_against,
         "stream_clean_corpus": q_stream_clean_corpus,
-        "stream_sessionize_30m": q_stream_sessionize_30m,
         "stream_profiles": q_stream_profiles,
         "topk_event_types_1h": q_topk_event_types_1h,
         "sketch_quantiles_1h": q_sketch_quantiles_1h,
@@ -2023,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_baseline": q_seasonal_baseline,
         "value_histogram": q_value_histogram,
         "overlap_join": q_overlap_join,
+        "signal_corr": q_signal_corr,
         "chunk_documents": q_chunk_documents,
         "lm_score": q_lm_score,
         "corpus_clean": q_corpus_clean,
@@ -2073,6 +2120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pack_documents": q_pack_documents,
         "mix_domains": q_mix_domains,
+        # stream_sessionize_30m moved in-tail for signal_corr: its
+        # watermarked-window machinery stays in-window via
+        # stream_rollup_1h + stream_profiles, and its values equal the
+        # batch sessionize oracle (also in-tail)
+        "stream_sessionize_30m": q_stream_sessionize_30m,
         # embedding_near_dup moved in-tail for overlap_join: its cosine
         # machinery is in-window via ann_cosine_topk and the near-dup
         # gate family keeps dedup_minhash + dedup_clusters in-window
@@ -3086,6 +3138,7 @@ SELECT event_type,
   CAST(SUM(value) AS DECIMAL(18,6)) AS total
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2""",
+        "signal_corr": _signal_corr_oracle(),
         # half-open point-in-interval: t in [error_ts, error_ts + 2h)
         "overlap_join": """
 SELECT l.user_id, l.event_id AS error_id, r.event_id AS click_id,

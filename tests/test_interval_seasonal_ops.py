@@ -424,3 +424,99 @@ def test_overlap_join_validation(spark):
     left = _iv(spark, [(1, 0, 10, "w")])
     with pytest.raises(ValueError, match="positive timedelta"):
         overlap_join(left, left, dt.timedelta(0))
+
+
+# ----------------------------------------------------------------- signal_corr
+
+
+def _tev(spark, rows):
+    """rows: (entity, minute, type, value)"""
+    return spark.createDataFrame(
+        [
+            (i, e, T0 + dt.timedelta(minutes=m), t, float(v))
+            for i, (e, m, t, v) in enumerate(rows)
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+
+def test_signal_corr_hand_computed(spark):
+    """Three hourly buckets: click 1,2,3; view 2,4,6 (corr +1);
+    error 3,2,1 (corr -1 with both). A fourth bucket has only click,
+    so every pair's n_buckets stays 3."""
+    from timeseriesflattener_spark.operators.rolling import signal_corr
+
+    rows = []
+    for h, (c, vv, er) in enumerate([(1, 2, 3), (2, 4, 2), (3, 6, 1)]):
+        rows += [(1, h * 60, "click", c), (1, h * 60, "view", vv), (1, h * 60, "error", er)]
+    rows.append((1, 3 * 60, "click", 9))
+    out = signal_corr(
+        _tev(spark, rows), ["click", "view", "error"], dt.timedelta(hours=1)
+    ).collect()
+    got = {(r["sig_a"], r["sig_b"]): (float(r["corr"]), r["n_buckets"]) for r in out}
+    assert got[("click", "view")] == (1.0, 3)
+    assert got[("click", "error")] == (-1.0, 3)
+    assert got[("view", "error")] == (-1.0, 3)
+
+
+def test_signal_corr_bucket_mean_alignment(spark):
+    """Two same-bucket click events average before correlating: click
+    means 2,4 vs view 1,2 over two buckets -> corr 1 with n=2."""
+    from timeseriesflattener_spark.operators.rolling import signal_corr
+
+    rows = [
+        (1, 0, "click", 1),
+        (1, 30, "click", 3),  # bucket mean 2
+        (1, 0, "view", 1),
+        (1, 60, "click", 4),
+        (1, 60, "view", 2),
+    ]
+    out = signal_corr(_tev(spark, rows), ["click", "view"], dt.timedelta(hours=1)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert float(r["corr"]) == 1.0 and r["n_buckets"] == 2
+
+
+def test_signal_corr_min_buckets_and_constant_side_null(spark):
+    from timeseriesflattener_spark.operators.rolling import signal_corr
+
+    rows = [(1, 0, "click", 1), (1, 0, "view", 2), (1, 60, "click", 2), (1, 60, "view", 4)]
+    # n=2 but min_buckets=3 -> corr NULL, n reported
+    out = signal_corr(
+        _tev(spark, rows), ["click", "view"], dt.timedelta(hours=1), min_buckets=3
+    ).collect()
+    assert out[0]["corr"] is None and out[0]["n_buckets"] == 2
+    # constant side -> corr NULL even with enough buckets
+    rows2 = [(1, h * 60, "click", 5) for h in range(3)] + [
+        (1, h * 60, "view", h) for h in range(3)
+    ]
+    out2 = signal_corr(_tev(spark, rows2), ["click", "view"], dt.timedelta(hours=1)).collect()
+    assert out2[0]["corr"] is None and out2[0]["n_buckets"] == 3
+    # single shared bucket (n=1): must be NULL, not an ANSI
+    # divide-by-zero from the sample co-moments
+    rows3 = [(1, 0, "click", 1), (1, 0, "view", 2)]
+    out3 = signal_corr(_tev(spark, rows3), ["click", "view"], dt.timedelta(hours=1)).collect()
+    assert out3[0]["corr"] is None and out3[0]["n_buckets"] == 1
+
+
+def test_signal_corr_plan_two_aggregates_no_join(spark):
+    from timeseriesflattener_spark.operators.rolling import signal_corr
+
+    df = _tev(spark, [(1, 0, "click", 1), (1, 5, "view", 2)])
+    sc = signal_corr(df, ["click", "view"], dt.timedelta(hours=1))
+    plan = sc._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+    assert "partial_corr" in plan or "partial_avg" in plan
+
+
+def test_signal_corr_validation(spark):
+    from timeseriesflattener_spark.operators.rolling import signal_corr
+
+    df = _tev(spark, [(1, 0, "click", 1)])
+    with pytest.raises(ValueError, match=">= 2 signals"):
+        signal_corr(df, ["click"], dt.timedelta(hours=1))
+    with pytest.raises(ValueError, match="duplicate"):
+        signal_corr(df, ["click", "click"], dt.timedelta(hours=1))
+    with pytest.raises(ValueError, match="min_buckets"):
+        signal_corr(df, ["click", "view"], dt.timedelta(hours=1), min_buckets=1)

@@ -6,6 +6,7 @@ from .rolling import (
     ewma,
     rolling_stats,
     seasonal_baseline,
+    signal_corr,
     value_histogram,
 )
 from .sessions import session_stats, sessionize
@@ -26,6 +27,7 @@ __all__ = [
     "seasonal_baseline",
     "session_stats",
     "sessionize",
+    "signal_corr",
     "state_durations",
     "value_histogram",
 ]

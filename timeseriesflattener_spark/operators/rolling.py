@@ -6,19 +6,25 @@ flatten step assumes already happened upstream (the reference consumes
 pre-shaped predictor frames — `src/timeseriesflattener/main.py` — and
 has no raw-stream operators): rolling anomaly scores at every
 observation, PromQL-style counter ``increase`` per bucket (reset-aware),
-and the M4 min/max/first/last downsample (Jugel et al., VLDB 2014) that
+the M4 min/max/first/last downsample (Jugel et al., VLDB 2014) that
 renders a billion-point series into the <= 4 points per pixel column a
-plot can actually show.
+plot can actually show, time-decayed EWMA for irregular cadences,
+seasonal ("normal for 3am?") profile z-scores, fixed-width value
+histograms, and cross-signal Pearson correlation on bucket-aligned
+means.
 
-Scale shape (100 TB): every operator here shuffles AT MOST once, on the
-entity key — the same partitioning every per-entity op in this repo
-(sessionize, asof, flatten) already uses, so a pipeline that chains them
-reuses one exchange. Rolling stats are a single window pass ordered by
+Scale shape (100 TB): every operator here shuffles at most once or
+twice, always keyed on the entity (plus slot/bucket refinements) — the
+same partitioning every per-entity op in this repo (sessionize, asof,
+flatten) already uses. Rolling stats are a single window pass ordered by
 event time with a RANGE frame (whole-stage codegen, no Python);
 counter_increase is lag + one map-side-combined groupBy; downsample_m4
 is ONE groupBy with min/max-of-struct aggregates (4 orderings in one
 hash aggregate, partial merge on the map side), emitting <= 4 rows per
-(entity, bucket) regardless of input density.
+(entity, bucket) regardless of input density; ewma is the one Python
+crossing (an O(n) per-entity recurrence no window frame expresses),
+Arrow-batched; seasonal_baseline is one whole-partition Window;
+value_histogram and signal_corr are pure map-side-combined aggregates.
 
 Cross-engine determinism: all derived doubles are rounded to
 DECIMAL(18,6) before they leave the operator (the repo-wide oracle
@@ -415,3 +421,104 @@ def value_histogram(
             F.sum(v).cast(_DEC).alias("total"),
         )
     )
+
+
+def signal_corr(
+    df: DataFrame,
+    signals: Sequence[str],
+    bucket: dt.timedelta,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation between named signals of the SAME
+    entity, after aligning the irregular streams onto a common
+    ``bucket`` grid (correlating raw irregular series is meaningless —
+    the observations never line up; bucket means are the standard
+    alignment). Returns one row per (entity, unordered signal pair):
+    ``(entity, sig_a, sig_b, corr, n_buckets)`` — ``corr``
+    DECIMAL(18,6), NULL when fewer than ``min_buckets`` buckets have
+    BOTH signals (or either side is constant); ``n_buckets`` is that
+    both-present count. Pair order follows the ``signals`` list
+    (sig_a earlier), so output keys are deterministic.
+
+    Two map-side-combined aggregates, no joins and no pivot shuffle:
+    stage 1 reduces the stream to one row per (entity, bucket) with one
+    conditional-mean column per signal; stage 2 computes all
+    k(k-1)/2 ``corr`` co-moments in ONE aggregate over those reduced
+    rows (Pearson is scale-invariant, so Spark's and any other engine's
+    sample/population choice cancels), then an explode-of-struct-array
+    projection unpivots to long form. Cost is bounded by entities x buckets, not
+    input rows; the signal list is a fixed O(k^2) column budget, not a
+    data-dependent pivot.
+    """
+    us = _require_positive("bucket", bucket)
+    sigs = list(signals)
+    if len(sigs) < 2:
+        raise ValueError(f"need >= 2 signals, got {sigs!r}")
+    if len(set(sigs)) != len(sigs):
+        raise ValueError(f"duplicate signals in {sigs!r}")
+    if min_buckets < 2:
+        raise ValueError(f"min_buckets must be >= 2, got {min_buckets}")
+
+    v = F.col(value_col).cast("double")
+    aligned = (
+        df.filter(F.col(type_col).isin(sigs))
+        .groupBy(
+            F.col(entity_col).alias("entity"),
+            floor_to_width(micros(F.col(ts_col)), us).alias("__b"),
+        )
+        .agg(
+            *[
+                F.avg(F.when(F.col(type_col) == s, v)).alias(f"__s{i}")
+                for i, s in enumerate(sigs)
+            ]
+        )
+    )
+    # Pearson from covar/stddev co-moments rather than F.corr: under
+    # ANSI mode corr raises DIVIDE_BY_ZERO on a constant side, while
+    # the contract here is NULL ("no evidence"). Pairwise deletion
+    # needs the stddevs masked to both-present rows (a bucket where
+    # only one signal fired must not widen the other's spread).
+    aggs, pairs = [], []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            ci, cj = F.col(f"__s{i}"), F.col(f"__s{j}")
+            aggs.append(F.covar_samp(ci, cj).alias(f"__cv_{i}_{j}"))
+            aggs.append(
+                F.stddev_samp(F.when(cj.isNotNull(), ci)).alias(f"__sx_{i}_{j}")
+            )
+            aggs.append(
+                F.stddev_samp(F.when(ci.isNotNull(), cj)).alias(f"__sy_{i}_{j}")
+            )
+            aggs.append(
+                F.count(F.when(ci.isNotNull() & cj.isNotNull(), F.lit(1))).alias(
+                    f"__n_{i}_{j}"
+                )
+            )
+            pairs.append((i, j))
+    wide = aligned.groupBy("entity").agg(*aggs)
+    # unpivot to long form; pure projection (CASE branches evaluate
+    # lazily, so the division never fires on a constant/thin pair)
+    parts = []
+    for i, j in pairs:
+        sx, sy = F.col(f"__sx_{i}_{j}"), F.col(f"__sy_{i}_{j}")
+        gate = F.when(
+            (F.col(f"__n_{i}_{j}") >= F.lit(min_buckets))
+            & (sx > 0)
+            & (sy > 0),
+            F.col(f"__cv_{i}_{j}") / (sx * sy),
+        ).cast(_DEC)
+        parts.append(
+            F.struct(
+                F.lit(sigs[i]).alias("sig_a"),
+                F.lit(sigs[j]).alias("sig_b"),
+                gate.alias("corr"),
+                F.col(f"__n_{i}_{j}").alias("n_buckets"),
+            )
+        )
+    return wide.select(
+        "entity", F.explode(F.array(*parts)).alias("__p")
+    ).select("entity", "__p.sig_a", "__p.sig_b", "__p.corr", "__p.n_buckets")
