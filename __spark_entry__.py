@@ -1944,6 +1944,94 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "error_id", "click_id", "click_ts")
 
 
+def q_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 per (user, 6h bucket) in one map-side-combined
+    aggregate; Spark percentile and DuckDB quantile_cont share the
+    linear-interpolation formula bit-for-bit. The DDSketch tier
+    (sketch_quantiles_1h) is the mergeable scale path of this."""
+    from timeseriesflattener_spark.operators.rolling import bucket_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return bucket_quantiles(ev, dt.timedelta(hours=6), entity_col="user_id")
+
+
+def q_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands alert episodes: maximal runs of consecutive
+    events with value > 15 per user; flip-count run ids over the unique
+    (epoch-micros, event_id) order; NULL condition = False."""
+    from timeseriesflattener_spark.operators.intervals import threshold_episodes
+
+    ev = _t(spark, sf_dir, "events")
+    return threshold_episodes(ev, F.col("value") > 15, entity_col="user_id")
+
+
+def q_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of downsample_m4: watermarked F.window groupBy
+    with the SAME four struct min/max aggregates (order-insensitive
+    exact ops — no float summation, so the sink is bit-identical to the
+    batch operator), append-mode parquet sink, sentinel-flushed. Shares
+    downsample_m4's oracle verbatim."""
+    import tempfile
+
+    from timeseriesflattener_spark.streaming.windowed import start_m4_stream
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-m4-")
+    src = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    sentinel = spark.createDataFrame([(-1,)], "user_id long").select(
+        "user_id",
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    src.unionByName(sentinel).repartition(4).write.parquet(f"{work}/input")
+
+    def _run() -> None:
+        start_m4_stream(
+            spark,
+            f"{work}/input",
+            schema="user_id long, ts timestamp, value double",
+            out_path=f"{work}/out",
+            checkpoint_dir=f"{work}/ckpt",
+            bucket=dt.timedelta(hours=6),
+            entity_col="user_id",
+            watermark="1 hour",
+        ).awaitTermination()
+
+    _run()
+    # second pass over one later sentinel file flushes any window the
+    # first availableNow run left in state (same contract as
+    # q_stream_windowed_1h); already-emitted windows are checkpointed
+    sentinel.withColumn(
+        "ts", F.lit("2024-07-01 00:00:00").cast("timestamp")
+    ).coalesce(1).write.mode("append").parquet(f"{work}/input")
+    _run()
+    return spark.read.parquet(f"{work}/out").filter(F.col("entity") != -1).select(
+        "entity", "bucket_start",
+        "first_ts", "first_val", "min_ts", "min_val",
+        "max_ts", "max_val", "last_ts", "last_val", "n_points",
+    )
+
+
+_M4_ORACLE_SQL = """
+WITH g AS (
+  SELECT user_id AS entity,
+    make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket_start,
+    min({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS f,
+    max({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS l,
+    min({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS lo,
+    max({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS hi,
+    CAST(count(*) AS BIGINT) AS n_points
+  FROM events GROUP BY 1, 2)
+SELECT entity, bucket_start,
+  make_timestamp(f.t) AS first_ts, CAST(f.v AS DECIMAL(18,6)) AS first_val,
+  make_timestamp(lo.t) AS min_ts, CAST(lo.v AS DECIMAL(18,6)) AS min_val,
+  make_timestamp(hi.t) AS max_ts, CAST(hi.v AS DECIMAL(18,6)) AS max_val,
+  make_timestamp(l.t) AS last_ts, CAST(l.v AS DECIMAL(18,6)) AS last_val,
+  n_points
+FROM g"""
+
+
 _SIGNAL_CORR_SIGS = ["click", "view", "error", "purchase", "signup"]
 
 
@@ -2047,17 +2135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_clean_corpus": q_stream_clean_corpus,
         "stream_profiles": q_stream_profiles,
         "topk_event_types_1h": q_topk_event_types_1h,
-        "sketch_quantiles_1h": q_sketch_quantiles_1h,
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "asof_latest_value": q_asof_latest_value,
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
-        "decontaminate": q_decontaminate,
         "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
         "curriculum_schedule": q_curriculum_schedule,
-        "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "vocab_induct": q_vocab_induct,
         "domain_tfidf": q_domain_tfidf,
@@ -2070,6 +2155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "overlap_join": q_overlap_join,
         "signal_corr": q_signal_corr,
+        "stream_m4": q_stream_m4,
+        "bucket_quantiles": q_bucket_quantiles,
+        "threshold_episodes": q_threshold_episodes,
         "chunk_documents": q_chunk_documents,
         "lm_score": q_lm_score,
         "corpus_clean": q_corpus_clean,
@@ -2120,6 +2208,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pack_documents": q_pack_documents,
         "mix_domains": q_mix_domains,
+        # sketch_quantiles_1h / corpus_stats moved in-tail for
+        # bucket_quantiles + threshold_episodes: the quantile surface
+        # stays in-window via the exact bucket_quantiles (DDSketch is
+        # its mergeable scale path, pytest + hypothesis covered), and
+        # corpus_stats' quality-mean arithmetic fires in-window via
+        # quality_filter + curriculum_schedule
+        "sketch_quantiles_1h": q_sketch_quantiles_1h,
+        "corpus_stats": q_corpus_stats,
+        # decontaminate moved in-tail for stream_m4: its benchmark
+        # n-gram anti-join fires in-window as corpus_clean's stage 4
+        # (the chained oracle re-derives that stage byte-for-byte)
+        "decontaminate": q_decontaminate,
         # stream_sessionize_30m moved in-tail for signal_corr: its
         # watermarked-window machinery stays in-window via
         # stream_rollup_1h + stream_profiles, and its values equal the
@@ -3057,24 +3157,39 @@ SELECT entity, bucket_start,
   CAST(count(*) AS BIGINT) AS n_deltas
 FROM c GROUP BY 1, 2""",
         # M4: 4 struct min/max aggregates — lexicographic struct order is
-        # the tie-break contract in BOTH engines
-        "downsample_m4": """
-WITH g AS (
-  SELECT user_id AS entity,
-    make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket_start,
-    min({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS f,
-    max({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS l,
-    min({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS lo,
-    max({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS hi,
-    CAST(count(*) AS BIGINT) AS n_points
-  FROM events GROUP BY 1, 2)
-SELECT entity, bucket_start,
-  make_timestamp(f.t) AS first_ts, CAST(f.v AS DECIMAL(18,6)) AS first_val,
-  make_timestamp(lo.t) AS min_ts, CAST(lo.v AS DECIMAL(18,6)) AS min_val,
-  make_timestamp(hi.t) AS max_ts, CAST(hi.v AS DECIMAL(18,6)) AS max_val,
-  make_timestamp(l.t) AS last_ts, CAST(l.v AS DECIMAL(18,6)) AS last_val,
-  n_points
-FROM g""",
+        # the tie-break contract in BOTH engines; the streaming twin
+        # shares the identical oracle (exact order-insensitive ops)
+        "downsample_m4": _M4_ORACLE_SQL,
+        "stream_m4": _M4_ORACLE_SQL,
+        # Spark percentile == DuckDB quantile_cont (same interpolation)
+        "bucket_quantiles": """
+SELECT user_id AS entity,
+  make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket_start,
+  CAST(count(value) AS BIGINT) AS n,
+  CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS p50,
+  CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS p95,
+  CAST(quantile_cont(value, 0.99) AS DECIMAL(18,6)) AS p99
+FROM events GROUP BY 1, 2""",
+        # classic gaps-and-islands: flip-count run ids over the unique
+        # (epoch-micros, event_id) order; ROWS frame pins the cumsum
+        "threshold_episodes": """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN value > 15 THEN 1 ELSE 0 END AS f
+  FROM events),
+p AS (
+  SELECT *, lag(f) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS pf
+  FROM o),
+g AS (
+  SELECT *, SUM(CASE WHEN pf IS NULL OR f <> pf THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM p)
+SELECT user_id AS entity, min(ts) AS start_ts, max(ts) AS end_ts,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(value) AS DECIMAL(18,6)) AS peak
+FROM g WHERE f = 1 GROUP BY user_id, run""",
         # lead-closed intervals clipped to the horizon, chopped by
         # generate_series; exclusive ends: a boundary-ending interval
         # never touches the next bucket

@@ -520,3 +520,111 @@ def test_signal_corr_validation(spark):
         signal_corr(df, ["click", "click"], dt.timedelta(hours=1))
     with pytest.raises(ValueError, match="min_buckets"):
         signal_corr(df, ["click", "view"], dt.timedelta(hours=1), min_buckets=1)
+
+
+# ------------------------------------------------------------ bucket_quantiles
+
+
+def test_bucket_quantiles_hand_computed(spark):
+    """Values 1,3,4,10,11 in one bucket: p50=4 (exact middle),
+    p95=10.8, p99=10.96 (linear interpolation)."""
+    from timeseriesflattener_spark.operators.rolling import bucket_quantiles
+
+    df = _ev(spark, [(1, m, v) for m, v in ((0, 1), (5, 3), (10, 4), (15, 10), (20, 11))])
+    out = bucket_quantiles(df, dt.timedelta(hours=1)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 5
+    assert float(r["p50"]) == 4.0
+    assert float(r["p95"]) == pytest.approx(10.8)
+    assert float(r["p99"]) == pytest.approx(10.96)
+
+
+def test_bucket_quantiles_null_values_and_naming(spark):
+    from timeseriesflattener_spark.operators.rolling import bucket_quantiles
+
+    data = [(0, 1, T0, None), (1, 1, T0, 2.0)]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+    out = bucket_quantiles(df, dt.timedelta(hours=1), qs=(0.5, 0.999)).collect()
+    r = out[0]
+    assert r["n"] == 1 and float(r["p50"]) == 2.0 and float(r["p99_9"]) == 2.0
+
+
+def test_bucket_quantiles_validation(spark):
+    from timeseriesflattener_spark.operators.rolling import bucket_quantiles
+
+    df = _ev(spark, [(1, 0, 1)])
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        bucket_quantiles(df, dt.timedelta(hours=1), qs=(0.0,))
+    with pytest.raises(ValueError, match="duplicate"):
+        bucket_quantiles(df, dt.timedelta(hours=1), qs=(0.5, 0.5))
+    with pytest.raises(ValueError, match="non-empty"):
+        bucket_quantiles(df, dt.timedelta(hours=1), qs=())
+
+
+def test_bucket_quantiles_single_aggregate_plan(spark):
+    from timeseriesflattener_spark.operators.rolling import bucket_quantiles
+
+    df = _ev(spark, [(1, 0, 1), (1, 5, 2)])
+    plan = (
+        bucket_quantiles(df, dt.timedelta(hours=1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "partial_percentile" in plan  # map-side partials
+
+
+# ---------------------------------------------------------- threshold_episodes
+
+
+def test_threshold_episodes_islands_golden(spark):
+    """Entity 1 values 1, 20, 30, 5, 40 at 10-min cadence with
+    condition value > 15: two episodes — [10m, 20m] (peak 30, 2
+    events) and [40m, 40m] (peak 40, 1 event)."""
+    from timeseriesflattener_spark.operators.intervals import threshold_episodes
+
+    df = _ev(spark, [(1, 0, 1), (1, 10, 20), (1, 20, 30), (1, 30, 5), (1, 40, 40)])
+    out = sorted(
+        threshold_episodes(df, F.col("value") > 15).collect(),
+        key=lambda r: r["start_ts"],
+    )
+    assert len(out) == 2
+    a, b = out
+    assert (a["start_ts"].minute, a["end_ts"].minute, a["n_events"], float(a["peak"])) == (10, 20, 2, 30.0)
+    assert (b["start_ts"].minute, b["end_ts"].minute, b["n_events"], float(b["peak"])) == (40, 40, 1, 40.0)
+
+
+def test_threshold_episodes_null_condition_breaks_run(spark):
+    """A NULL value (condition NULL -> False) splits an episode."""
+    from timeseriesflattener_spark.operators.intervals import threshold_episodes
+
+    data = [
+        (0, 1, T0, 20.0),
+        (1, 1, T0 + dt.timedelta(minutes=10), None),
+        (2, 1, T0 + dt.timedelta(minutes=20), 25.0),
+    ]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+    out = threshold_episodes(df, F.col("value") > 15).collect()
+    assert len(out) == 2 and all(r["n_events"] == 1 for r in out)
+
+
+def test_threshold_episodes_whole_run_and_entity_isolation(spark):
+    from timeseriesflattener_spark.operators.intervals import threshold_episodes
+
+    df = _ev(spark, [(1, 0, 20), (1, 10, 30), (2, 5, 50)])
+    out = {r["entity"]: r for r in threshold_episodes(df, F.col("value") > 15).collect()}
+    assert out[1]["n_events"] == 2 and float(out[1]["peak"]) == 30.0
+    assert out[2]["n_events"] == 1 and float(out[2]["peak"]) == 50.0
+
+
+def test_threshold_episodes_partition_invariant(spark):
+    from timeseriesflattener_spark.operators.intervals import threshold_episodes
+
+    rows = [(e, m, float((e * 13 + m * 7) % 29)) for e in (1, 2, 3) for m in range(0, 300, 10)]
+    df = _ev(spark, rows)
+    cond = F.col("value") > 14
+    a = sorted(map(str, threshold_episodes(df, cond).collect()))
+    b = sorted(map(str, threshold_episodes(df.repartition(7), cond).collect()))
+    assert a == b

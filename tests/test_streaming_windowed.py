@@ -522,3 +522,71 @@ def test_stream_clean_matches_batch(spark, tmp_path):
     assert got == want and got
     # exactly-once per fingerprint
     assert survivors.count() == len(got)
+
+
+def test_stream_m4_matches_batch_across_micro_batches(spark, tmp_path):
+    """start_m4_stream with maxFilesPerTrigger=1 (one micro-batch per
+    file): a bucket fed from BOTH batches must still equal the batch
+    downsample_m4 exactly — struct min/max state merges across batches
+    with no order sensitivity."""
+    import pytest
+
+    from timeseriesflattener_spark.operators.rolling import downsample_m4
+    from timeseriesflattener_spark.streaming.windowed import start_m4_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, value double"
+    # batch file 1: early half of hour 0 + a point in hour 1
+    f1 = [(1, t0 + dt.timedelta(minutes=m), float(v)) for m, v in ((0, 5), (10, 9), (70, 2))]
+    # batch file 2: late half of hour 0 (same bucket as f1's points!)
+    # with the bucket max, plus hour 2, plus a far sentinel to flush
+    f2 = [(1, t0 + dt.timedelta(minutes=m), float(v)) for m, v in ((30, 11), (50, 1), (130, 4))]
+    f2.append((99, t0 + dt.timedelta(days=30), 0.0))
+    in_dir = str(tmp_path / "m4in")
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    start_m4_stream(
+        spark,
+        in_dir,
+        schema,
+        str(tmp_path / "m4out"),
+        str(tmp_path / "m4ckpt"),
+        bucket=dt.timedelta(hours=1),
+        entity_col="user_id",
+        watermark="10 minutes",
+        max_files_per_trigger=1,
+    ).awaitTermination()
+
+    got = (
+        spark.read.parquet(str(tmp_path / "m4out"))
+        .filter(F.col("entity") != 99)
+        .collect()
+    )
+    batch = downsample_m4(
+        spark.createDataFrame(f1 + f2[:-1], schema),
+        dt.timedelta(hours=1),
+        entity_col="user_id",
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (
+                r["entity"], str(r["bucket_start"]), str(r["first_ts"]),
+                str(r["first_val"]), str(r["min_val"]), str(r["max_val"]),
+                str(r["last_val"]), r["n_points"],
+            )
+            for r in rows
+        )
+
+    assert key(got) == key(batch)
+    # the hour-0 bucket really did span both micro-batches
+    h0 = [r for r in got if r["bucket_start"].hour == 0][0]
+    assert h0["n_points"] == 4 and float(h0["max_val"]) == 11.0
+    assert float(h0["first_val"]) == 5.0 and float(h0["last_val"]) == 1.0
+
+    with pytest.raises(ValueError, match="whole-second"):
+        start_m4_stream(
+            spark, in_dir, schema, str(tmp_path / "x"), str(tmp_path / "y"),
+            bucket=dt.timedelta(microseconds=500),
+        )

@@ -1,6 +1,7 @@
 from .asof import asof_join
-from .intervals import overlap_join, state_durations
+from .intervals import overlap_join, state_durations, threshold_episodes
 from .rolling import (
+    bucket_quantiles,
     counter_increase,
     downsample_m4,
     ewma,
@@ -16,6 +17,7 @@ from .timedelta import process_timedelta_spec
 
 __all__ = [
     "asof_join",
+    "bucket_quantiles",
     "counter_increase",
     "downsample_m4",
     "ewma",
@@ -29,5 +31,6 @@ __all__ = [
     "sessionize",
     "signal_corr",
     "state_durations",
+    "threshold_episodes",
     "value_histogram",
 ]

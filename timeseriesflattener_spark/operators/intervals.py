@@ -203,3 +203,53 @@ def overlap_join(
     )
     drop = ["__ls", "__le", "__rs", "__re", "__cell", "__rcell", "__r_entity"]
     return joined.drop(*drop)
+
+
+def threshold_episodes(
+    df: DataFrame,
+    condition: Column,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """Maximal runs of CONSECUTIVE events satisfying ``condition``
+    (gaps-and-islands): per entity, events are ordered by
+    (epoch-micros, order_col); every flip of the condition starts a new
+    run; rows failing the condition are dropped after run assignment
+    (they are the gaps). One row per episode: ``(entity, start_ts,
+    end_ts, n_events, peak)`` — the alert-episode shape ("value stayed
+    over threshold from X to Y, peaking at Z"), with ``peak``
+    DECIMAL(18,6) (NULL if the episode's values are all NULL — e.g. a
+    condition on another column). A NULL condition counts as False.
+
+    One entity exchange shared by the lag and the running flip-count
+    (same window spec, ROWS frame over the unique (ts, order) key so
+    the cumsum is engine-independent), then one map-side-combined
+    groupBy on (entity, run). Episodes are bounded by the condition's
+    flip count, never input density.
+    """
+    order = [micros(F.col(ts_col))]
+    if order_col is not None:
+        order.append(F.col(order_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    flag = F.when(condition, F.lit(1)).otherwise(F.lit(0))
+    prev = F.lag(flag).over(w)
+    flip = F.when(prev.isNull() | (flag != prev), F.lit(1)).otherwise(F.lit(0))
+    runs = (
+        df.withColumn("__f", flag)
+        .withColumn("__run", F.sum(flip).over(wrun))
+        .filter(F.col("__f") == 1)
+    )
+    return (
+        runs.groupBy(F.col(entity_col).alias("entity"), F.col("__run"))
+        .agg(
+            F.min(F.col(ts_col)).alias("start_ts"),
+            F.max(F.col(ts_col)).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col(value_col).cast("double")).cast(_DEC).alias("peak"),
+        )
+        .drop("__run")
+    )

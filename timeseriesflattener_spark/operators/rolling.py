@@ -522,3 +522,56 @@ def signal_corr(
     return wide.select(
         "entity", F.explode(F.array(*parts)).alias("__p")
     ).select("entity", "__p.sig_a", "__p.sig_b", "__p.corr", "__p.n_buckets")
+
+
+def bucket_quantiles(
+    df: DataFrame,
+    bucket: dt.timedelta,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT per-(entity, bucket) quantiles — p50/p95/p99 latency
+    percentiles, the canonical observability rollup. One map-side-
+    combined aggregate emitting ``(entity, bucket_start, n, p50, p95,
+    ...)``; quantile columns are named from the q values (0.5 -> p50,
+    0.999 -> p99_9), continuous (linear-interpolation) quantiles cast
+    DECIMAL(18,6); NULL values carry no weight (``n`` counts non-NULL;
+    all-NULL buckets keep the row with NULL quantiles).
+
+    Exactness vs mergeability: ``percentile`` buffers each group's
+    values, so task memory is bounded by the largest (entity, bucket)
+    group — the right tool for bounded buckets needing exact tails.
+    For unbounded groups or cross-tier re-aggregation use the DDSketch
+    quantile tiers (``plans/sketch.py``): mergeable, fixed-size state,
+    rank-error-bounded. Spark's and DuckDB's/Postgres'
+    ``quantile_cont`` share the interpolation formula, so results are
+    bit-identical cross-engine.
+    """
+    us = _require_positive("bucket", bucket)
+    qlist = list(qs)
+    if not qlist:
+        raise ValueError("qs must be non-empty")
+    for q in qlist:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"quantiles must be in (0, 1), got {q!r}")
+    if len(set(qlist)) != len(qlist):
+        raise ValueError(f"duplicate quantiles in {qlist!r}")
+
+    def _name(q: float) -> str:
+        return "p" + format(q * 100, "g").replace(".", "_")
+
+    v = F.col(value_col).cast("double")
+    return df.groupBy(
+        F.col(entity_col).alias("entity"),
+        F.timestamp_micros(floor_to_width(micros(F.col(ts_col)), us)).alias(
+            "bucket_start"
+        ),
+    ).agg(
+        F.count(v).alias("n"),
+        *[
+            F.percentile(v, F.lit(q)).cast(_DEC).alias(_name(q))
+            for q in qlist
+        ],
+    )

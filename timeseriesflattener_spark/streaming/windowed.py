@@ -287,3 +287,95 @@ def stream_drop_exact_duplicates(
         "__fp", F.md5(normalized_text(F.col(text_col)))
     ).withWatermark(ts_col, watermark)
     return keyed.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+
+
+def m4_partials(
+    stream_df: DataFrame,
+    bucket,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming M4 downsample: the SAME four struct
+    min/max aggregates as ``operators.rolling.downsample_m4`` (first/
+    last by (ts, value), min/max by (value, ts) — identical tie
+    contract), grouped by ``F.window`` so the state store finalises and
+    evicts buckets as the watermark passes. M4 is the ideal streaming
+    reduction: every aggregate is an order-insensitive exact min/max —
+    no float summation — so the streamed sink is BIT-identical to the
+    batch operator regardless of state-store merge order, and state per
+    (entity, window) is four structs and a count. ``bucket`` is a
+    ``datetime.timedelta`` of whole seconds. In append mode each
+    (entity, bucket) row lands in the sink exactly once, finalised.
+    """
+    secs = bucket.total_seconds()
+    if secs <= 0 or secs != int(secs):
+        raise ValueError(
+            f"bucket must be a positive whole-second timedelta, got {bucket!r}"
+        )
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    by_time = F.struct(ts_us.alias("t"), v.alias("v"))
+    by_value = F.struct(v.alias("v"), ts_us.alias("t"))
+    dec = "decimal(18,6)"
+    out = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(entity_col).alias("entity"),
+            F.window(F.col(ts_col), f"{int(secs)} seconds").alias("__w"),
+        )
+        .agg(
+            F.min(by_time).alias("__first"),
+            F.max(by_time).alias("__last"),
+            F.min(by_value).alias("__min"),
+            F.max(by_value).alias("__max"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    return out.select(
+        "entity",
+        F.col("__w.start").alias("bucket_start"),
+        F.timestamp_micros(F.col("__first.t")).alias("first_ts"),
+        F.col("__first.v").cast(dec).alias("first_val"),
+        F.timestamp_micros(F.col("__min.t")).alias("min_ts"),
+        F.col("__min.v").cast(dec).alias("min_val"),
+        F.timestamp_micros(F.col("__max.t")).alias("max_ts"),
+        F.col("__max.v").cast(dec).alias("max_val"),
+        F.timestamp_micros(F.col("__last.t")).alias("last_ts"),
+        F.col("__last.v").cast(dec).alias("last_val"),
+        "n_points",
+    )
+
+
+def start_m4_stream(
+    spark,
+    input_path: str,
+    schema: str,
+    out_path: str,
+    checkpoint_dir: str,
+    bucket,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """readStream(parquet dir) -> watermarked M4 partials -> append-mode
+    parquet sink; each bucket finalises exactly once (see
+    ``m4_partials``)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    out = m4_partials(stream, bucket, entity_col, ts_col, value_col, watermark)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
