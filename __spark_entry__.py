@@ -3139,13 +3139,15 @@ SELECT event_id, user_id, ts, value,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
-        # PromQL increase: negative lag-delta = reset = post-reset value;
-        # delta lands in the LATER sample's bucket; first sample dropped
+        # PromQL increase: negative delta = reset = post-reset value;
+        # delta lands in the LATER sample's bucket; first sample dropped;
+        # IGNORE NULLS = a NULL scrape never swallows the bridging delta
         "counter_increase": """
 WITH d AS (
   SELECT user_id, ts, value,
-    value - lag(value) OVER (PARTITION BY user_id
-                             ORDER BY epoch_us(ts), event_id) AS delta
+    value - lag(value IGNORE NULLS)
+              OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS delta
   FROM events),
 c AS (
   SELECT user_id AS entity,

@@ -628,3 +628,31 @@ def test_threshold_episodes_partition_invariant(spark):
     a = sorted(map(str, threshold_episodes(df, cond).collect()))
     b = sorted(map(str, threshold_episodes(df.repartition(7), cond).collect()))
     assert a == b
+
+
+def test_ewma_null_timestamp_gets_null_and_contributes_nothing(spark):
+    """A NULL-ts row has no position in time: ewma NULL, history
+    unaffected (no int64 NaT wraparound)."""
+    data = [
+        (0, 1, T0, 10.0),
+        (1, 1, None, 99.0),
+        (2, 1, T0 + dt.timedelta(hours=1), 30.0),
+    ]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+    got = {
+        r["event_id"]: (None if r["ewma"] is None else float(r["ewma"]))
+        for r in ewma(df, dt.timedelta(hours=1)).collect()
+    }
+    assert got[1] is None
+    assert got[0] == pytest.approx(10.0)
+    assert got[2] == pytest.approx((10 * 0.5 + 30) / 1.5)
+
+
+def test_bucket_quantiles_rendered_name_collision_raises(spark):
+    from timeseriesflattener_spark.operators.rolling import bucket_quantiles
+
+    df = _ev(spark, [(1, 0, 1)])
+    with pytest.raises(ValueError, match="colliding column names"):
+        bucket_quantiles(
+            df, dt.timedelta(hours=1), qs=(0.123456789012, 0.123456789013)
+        )

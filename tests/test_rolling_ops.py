@@ -220,3 +220,18 @@ def test_m4_matches_per_bucket_recompute(spark):
         k = (r["entity"], r["bucket_start"])
         assert r["min_ts"] == want_min[k][0]
         assert float(r["min_val"]) == pytest.approx(want_min[k][1], abs=1e-6)
+
+
+def test_counter_increase_null_scrape_bridges(spark):
+    """Samples 10, NULL, 12: the NULL contributes nothing but the next
+    sample's delta runs from the last non-NULL value — the +2 increase
+    survives (a plain lag() would lose it)."""
+    data = [
+        (0, 1, T0, 10.0),
+        (1, 1, T0 + dt.timedelta(minutes=10), None),
+        (2, 1, T0 + dt.timedelta(minutes=20), 12.0),
+    ]
+    df = spark.createDataFrame(data, ["event_id", "user_id", "ts", "value"])
+    out = counter_increase(df, dt.timedelta(hours=1)).collect()
+    assert len(out) == 1
+    assert float(out[0]["increase"]) == 2.0 and out[0]["n_deltas"] == 1

@@ -32,13 +32,13 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.timeutils import micros
 from ..plans.rollup import floor_to_width
-from ..specs import timedelta_to_micros
+from ..specs import require_positive_micros, timedelta_to_micros
 
 _DEC = "decimal(18,6)"
 
@@ -76,9 +76,7 @@ def state_durations(
     entity fan one interval across the whole calendar — then one
     map-side-combined groupBy.
     """
-    us = timedelta_to_micros(bucket)
-    if us <= 0:
-        raise ValueError(f"bucket must be a positive timedelta, got {bucket!r}")
+    us = require_positive_micros("bucket", bucket)
     order = [micros(F.col(ts_col))]
     if order_col is not None:
         order.append(F.col(order_col))
@@ -168,9 +166,7 @@ def overlap_join(
     Cross-engine determinism: pure integer epoch-micros arithmetic;
     output is a plain inner join, order-free.
     """
-    us = timedelta_to_micros(bucket)
-    if us <= 0:
-        raise ValueError(f"bucket must be a positive timedelta, got {bucket!r}")
+    us = require_positive_micros("bucket", bucket)
 
     def _cells(df, start_col, end_col, prefix):
         s = micros(F.col(start_col))

@@ -45,16 +45,9 @@ from pyspark.sql.window import Window
 
 from ..functions.timeutils import micros
 from ..plans.rollup import floor_to_width
-from ..specs import timedelta_to_micros
+from ..specs import require_positive_micros as _require_positive
 
 _DEC = "decimal(18,6)"
-
-
-def _require_positive(name: str, td: dt.timedelta) -> int:
-    us = timedelta_to_micros(td)
-    if us <= 0:
-        raise ValueError(f"{name} must be a positive timedelta, got {td!r}")
-    return us
 
 
 def rolling_stats(
@@ -125,22 +118,25 @@ def counter_increase(
     increase (the counter restarted from 0 and climbed back). Each
     delta is attributed to the bucket of its LATER sample; an entity's
     first-ever sample contributes nothing (no predecessor — PromQL
-    drops it too). Returns one row per (entity, bucket_start) that saw
-    at least one delta: ``(entity, bucket_start, increase, n_deltas)``
-    with ``increase`` DECIMAL(18,6).
+    drops it too). A NULL sample (failed scrape) contributes nothing
+    itself but does NOT break the chain: the delta runs from the last
+    NON-NULL sample, so the increase across the gap is preserved.
+    Returns one row per (entity, bucket_start) that saw at least one
+    delta: ``(entity, bucket_start, increase, n_deltas)`` with
+    ``increase`` DECIMAL(18,6).
 
     ``monotonic=True`` asserts the no-reset fast path: negative deltas
     raise instead of being reinterpreted, catching broken feeds where a
     gauge was wired into a counter pipeline.
 
-    ``order_col`` breaks equal-timestamp ties so ``lag`` is
+    ``order_col`` breaks equal-timestamp ties so the predecessor is
     deterministic under any partitioning; pass None only when
     (entity, ts) is known unique.
 
-    One exchange on the entity key for the lag pass; the bucket groupBy
-    then combines map-side (each task already holds whole entities, so
-    the second aggregation shuffles at most one partial row per
-    (entity, bucket) — in Spark the optimizer reuses the entity
+    One exchange on the entity key for the predecessor pass; the bucket
+    groupBy then combines map-side (each task already holds whole
+    entities, so the second aggregation shuffles at most one partial
+    row per (entity, bucket) — in Spark the optimizer reuses the entity
     exchange because bucket is a function of ts within the entity
     partition)."""
     us = _require_positive("bucket", bucket)
@@ -149,7 +145,12 @@ def counter_increase(
         order.append(F.col(order_col))
     w = Window.partitionBy(entity_col).orderBy(*order)
     v = F.col(value_col).cast("double")
-    delta = v - F.lag(v).over(w)
+    # last non-NULL predecessor, not lag(): a NULL scrape between two
+    # samples must not swallow the bridging increase
+    prev = F.last(v, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    delta = v - prev
     if monotonic:
         contrib = F.when(
             delta < 0,
@@ -217,25 +218,36 @@ def downsample_m4(
     input rows."""
     us = _require_positive("bucket", bucket)
     ts_us = micros(F.col(ts_col))
-    v = F.col(value_col).cast("double")
+    grouped = df.groupBy(
+        F.col(entity_col).alias("entity"),
+        F.timestamp_micros(floor_to_width(ts_us, us)).alias("bucket_start"),
+    ).agg(*m4_agg_exprs(ts_us, F.col(value_col)))
+    return m4_finalize(grouped)
+
+
+def m4_agg_exprs(ts_us: Column, value: Column) -> list[Column]:
+    """The M4 aggregate set — THE single definition of the tie-break
+    contract (first/last by (ts, value); min/max by (value, ts)),
+    shared by batch ``downsample_m4`` and the streaming twin
+    (``streaming.windowed.m4_partials``) so the two can never drift
+    apart. ``ts_us`` must be integer epoch-micros."""
+    v = value.cast("double")
     by_time = F.struct(ts_us.alias("t"), v.alias("v"))
     by_value = F.struct(v.alias("v"), ts_us.alias("t"))
-    out = (
-        df.groupBy(
-            F.col(entity_col).alias("entity"),
-            F.timestamp_micros(floor_to_width(ts_us, us)).alias(
-                "bucket_start"
-            ),
-        )
-        .agg(
-            F.min(by_time).alias("__first"),
-            F.max(by_time).alias("__last"),
-            F.min(by_value).alias("__min"),
-            F.max(by_value).alias("__max"),
-            F.count(F.lit(1)).alias("n_points"),
-        )
-    )
-    return out.select(
+    return [
+        F.min(by_time).alias("__first"),
+        F.max(by_time).alias("__last"),
+        F.min(by_value).alias("__min"),
+        F.max(by_value).alias("__max"),
+        F.count(F.lit(1)).alias("n_points"),
+    ]
+
+
+def m4_finalize(grouped: DataFrame) -> DataFrame:
+    """Unpack the ``m4_agg_exprs`` structs to the public wide schema
+    (``entity, bucket_start, first_ts/val, min, max, last, n_points``);
+    the one definition of the DECIMAL(18,6) output contract."""
+    return grouped.select(
         "entity",
         "bucket_start",
         F.timestamp_micros(F.col("__first.t")).alias("first_ts"),
@@ -268,7 +280,8 @@ def ewma(
     receive the same ewma, computed over every point at-or-before that
     timestamp, regardless of arrival or partition order. NULL values
     carry no weight (the row still gets the mean of its history); a row
-    with no non-NULL history yet gets NULL.
+    with no non-NULL history yet gets NULL. A NULL-timestamp row has
+    no position in time: it gets NULL and contributes no history.
 
     This is a per-entity linear recurrence (``num/den`` decay-and-add),
     which no Spark window frame expresses — weights depend on the
@@ -286,27 +299,29 @@ def ewma(
         list(df.schema.fields) + [StructField("ewma", DoubleType())]
     )
     hl_ns = float(us) * 1000.0
-    n_in = len(df.columns)
 
     def _scan(pdf):
         import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
-        t = (
-            pd.to_datetime(pdf[ts_col])
-            .astype("datetime64[ns]")
-            .astype("int64")
-            .to_numpy()
-        )
+        ts = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
+        # a NULL timestamp has no position in time: it neither receives
+        # an ewma nor contributes history (NaT's int64 is INT64_MIN —
+        # left in, the delta subtraction would wrap around)
+        valid = ts.notna().to_numpy()
+        t = ts.astype("int64").to_numpy()
         v = pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(dtype=float)
         out = np.full(len(t), np.nan)
         num = den = 0.0
         last = None
         i, n = 0, len(t)
         while i < n:
+            if not valid[i]:
+                i += 1
+                continue
             j = i
-            while j + 1 < n and t[j + 1] == t[i]:
+            while j + 1 < n and valid[j + 1] and t[j + 1] == t[i]:
                 j += 1
             if last is not None:
                 d = 0.5 ** ((t[i] - last) / hl_ns)
@@ -324,9 +339,10 @@ def ewma(
         return pdf
 
     out = df.groupBy(entity_col).applyInPandas(_scan, schema=out_schema)
-    # NaN (no history) casts to NULL; rounding happens once, at the edge
+    # NaN (no history / NULL ts) casts to NULL; rounding happens once,
+    # at the edge
     return out.select(
-        *df.columns[:n_in], F.col("ewma").cast(_DEC).alias("ewma")
+        *df.columns, F.col("ewma").cast(_DEC).alias("ewma")
     )
 
 
@@ -560,7 +576,13 @@ def bucket_quantiles(
         raise ValueError(f"duplicate quantiles in {qlist!r}")
 
     def _name(q: float) -> str:
-        return "p" + format(q * 100, "g").replace(".", "_")
+        return "p" + format(q * 100, ".10g").replace(".", "_")
+
+    names = [_name(q) for q in qlist]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantiles {qlist!r} render to colliding column names {names!r}"
+        )
 
     v = F.col(value_col).cast("double")
     return df.groupBy(

@@ -48,6 +48,15 @@ def timedelta_to_micros(td: dt.timedelta) -> int:
     return td // dt.timedelta(microseconds=1)
 
 
+def require_positive_micros(name: str, td: dt.timedelta) -> int:
+    """Exact integer microseconds, raising if not strictly positive —
+    the shared guard for every bucket/window/halflife parameter."""
+    us = timedelta_to_micros(td)
+    if us <= 0:
+        raise ValueError(f"{name} must be a positive timedelta, got {td!r}")
+    return us
+
+
 def fallback_str(fallback: Fallback) -> str:
     """Render the fallback for column naming exactly as the reference's
     f-string does (``processors/temporal.py:122-131``): ``nan``,

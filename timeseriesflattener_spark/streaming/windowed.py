@@ -298,9 +298,10 @@ def m4_partials(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Watermarked streaming M4 downsample: the SAME four struct
-    min/max aggregates as ``operators.rolling.downsample_m4`` (first/
-    last by (ts, value), min/max by (value, ts) — identical tie
-    contract), grouped by ``F.window`` so the state store finalises and
+    min/max aggregates as ``operators.rolling.downsample_m4`` — both
+    twins call the shared ``m4_agg_exprs``/``m4_finalize``, so the tie
+    contract (first/last by (ts, value), min/max by (value, ts)) and
+    the DECIMAL output schema cannot drift, grouped by ``F.window`` so the state store finalises and
     evicts buckets as the watermark passes. M4 is the ideal streaming
     reduction: every aggregate is an order-insensitive exact min/max —
     no float summation — so the streamed sink is BIT-identical to the
@@ -309,43 +310,24 @@ def m4_partials(
     ``datetime.timedelta`` of whole seconds. In append mode each
     (entity, bucket) row lands in the sink exactly once, finalised.
     """
+    from ..operators.rolling import m4_agg_exprs, m4_finalize
+
     secs = bucket.total_seconds()
     if secs <= 0 or secs != int(secs):
         raise ValueError(
             f"bucket must be a positive whole-second timedelta, got {bucket!r}"
         )
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    v = F.col(value_col).cast("double")
-    by_time = F.struct(ts_us.alias("t"), v.alias("v"))
-    by_value = F.struct(v.alias("v"), ts_us.alias("t"))
-    dec = "decimal(18,6)"
-    out = (
+    grouped = (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(
             F.col(entity_col).alias("entity"),
             F.window(F.col(ts_col), f"{int(secs)} seconds").alias("__w"),
         )
-        .agg(
-            F.min(by_time).alias("__first"),
-            F.max(by_time).alias("__last"),
-            F.min(by_value).alias("__min"),
-            F.max(by_value).alias("__max"),
-            F.count(F.lit(1)).alias("n_points"),
-        )
+        .agg(*m4_agg_exprs(ts_us, F.col(value_col)))
+        .withColumn("bucket_start", F.col("__w.start"))
     )
-    return out.select(
-        "entity",
-        F.col("__w.start").alias("bucket_start"),
-        F.timestamp_micros(F.col("__first.t")).alias("first_ts"),
-        F.col("__first.v").cast(dec).alias("first_val"),
-        F.timestamp_micros(F.col("__min.t")).alias("min_ts"),
-        F.col("__min.v").cast(dec).alias("min_val"),
-        F.timestamp_micros(F.col("__max.t")).alias("max_ts"),
-        F.col("__max.v").cast(dec).alias("max_val"),
-        F.timestamp_micros(F.col("__last.t")).alias("last_ts"),
-        F.col("__last.v").cast(dec).alias("last_val"),
-        "n_points",
-    )
+    return m4_finalize(grouped)
 
 
 def start_m4_stream(
