@@ -2105,6 +2105,28 @@ def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (anchored min-chain, 3-day
+    horizon): per-step entity counts + conversion. The oracle is the
+    literal sequential-min CTE chain the operator's docstring claims
+    equivalence with — a semantic differential, not a re-run."""
+    from timeseriesflattener_spark.operators.events import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within=dt.timedelta(days=3),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly acquisition cohorts × weekly activity retention matrix
+    over the events stream (global 7d grid, distinct-entity periods)."""
+    from timeseriesflattener_spark.operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), dt.timedelta(days=7))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-window multi-aggregator flattening at sf0.001."""
     return q_flatten_multiwindow(spark, "/root/testdata/sf0.001")
@@ -2163,6 +2185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
@@ -2406,6 +2430,64 @@ def oracle_sql() -> dict[str, str]:
     jb30 = _LOOKBEHIND_JOIN.format(days=30)
     jb7 = _LOOKBEHIND_JOIN.format(days=7)
     oracles = {
+        # funnel_steps: the literal anchored sequential-min chain the
+        # operator docstring promises (t1 = min step-1 ts; t_i = min
+        # step-i ts strictly after t_{i-1}, all within 3d of t1) —
+        # structurally independent of the Spark one-pass array scan.
+        "funnel_steps": """
+WITH ev AS (
+  SELECT user_id AS entity, ts, event_type AS y FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('view', 'click', 'purchase')),
+s1 AS (SELECT entity, min(ts) AS t1 FROM ev WHERE y = 'view' GROUP BY entity),
+s2 AS (
+  SELECT ev.entity, min(ev.ts) AS t2
+  FROM ev JOIN s1 ON ev.entity = s1.entity
+  WHERE ev.y = 'click' AND ev.ts > s1.t1
+    AND epoch_us(ev.ts) - epoch_us(s1.t1) <= 259200000000
+  GROUP BY ev.entity),
+s3 AS (
+  SELECT ev.entity, min(ev.ts) AS t3
+  FROM ev JOIN s2 ON ev.entity = s2.entity
+       JOIN s1 ON ev.entity = s1.entity
+  WHERE ev.y = 'purchase' AND ev.ts > s2.t2
+    AND epoch_us(ev.ts) - epoch_us(s1.t1) <= 259200000000
+  GROUP BY ev.entity),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT step, step_type, n_entities,
+  CASE WHEN n1 > 0
+       THEN CAST(n_entities AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion
+FROM (
+  SELECT 1 AS step, 'view' AS step_type, n1 AS n_entities, n1 FROM n
+  UNION ALL SELECT 2, 'click', n2, n1 FROM n
+  UNION ALL SELECT 3, 'purchase', n3, n1 FROM n)""",
+        # cohort_retention: 7d global-grid cohorts; pmod-form floors so
+        # the arithmetic matches floor_to_width exactly (incl. pre-epoch)
+        "cohort_retention": """
+WITH ev AS (
+  SELECT user_id AS entity, epoch_us(ts) AS us FROM events
+  WHERE ts IS NOT NULL),
+f AS (SELECT entity, min(us) AS first_us FROM ev GROUP BY entity),
+f2 AS (
+  SELECT entity,
+    first_us - ((first_us % 604800000000) + 604800000000) % 604800000000
+      AS cohort_us
+  FROM f),
+cs AS (SELECT cohort_us, count(*) AS n_cohort FROM f2 GROUP BY cohort_us),
+act AS (
+  SELECT DISTINCT f2.cohort_us,
+    ((us - ((us % 604800000000) + 604800000000) % 604800000000)
+     - (f2.cohort_us
+        - ((f2.cohort_us % 604800000000) + 604800000000) % 604800000000))
+      // 604800000000 AS period,
+    ev.entity
+  FROM ev JOIN f2 ON ev.entity = f2.entity)
+SELECT make_timestamp(a.cohort_us) AS cohort, a.period,
+  count(*) AS n_active, cs.n_cohort,
+  CAST(count(*) AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
+FROM act a JOIN cs ON a.cohort_us = cs.cohort_us
+GROUP BY a.cohort_us, a.period, cs.n_cohort""",
         "flatten_mean_30d": f"""
 WITH {pred},
 ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)

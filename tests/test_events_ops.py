@@ -1,0 +1,298 @@
+"""Funnel + cohort retention operators (operators/events.py).
+
+Goldens are hand-computed; the randomized funnel differential checks the
+one-pass JVM scan against a straightforward Python min-chain reference;
+plan pins assert the one-exchange / no-window shapes the docstrings
+promise."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesflattener_spark.operators.events import (
+    cohort_retention,
+    funnel,
+    funnel_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+STEPS = ["view", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    """rows: (entity, minutes_from_T0, event_type)."""
+    return spark.createDataFrame(
+        [(e, T0 + dt.timedelta(minutes=m), y) for e, m, y in rows],
+        ["user_id", "ts", "event_type"],
+    )
+
+
+# --------------------------------------------------------------------- funnel
+
+
+def test_funnel_hand_computed(spark):
+    df = _ev(spark, [
+        ("A", 0, "view"), ("A", 1, "click"), ("A", 2, "purchase"),
+        # click BEFORE the anchor view never counts
+        ("B", 0, "click"), ("B", 1, "view"),
+        # skipping a step stops the chain
+        ("C", 0, "view"), ("C", 5, "purchase"),
+        # equal-ts click is not strictly after the view; the later
+        # click is outside within=1h
+        ("D", 0, "view"), ("D", 0, "click"), ("D", 120, "click"),
+        # never performs step 1 -> no row at all
+        ("E", 0, "purchase"),
+    ])
+    out = {
+        r["user_id"]: r
+        for r in funnel(df, STEPS, within=dt.timedelta(hours=1)).collect()
+    }
+    assert set(out) == {"A", "B", "C", "D"}
+    assert out["A"]["steps_completed"] == 3
+    assert out["A"]["ts_step1"] == T0
+    assert out["A"]["ts_step2"] == T0 + dt.timedelta(minutes=1)
+    assert out["A"]["ts_step3"] == T0 + dt.timedelta(minutes=2)
+    for e in "BCD":
+        assert out[e]["steps_completed"] == 1
+        assert out[e]["ts_step2"] is None and out[e]["ts_step3"] is None
+    assert out["B"]["ts_step1"] == T0 + dt.timedelta(minutes=1)
+
+
+def test_funnel_within_boundary_inclusive(spark):
+    """An event landing EXACTLY `within` after the anchor still counts
+    (<=), one microsecond past does not."""
+    df = _ev(spark, [("A", 0, "view"), ("A", 60, "click")])
+    out = funnel(df, ["view", "click"], within=dt.timedelta(hours=1)).collect()
+    assert out[0]["steps_completed"] == 2
+    df2 = spark.createDataFrame(
+        [("A", T0, "view"),
+         ("A", T0 + dt.timedelta(hours=1, microseconds=1), "click")],
+        ["user_id", "ts", "event_type"],
+    )
+    out2 = funnel(df2, ["view", "click"], within=dt.timedelta(hours=1)).collect()
+    assert out2[0]["steps_completed"] == 1
+
+
+def test_funnel_anchored_semantics(spark):
+    """The documented divergence from sliding-window funnels: the chain
+    anchors at the EARLIEST step-1 event, so a completion that only
+    works from a later anchor does not count."""
+    df = _ev(spark, [
+        ("A", 0, "view"),          # anchor; click at 120 is outside 1h
+        ("A", 115, "view"),        # a later anchor WOULD complete...
+        ("A", 120, "click"),       # ...but anchored semantics say no
+    ])
+    out = funnel(df, ["view", "click"], within=dt.timedelta(hours=1)).collect()
+    assert out[0]["steps_completed"] == 1
+    assert out[0]["ts_step1"] == T0
+
+
+def test_funnel_without_within_and_repeated_step(spark):
+    """No `within` disables the horizon; a repeated step type needs a
+    strictly later second occurrence."""
+    df = _ev(spark, [
+        ("A", 0, "view"), ("A", 0, "view"), ("A", 7, "view"),
+        ("B", 3, "view"),
+    ])
+    out = {r["user_id"]: r for r in funnel(df, ["view", "view"]).collect()}
+    assert out["A"]["steps_completed"] == 2
+    assert out["A"]["ts_step2"] == T0 + dt.timedelta(minutes=7)
+    assert out["B"]["steps_completed"] == 1
+
+
+def test_funnel_null_ts_excluded_and_partition_invariance(spark):
+    df = _ev(spark, [("A", 0, "view"), ("A", 1, "click")]).unionByName(
+        spark.createDataFrame(
+            [("A", None, "purchase")],
+            "user_id string, ts timestamp, event_type string",
+        )
+    )
+    base = funnel(df, STEPS).collect()
+    assert base[0]["steps_completed"] == 2
+    again = funnel(df.repartition(7), STEPS).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_funnel_validation(spark):
+    df = _ev(spark, [("A", 0, "view")])
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel(df, [])
+    with pytest.raises(ValueError, match="within must be positive"):
+        funnel(df, STEPS, within=dt.timedelta(0))
+
+
+def _python_funnel(events, steps, within=None):
+    """Reference min-chain: events = [(ts_minutes, type)]."""
+    hits = []
+    for t, y in sorted(events):
+        n = len(hits)
+        if n >= len(steps):
+            break
+        if y != steps[n]:
+            continue
+        if n > 0 and not t > hits[-1]:
+            continue
+        if within is not None and n > 0 and t - hits[0] > within:
+            continue
+        hits.append(t)
+    return hits
+
+
+def test_funnel_randomized_differential(spark):
+    """200 random entities x random event streams vs the Python
+    reference scan, with and without a horizon."""
+    rng = random.Random(42)
+    types = STEPS + ["signup", "error"]
+    rows, expect_plain, expect_within = [], {}, {}
+    for i in range(200):
+        e = f"u{i}"
+        evs = [
+            (rng.randrange(0, 500), rng.choice(types))
+            for _ in range(rng.randrange(1, 12))
+        ]
+        rows += [(e, m, y) for m, y in evs]
+        fevs = [(m, y) for m, y in evs if y in STEPS]
+        expect_plain[e] = _python_funnel(fevs, STEPS)
+        expect_within[e] = _python_funnel(fevs, STEPS, within=60)
+    df = _ev(spark, rows)
+    for within, expect in [
+        (None, expect_plain),
+        (dt.timedelta(minutes=60), expect_within),
+    ]:
+        got = {
+            r["user_id"]: r
+            for r in funnel(df, STEPS, within=within).collect()
+        }
+        for e, hits in expect.items():
+            if not hits:
+                assert e not in got
+                continue
+            r = got[e]
+            assert r["steps_completed"] == len(hits), (e, within)
+            for j, m in enumerate(hits):
+                assert r[f"ts_step{j + 1}"] == T0 + dt.timedelta(minutes=m)
+
+
+def test_funnel_counts_matches_detail(spark):
+    df = _ev(spark, [
+        ("A", 0, "view"), ("A", 1, "click"), ("A", 2, "purchase"),
+        ("B", 0, "view"), ("B", 1, "click"),
+        ("C", 0, "view"),
+        ("D", 0, "click"),
+    ])
+    rows = {
+        r["step"]: r for r in funnel_counts(df, STEPS).collect()
+    }
+    assert [rows[i]["n_entities"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert rows[1]["step_type"] == "view"
+    assert rows[2]["conversion"] == pytest.approx(2 / 3)
+    assert rows[3]["conversion"] == pytest.approx(1 / 3)
+    # every step row renders even when nobody reaches it
+    empty = funnel_counts(
+        _ev(spark, [("A", 0, "signup")]), STEPS
+    ).collect()
+    assert [r["n_entities"] for r in sorted(empty, key=lambda r: r["step"])] == [0, 0, 0]
+
+
+def test_funnel_plan_single_exchange_no_window(spark):
+    """One groupBy(entity) aggregate, no Window/Sort nodes: the scan is
+    a catalyst expression, not a per-step window or join chain."""
+    df = _ev(spark, [("A", 0, "view"), ("B", 1, "click")])
+    plan = (
+        funnel(df, STEPS, within=dt.timedelta(hours=1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window [" not in plan
+    assert "Join" not in plan
+
+
+# ----------------------------------------------------------- cohort_retention
+
+
+def test_cohort_retention_hand_computed(spark):
+    """u1,u2 land in the 7d grid cohort containing 2024-01-01
+    (2023-12-28 on the global epoch-aligned grid); u3 in the next.
+    u1 active periods {0,1}, u2 {0,2}, u3 {0}."""
+    rows = [
+        ("u1", T0), ("u1", T0 + dt.timedelta(days=8)),
+        ("u2", T0 + dt.timedelta(days=1)), ("u2", T0 + dt.timedelta(days=15)),
+        ("u3", T0 + dt.timedelta(days=9)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort"], r["period"]): r
+        for r in cohort_retention(df, dt.timedelta(days=7)).collect()
+    }
+    c0 = dt.datetime(2023, 12, 28)
+    c1 = dt.datetime(2024, 1, 4)
+    assert set(out) == {(c0, 0), (c0, 1), (c0, 2), (c1, 0)}
+    assert out[(c0, 0)]["n_active"] == 2 and out[(c0, 0)]["n_cohort"] == 2
+    assert out[(c0, 0)]["retention"] == 1.0
+    assert out[(c0, 1)]["n_active"] == 1
+    assert out[(c0, 1)]["retention"] == 0.5
+    assert out[(c0, 2)]["n_active"] == 1
+    assert out[(c1, 0)]["n_active"] == 1 and out[(c1, 0)]["n_cohort"] == 1
+
+
+def test_cohort_retention_period_width_and_max_periods(spark):
+    """Daily periods inside weekly cohorts; max_periods clips."""
+    rows = [
+        ("u1", T0), ("u1", T0 + dt.timedelta(days=2)),
+        ("u1", T0 + dt.timedelta(days=30)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = cohort_retention(
+        df, dt.timedelta(days=7), period_width=dt.timedelta(days=1),
+        max_periods=10,
+    ).collect()
+    # first event 2024-01-01 -> cohort 2023-12-28; daily periods measure
+    # from the cohort floor: day-0 event is period 4, +2d is period 6;
+    # +30d (period 34) is clipped by max_periods=10
+    periods = sorted(r["period"] for r in out)
+    assert periods == [4, 6]
+    assert all(r["n_cohort"] == 1 for r in out)
+
+
+def test_cohort_retention_null_ts_and_dedup(spark):
+    """NULL ts rows are dropped; multiple events in one period count the
+    entity once."""
+    rows = [
+        ("u1", T0), ("u1", T0 + dt.timedelta(hours=1)),
+        ("u1", None),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = cohort_retention(df, dt.timedelta(days=7)).collect()
+    assert len(out) == 1
+    assert out[0]["n_active"] == 1 and out[0]["period"] == 0
+
+
+def test_cohort_retention_validation(spark):
+    df = spark.createDataFrame([("u1", T0)], ["user_id", "ts"])
+    with pytest.raises(ValueError, match="cohort_width"):
+        cohort_retention(df, dt.timedelta(0))
+    with pytest.raises(ValueError, match="period_width"):
+        cohort_retention(df, dt.timedelta(days=7), period_width=dt.timedelta(0))
+    with pytest.raises(ValueError, match="max_periods"):
+        cohort_retention(df, dt.timedelta(days=7), max_periods=0)
+
+
+def test_cohort_retention_plan_no_window_broadcast_sizes(spark):
+    """No Window nodes; the cohort-sizes join is a broadcast."""
+    df = spark.createDataFrame([("u1", T0), ("u2", T0)], ["user_id", "ts"])
+    plan = (
+        cohort_retention(df, dt.timedelta(days=7))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Window [" not in plan
+    assert "BroadcastHashJoin" in plan
