@@ -2119,12 +2119,74 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of funnel_steps: the anchored min-chain state
+    lives in applyInPandasWithState across FOUR time-split micro-batch
+    files (weekly slices, appended oldest-first so the file source's
+    mtime order preserves per-entity event-time order — the operator's
+    documented in-order ingest contract). Most entities progress across
+    several batches, so the final counts are only right if state
+    genuinely carries over. Final = max-batch_id row per entity,
+    reduced by the SAME counts_from_detail the batch operator uses;
+    shares funnel_steps' sequential-min CTE oracle verbatim."""
+    import tempfile
+
+    from timeseriesflattener_spark.operators.events import counts_from_detail
+    from timeseriesflattener_spark.streaming.stateful import start_funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    work = tempfile.mkdtemp(prefix="tsf-stream-funnel-")
+    src = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("entity"), "ts", "event_type"
+    )
+    # weekly time slices appended oldest-first: per-entity in-order
+    # arrival across micro-batches (events span 2024-01-01..>=01-22)
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    for lo, hi in bounds:
+        part = src
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        part.coalesce(1).write.mode("append").parquet(f"{work}/input")
+    start_funnel_stream(
+        spark,
+        f"{work}/input",
+        schema="entity string, ts timestamp, event_type string",
+        out_path=f"{work}/out",
+        checkpoint_dir=f"{work}/ckpt",
+        steps=steps,
+        within=dt.timedelta(days=3),
+        max_files_per_trigger=1,
+    ).awaitTermination()
+    sink = spark.read.parquet(f"{work}/out")
+    final = (
+        sink.groupBy("entity")
+        .agg(F.max_by(F.col("steps_completed"), F.col("batch_id")).alias(
+            "steps_completed"
+        ))
+        .filter(F.col("steps_completed") >= 1)
+    )
+    return counts_from_detail(final, steps)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly acquisition cohorts × weekly activity retention matrix
     over the events stream (global 7d grid, distinct-entity periods)."""
     from timeseriesflattener_spark.operators.events import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"), dt.timedelta(days=7))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event transition matrix (Markov flows) with per-from
+    probabilities; event_id breaks timestamp ties in both engines."""
+    from timeseriesflattener_spark.operators.events import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events"), order_col="event_id"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2186,7 +2248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
         "funnel_steps": q_funnel_steps,
+        "stream_funnel": q_stream_funnel,
         "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
@@ -2488,6 +2552,18 @@ SELECT make_timestamp(a.cohort_us) AS cohort, a.period,
   CAST(count(*) AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
 FROM act a JOIN cs ON a.cohort_us = cs.cohort_us
 GROUP BY a.cohort_us, a.period, cs.n_cohort""",
+        "event_transitions": """
+WITH o AS (
+  SELECT user_id, event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events WHERE ts IS NOT NULL),
+c AS (SELECT from_type, to_type, count(*) AS n FROM o
+      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+d AS (SELECT from_type, sum(n) AS dn FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+  CAST(c.n AS DOUBLE) / CAST(d.dn AS DOUBLE) AS p
+FROM c JOIN d ON c.from_type = d.from_type""",
         "flatten_mean_30d": f"""
 WITH {pred},
 ev AS (SELECT user_id, ts, CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
@@ -3682,6 +3758,10 @@ GROUP BY n.n_name ORDER BY revenue DESC""",
     # the built-in session_window formulation computes the same sessions
     # (boundary equality proven in tests) — identical oracle
     oracles["sessionize_window_30m"] = oracles["sessionize_30m"]
+    # the streaming funnel twin must converge to the batch min-chain —
+    # same oracle verbatim (entity is cast to string in the stream; the
+    # oracle compares step COUNTS, which the cast cannot change)
+    oracles["stream_funnel"] = oracles["funnel_steps"]
     return oracles
 
 

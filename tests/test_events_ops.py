@@ -296,3 +296,66 @@ def test_cohort_retention_plan_no_window_broadcast_sizes(spark):
     )
     assert "Window [" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------- event_transitions
+
+
+def test_event_transitions_hand_computed(spark):
+    from timeseriesflattener_spark.operators.events import event_transitions
+
+    df = _ev(spark, [
+        ("A", 0, "view"), ("A", 1, "click"), ("A", 2, "view"),
+        ("B", 0, "view"), ("B", 1, "view"),
+    ])
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    # from view: ->click (A), ->view (B) ; from click: ->view (A)
+    assert out == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_event_transitions_terminal_and_tie_order(spark):
+    from timeseriesflattener_spark.operators.events import event_transitions
+
+    # equal timestamps order by the type string (click < view), so the
+    # pair is (click -> view); terminal rows carry NULL to_type
+    df = _ev(spark, [("A", 0, "view"), ("A", 0, "click")])
+    out = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(df, include_terminal=True).collect()
+    }
+    assert out == {("click", "view"): 1, ("view", None): 1}
+    # with an explicit order column the tie follows it instead
+    df2 = spark.createDataFrame(
+        [("A", T0, "view", 1), ("A", T0, "click", 2)],
+        "user_id string, ts timestamp, event_type string, event_id long",
+    )
+    out2 = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(df2, order_col="event_id").collect()
+    }
+    assert out2 == {("view", "click"): 1}
+
+
+def test_event_transitions_plan_one_exchange_broadcast(spark):
+    from timeseriesflattener_spark.operators.events import event_transitions
+
+    df = _ev(spark, [("A", 0, "view"), ("A", 1, "click")])
+    out = event_transitions(df)
+    out.collect()  # AQE must finalize: the denom branch reuses the
+    # count exchange (ReusedExchange), so the lead window runs ONCE
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Window [") == 1
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" in plan

@@ -55,3 +55,64 @@ def test_stateful_profiles_equal_batch(spark, tmp_path):
         .collect()
     }
     assert latest == truth
+
+
+def test_stateful_funnel_state_crosses_batches(spark, tmp_path):
+    """Entity 'a' views in batch 1 and clicks/purchases in batch 2 —
+    the final progress is 3 only if the anchored-chain state survives
+    the micro-batch boundary. Entity 'b' clicks in batch 1 (before any
+    view) then views in batch 2: progress 1. Final frame == the batch
+    operator on the concatenated input (the in-order ingest contract:
+    files are time-split, appended oldest-first)."""
+    from timeseriesflattener_spark.operators.events import funnel
+    from timeseriesflattener_spark.streaming.stateful import (
+        start_funnel_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "entity string, ts timestamp, event_type string"
+    files = [
+        [("a", t0, "view"), ("b", t0 + dt.timedelta(minutes=1), "click")],
+        [
+            ("a", t0 + dt.timedelta(hours=1), "click"),
+            ("a", t0 + dt.timedelta(hours=2), "purchase"),
+            ("b", t0 + dt.timedelta(hours=1), "view"),
+        ],
+    ]
+    in_dir = str(tmp_path / "in")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = start_funnel_stream(
+        spark, in_dir, schema, out_dir, str(tmp_path / "ckpt"),
+        steps=["view", "click", "purchase"],
+        within=dt.timedelta(days=1),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    # 'a' re-emitted in both batches (update mode)
+    assert out.filter(F.col("entity") == "a").select(
+        "batch_id"
+    ).distinct().count() == 2
+    w = Window.partitionBy("entity").orderBy(F.desc("batch_id"))
+    final = {
+        r["entity"]: (r["steps_completed"], r["ts_step1"], r["ts_step3"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("steps_completed") >= 1))
+        .collect()
+    }
+    batch = {
+        r["entity"]: (r["steps_completed"], r["ts_step1"], r["ts_step3"])
+        for r in funnel(
+            spark.read.parquet(in_dir),
+            ["view", "click", "purchase"],
+            within=dt.timedelta(days=1),
+            entity_col="entity",
+        ).collect()
+    }
+    assert final == batch
+    assert final["a"][0] == 3 and final["b"][0] == 1
+    assert final["a"][2] == t0 + dt.timedelta(hours=2)

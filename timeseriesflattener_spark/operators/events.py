@@ -1,10 +1,10 @@
-"""Event-stream product analytics: ordered funnels and cohort
-retention — the two canonical "how do entities move through the
-product" queries over the events table (the reference has no
-equivalent; event/transcript-stream addition per the north rule, same
-family as sessionization in `sessions.py`).
+"""Event-stream product analytics: ordered funnels, cohort retention,
+and next-event transition matrices — the canonical "how do entities
+move through the product" queries over the events table (the reference
+has no equivalent; event/transcript-stream addition per the north
+rule, same family as sessionization in `sessions.py`).
 
-Scale shape: both operators are one entity-keyed exchange plus
+Scale shape: every operator here is one entity-keyed exchange plus
 map-side-combinable aggregates — the same entity partitioning every
 per-conversation op in this package already shuffles by. Nothing is
 iterative, nothing collects to the driver, and the per-entity state is
@@ -170,6 +170,14 @@ def funnel_counts(
         df, steps, within=within, entity_col=entity_col,
         ts_col=ts_col, type_col=type_col, order_col=order_col,
     )
+    return counts_from_detail(detail, steps)
+
+
+def counts_from_detail(detail: DataFrame, steps: list[str]) -> DataFrame:
+    """Reduce a funnel detail frame (any frame with a
+    ``steps_completed`` column, batch or streaming-final) to the
+    per-step report — shared by ``funnel_counts`` and the streaming
+    twin so the two gates cannot drift."""
     k = len(steps)
     counts = detail.agg(
         *[
@@ -282,3 +290,55 @@ def cohort_retention(
         )
     )
     return out
+
+
+def event_transitions(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str | None = None,
+    include_terminal: bool = False,
+) -> DataFrame:
+    """Next-event transition counts (the Markov/"flows" diagram behind
+    product path analysis): for each consecutive event pair within an
+    entity's time-ordered stream, count (from_type, to_type), plus the
+    row probability ``p`` = n / sum(n) over each from_type. Equal
+    timestamps order by ``order_col`` when given, else by the type
+    string itself, so the pairing is deterministic in any engine
+    without a frame-order dependency. ``include_terminal=True`` adds a
+    NULL to_type row per entity's last event (exit rates). NULL
+    timestamps are excluded.
+
+    Shape: one entity exchange for the lag, then a map-side-combinable
+    (from, to) count — output cardinality is |types|², independent of
+    input size. The per-from denominator joins back by broadcast (the
+    transition matrix is tiny by construction).
+    """
+    from pyspark.sql.window import Window
+
+    selected = (
+        df.filter(F.col(ts_col).isNotNull()).select(
+            F.col(entity_col).alias("__entity"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("from_type"),
+            *([F.col(order_col).alias("__o")] if order_col else []),
+        )
+    )
+    order = [F.col("__ts")] + (
+        [F.col("__o")] if order_col else [F.col("from_type")]
+    )
+    w = Window.partitionBy("__entity").orderBy(*order)
+    paired = selected.withColumn("to_type", F.lead("from_type").over(w))
+    if not include_terminal:
+        paired = paired.filter(F.col("to_type").isNotNull())
+    counts = paired.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    denom = counts.groupBy("from_type").agg(F.sum("n").alias("__d"))
+    return counts.join(F.broadcast(denom), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("__d").cast("double")).alias("p"),
+    )

@@ -106,3 +106,143 @@ def start_profile_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _funnel_schemas(steps: list[str]) -> tuple[str, str]:
+    k = len(steps)
+    out = "entity string, steps_completed int, " + ", ".join(
+        f"ts_step{i + 1} timestamp" for i in range(k)
+    )
+    state = ", ".join(f"h{i + 1} long" for i in range(k)) + ", n int"
+    return out, state
+
+
+def running_funnel(
+    stream_df: DataFrame,
+    steps: list[str],
+    within=None,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``operators.events.funnel``: the anchored
+    min-chain state (accepted step times) lives in the streaming state
+    store, updated per micro-batch. Events inside a batch are sorted by
+    event time before the scan; EXACT batch equivalence additionally
+    requires per-entity event time to be non-decreasing ACROSS
+    micro-batches (time-split ingest files — the usual shape for
+    append-only event logs), because an accepted hit is never revised
+    when an older event arrives later. State is bounded: k accepted
+    times + a counter per entity, independent of stream length.
+
+    Emission is ``update`` mode — each touched entity re-emits its
+    refreshed progress; the max-batch_id row per entity is current.
+    The per-group scan is the same O(relevant events) state machine the
+    batch operator runs in catalyst (per-GROUP bookkeeping, Arrow
+    batches in)."""
+    from ..specs import timedelta_to_micros
+
+    k = len(steps)
+    if k == 0:
+        raise ValueError("funnel requires at least one step")
+    within_ns = None
+    if within is not None:
+        within_us = timedelta_to_micros(within)
+        if within_us <= 0:
+            raise ValueError(f"within must be positive, got {within!r}")
+        within_ns = within_us * 1000
+    steps_l = list(steps)
+    steps_set = set(steps_l)
+    out_schema, state_schema = _funnel_schemas(steps_l)
+
+    def _update(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (entity,) = key
+        if state.exists:
+            row = state.get
+            hits = [row[i] for i in range(row[k])]
+        else:
+            hits = []
+        evs: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            sel = pdf[type_col].isin(steps_set) & pdf[ts_col].notna()
+            if not sel.any():
+                continue
+            t_ns = (
+                pdf.loc[sel, ts_col]
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .astype("int64")
+            )
+            evs.extend(zip(t_ns.tolist(), pdf.loc[sel, type_col].tolist()))
+        evs.sort()
+        for t, y in evs:
+            n = len(hits)
+            if n >= k:
+                break
+            if y != steps_l[n]:
+                continue
+            if n > 0 and not t > hits[-1]:
+                continue
+            if within_ns is not None and n > 0 and t - hits[0] > within_ns:
+                continue
+            hits.append(t)
+        state.update(tuple(hits + [None] * (k - len(hits)) + [len(hits)]))
+        out = {"entity": [entity], "steps_completed": [len(hits)]}
+        for i in range(k):
+            out[f"ts_step{i + 1}"] = [
+                pd.Timestamp(hits[i]) if i < len(hits) else pd.NaT
+            ]
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_funnel_stream(
+    spark,
+    input_path: str,
+    schema: str,
+    out_path: str,
+    checkpoint_dir: str,
+    steps: list[str],
+    within=None,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """readStream -> stateful funnel -> foreachBatch parquet appends
+    (max-batch_id row per entity is the current progress)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    prog = running_funnel(
+        reader.parquet(input_path), steps, within=within,
+        entity_col=entity_col, ts_col=ts_col, type_col=type_col,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = (
+        prog.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
