@@ -2179,6 +2179,87 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_t(spark, sf_dir, "events"), dt.timedelta(days=7))
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution, composed from the funnel detail
+    frame: for each later step, DISCRETE p50/p90 of (step ts − anchor
+    ts) in seconds over the entities that reached it
+    (`percentile_disc` == DuckDB `quantile_disc`: a type-1 order
+    statistic, an exact input integer — continuous interpolation at
+    1e10-µs magnitudes differs by 1 ulp between the engines' midpoint
+    formulas, caught at sf0.001). One agg over the detail; the
+    WITHIN-GROUP ordering ignores the NULLs of entities that stopped
+    earlier."""
+    from timeseriesflattener_spark.operators.events import funnel
+
+    steps = ["view", "click", "purchase"]
+    det = funnel(
+        _t(spark, sf_dir, "events"), steps, within=dt.timedelta(days=3)
+    )
+    lat = {
+        i: F.when(
+            F.col(f"ts_step{i}").isNotNull(),
+            F.unix_micros(F.col(f"ts_step{i}"))
+            - F.unix_micros(F.col("ts_step1")),
+        )
+        for i in (2, 3)
+    }
+    agg = det.select(
+        *[lat[i].alias(f"__d{i}") for i in (2, 3)]
+    ).selectExpr(
+        *[
+            e
+            for i in (2, 3)
+            for e in (
+                f"count(__d{i}) AS __n{i}",
+                f"percentile_disc(0.5) WITHIN GROUP (ORDER BY __d{i})"
+                f" AS __p50_{i}",
+                f"percentile_disc(0.9) WITHIN GROUP (ORDER BY __d{i})"
+                f" AS __p90_{i}",
+            )
+        ]
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step"),
+                        F.lit(steps[i - 1]).alias("step_type"),
+                        F.col(f"__n{i}").alias("n_converted"),
+                        (F.col(f"__p50_{i}") / F.lit(1_000_000.0))
+                        .cast("decimal(18,6)")
+                        .alias("p50_secs"),
+                        (F.col(f"__p90_{i}") / F.lit(1_000_000.0))
+                        .cast("decimal(18,6)")
+                        .alias("p90_secs"),
+                    )
+                    for i in (2, 3)
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.*")
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage union: events become [ts, ts + (|cents|+1) minutes)
+    intervals (the exact-cents pattern every flatten oracle uses), then
+    per-user overlapping/touching spans merge via the one-exchange
+    gaps-and-islands union."""
+    from timeseriesflattener_spark.operators.intervals import interval_union
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            us + (F.abs(cents) + F.lit(1)) * F.lit(60_000_000)
+        ).alias("end_ts"),
+    )
+    return interval_union(iv)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-event transition matrix (Markov flows) with per-from
     probabilities; event_id breaks timestamp ties in both engines."""
@@ -2251,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
+        "interval_union": q_interval_union,
+        "funnel_latency": q_funnel_latency,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
@@ -2489,17 +2572,10 @@ _QUALITY_SCORE_SQL = """round(0.5 * least(len(regexp_extract_all(text, '\\S+')) 
             / greatest(length(text), 1)) * 5, 1.0)), 6)"""
 
 
-def oracle_sql() -> dict[str, str]:
-    pred = _ORACLE_PRED
-    jb30 = _LOOKBEHIND_JOIN.format(days=30)
-    jb7 = _LOOKBEHIND_JOIN.format(days=7)
-    oracles = {
-        # funnel_steps: the literal anchored sequential-min chain the
-        # operator docstring promises (t1 = min step-1 ts; t_i = min
-        # step-i ts strictly after t_{i-1}, all within 3d of t1) —
-        # structurally independent of the Spark one-pass array scan.
-        "funnel_steps": """
-WITH ev AS (
+# the anchored sequential-min funnel chain (view -> click -> purchase,
+# 3-day horizon from the anchor) shared by the funnel_steps,
+# stream_funnel, and funnel_latency oracles — one source of truth
+_FUNNEL_CTES = """ev AS (
   SELECT user_id AS entity, ts, event_type AS y FROM events
   WHERE ts IS NOT NULL AND event_type IN ('view', 'click', 'purchase')),
 s1 AS (SELECT entity, min(ts) AS t1 FROM ev WHERE y = 'view' GROUP BY entity),
@@ -2515,7 +2591,21 @@ s3 AS (
        JOIN s1 ON ev.entity = s1.entity
   WHERE ev.y = 'purchase' AND ev.ts > s2.t2
     AND epoch_us(ev.ts) - epoch_us(s1.t1) <= 259200000000
-  GROUP BY ev.entity),
+  GROUP BY ev.entity)"""
+
+
+def oracle_sql() -> dict[str, str]:
+    pred = _ORACLE_PRED
+    jb30 = _LOOKBEHIND_JOIN.format(days=30)
+    jb7 = _LOOKBEHIND_JOIN.format(days=7)
+    oracles = {
+        # funnel_steps: the literal anchored sequential-min chain the
+        # operator docstring promises (t1 = min step-1 ts; t_i = min
+        # step-i ts strictly after t_{i-1}, all within 3d of t1) —
+        # structurally independent of the Spark one-pass array scan.
+        # funnel_latency composes the SAME chain (shared _FUNNEL_CTES).
+        "funnel_steps": f"""
+WITH {_FUNNEL_CTES},
 n AS (SELECT (SELECT count(*) FROM s1) AS n1,
              (SELECT count(*) FROM s2) AS n2,
              (SELECT count(*) FROM s3) AS n3)
@@ -2526,6 +2616,24 @@ FROM (
   SELECT 1 AS step, 'view' AS step_type, n1 AS n_entities, n1 FROM n
   UNION ALL SELECT 2, 'click', n2, n1 FROM n
   UNION ALL SELECT 3, 'purchase', n3, n1 FROM n)""",
+        # discrete time-to-convert quantiles over the same chain
+        # (type-1 order statistics — exact integers in both engines;
+        # continuous interpolation differs by 1 ulp at 1e10 µs)
+        "funnel_latency": f"""
+WITH {_FUNNEL_CTES},
+d2 AS (SELECT epoch_us(s2.t2) - epoch_us(s1.t1) AS d
+       FROM s2 JOIN s1 ON s2.entity = s1.entity),
+d3 AS (SELECT epoch_us(s3.t3) - epoch_us(s1.t1) AS d
+       FROM s3 JOIN s1 ON s3.entity = s1.entity)
+SELECT 2 AS step, 'click' AS step_type, count(*) AS n_converted,
+  CAST(quantile_disc(d, 0.5) / 1000000.0 AS DECIMAL(18,6)) AS p50_secs,
+  CAST(quantile_disc(d, 0.9) / 1000000.0 AS DECIMAL(18,6)) AS p90_secs
+FROM d2
+UNION ALL
+SELECT 3, 'purchase', count(*),
+  CAST(quantile_disc(d, 0.5) / 1000000.0 AS DECIMAL(18,6)),
+  CAST(quantile_disc(d, 0.9) / 1000000.0 AS DECIMAL(18,6))
+FROM d3""",
         # cohort_retention: 7d global-grid cohorts; pmod-form floors so
         # the arithmetic matches floor_to_width exactly (incl. pre-epoch)
         "cohort_retention": """
@@ -2552,6 +2660,28 @@ SELECT make_timestamp(a.cohort_us) AS cohort, a.period,
   CAST(count(*) AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
 FROM act a JOIN cs ON a.cohort_us = cs.cohort_us
 GROUP BY a.cohort_us, a.period, cs.n_cohort""",
+        "interval_union": """
+WITH iv AS (
+  SELECT user_id AS entity, epoch_us(ts) AS s,
+    epoch_us(ts)
+      + (abs(CAST(round(value * 100, 0) AS BIGINT)) + 1) * 60000000 AS e
+  FROM events WHERE ts IS NOT NULL),
+o AS (
+  SELECT entity, s, e,
+    max(e) OVER (PARTITION BY entity ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv),
+f AS (
+  SELECT entity, s, e,
+    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY entity ORDER BY s, e
+            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM o)
+SELECT entity, make_timestamp(min(s)) AS start_ts,
+  make_timestamp(max(e)) AS end_ts,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  CAST((max(e) - min(s)) / 1000000.0 AS DECIMAL(18,6)) AS covered_secs
+FROM f GROUP BY entity, isl""",
         "event_transitions": """
 WITH o AS (
   SELECT user_id, event_type AS from_type,

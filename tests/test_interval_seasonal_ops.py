@@ -656,3 +656,94 @@ def test_bucket_quantiles_rendered_name_collision_raises(spark):
         bucket_quantiles(
             df, dt.timedelta(hours=1), qs=(0.123456789012, 0.123456789013)
         )
+
+
+# --------------------------------------------------------------- interval_union
+
+
+def test_interval_union_hand_computed(spark):
+    """A: [0,10) + [5,20) merge; [20,30) touches and merges; [40,50)
+    is a new island. B is isolated from A."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.operators.intervals import interval_union
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(e, a, b):
+        return (e, t0 + dt.timedelta(minutes=a), t0 + dt.timedelta(minutes=b))
+
+    df = spark.createDataFrame(
+        [mk("A", 0, 10), mk("A", 5, 20), mk("A", 20, 30), mk("A", 40, 50),
+         mk("B", 0, 100)],
+        "user_id string, start_ts timestamp, end_ts timestamp",
+    )
+    out = {
+        (r["entity"], r["start_ts"]): (r["end_ts"], r["n_intervals"],
+                                       float(r["covered_secs"]))
+        for r in interval_union(df).collect()
+    }
+    assert out == {
+        ("A", t0): (t0 + dt.timedelta(minutes=30), 3, 1800.0),
+        ("A", t0 + dt.timedelta(minutes=40)): (
+            t0 + dt.timedelta(minutes=50), 1, 600.0),
+        ("B", t0): (t0 + dt.timedelta(minutes=100), 1, 6000.0),
+    }
+
+
+def test_interval_union_zero_length_null_and_invariance(spark):
+    """A zero-length interval inside a span merges silently; a disjoint
+    one forms a zero-coverage island; NULL endpoints drop; result is
+    partition-count independent."""
+    import datetime as dt
+
+    from timeseriesflattener_spark.operators.intervals import interval_union
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", t0, t0 + dt.timedelta(minutes=10)),
+        ("A", t0 + dt.timedelta(minutes=5), t0 + dt.timedelta(minutes=5)),
+        ("A", t0 + dt.timedelta(minutes=60), t0 + dt.timedelta(minutes=60)),
+        ("A", None, t0 + dt.timedelta(minutes=99)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, start_ts timestamp, end_ts timestamp"
+    )
+    got = sorted(
+        (r["start_ts"], r["end_ts"], r["n_intervals"], float(r["covered_secs"]))
+        for r in interval_union(df).collect()
+    )
+    assert got == [
+        (t0, t0 + dt.timedelta(minutes=10), 2, 600.0),
+        (t0 + dt.timedelta(minutes=60), t0 + dt.timedelta(minutes=60), 1, 0.0),
+    ]
+    again = sorted(
+        (r["start_ts"], r["end_ts"], r["n_intervals"], float(r["covered_secs"]))
+        for r in interval_union(df.repartition(5)).collect()
+    )
+    assert got == again
+
+
+def test_interval_union_plan_one_exchange(spark):
+    import datetime as dt
+
+    from timeseriesflattener_spark.operators.intervals import interval_union
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("A", t0, t0 + dt.timedelta(minutes=1))],
+        "user_id string, start_ts timestamp, end_ts timestamp",
+    )
+    plan = (
+        interval_union(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the running-max + island cumsum share one entity exchange and one
+    # sort, and the (entity, island) groupBy reuses that partitioning
+    # (hashpartitioning(entity) clusters any (entity, *) grouping):
+    # ONE exchange in the whole plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort [") == 1

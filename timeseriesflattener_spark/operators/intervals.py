@@ -249,3 +249,66 @@ def threshold_episodes(
         )
         .drop("__run")
     )
+
+
+def interval_union(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Merge each entity's overlapping-or-touching intervals into their
+    union (gaps-and-islands over a running max end): one row per
+    maximal covered span — ``(entity, start_ts, end_ts, n_intervals,
+    covered_secs)`` with ``covered_secs`` the exact integer-microsecond
+    span as DECIMAL(18,6). The coverage/uptime primitive: overlapping
+    sessions, redundant monitors, and billing windows collapse to the
+    time actually covered. Half-open [start, end) semantics; intervals
+    that merely TOUCH (one ends exactly where the next starts) merge —
+    their union is the same contiguous span either way. Rows with a
+    NULL endpoint are excluded; zero-length intervals participate (a
+    disjoint one forms its own zero-coverage island). Caller contract:
+    ``end >= start`` (the entry query constructs ends additively).
+
+    ONE exchange total (plan-pinned): the running-max window and the
+    island cumsum share the same (start, end)-ordered ROWS spec over
+    one entity exchange — duplicate rows are interchangeable, so island
+    assignment is engine- and partition-order-independent — and the
+    (entity, island) groupBy reuses the entity partitioning
+    (hashpartitioning(entity) clusters any (entity, *) grouping).
+    Output is bounded by the number of GAPS, never input density.
+    """
+    s = micros(F.col(start_col))
+    e = micros(F.col(end_col))
+    iv = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__entity"),
+        s.alias("__s"),
+        e.alias("__e"),
+    )
+    w = Window.partitionBy("__entity").orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max.isNull() | (F.col("__s") > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = iv.withColumn(
+        "__isl",
+        F.sum(opens).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(F.col("__entity").alias("entity"), F.col("__isl"))
+        .agg(
+            F.timestamp_micros(F.min("__s")).alias("start_ts"),
+            F.timestamp_micros(F.max("__e")).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            ((F.max("__e") - F.min("__s")) / F.lit(1_000_000.0))
+            .cast(_DEC)
+            .alias("covered_secs"),
+        )
+        .drop("__isl")
+    )
