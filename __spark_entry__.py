@@ -2179,6 +2179,27 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_t(spark, sf_dir, "events"), dt.timedelta(days=7))
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift statistics per observation in the exact
+    cents domain (target 5.00, slack 1.00, threshold 20.00): integer
+    running sums + running mins, so the prefix-identity windows are
+    bit-identical to the oracle's literal formulation."""
+    from timeseriesflattener_spark.operators.rolling import cusum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return cusum(
+        ev, target=500, slack=100, threshold=2000, value_col="cents"
+    ).select(
+        "user_id", "ts", "event_id",
+        F.col("cusum_hi").alias("cusum_hi_c"),
+        F.col("cusum_lo").alias("cusum_lo_c"),
+        "alarm_hi", "alarm_lo",
+    )
+
+
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution, composed from the funnel detail
     frame: for each later step, DISCRETE p50/p90 of (step ts − anchor
@@ -2334,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "interval_union": q_interval_union,
         "funnel_latency": q_funnel_latency,
+        "cusum_drift": q_cusum_drift,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
@@ -2660,6 +2682,32 @@ SELECT make_timestamp(a.cohort_us) AS cohort, a.period,
   CAST(count(*) AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
 FROM act a JOIN cs ON a.cohort_us = cs.cohort_us
 GROUP BY a.cohort_us, a.period, cs.n_cohort""",
+        # cusum_drift: the literal prefix identity
+        # s_t = p_t - min(0, min_{j<=t} p_j) in exact cents integers;
+        # NULL cents contribute nothing (the statistic holds)
+        "cusum_drift": """
+WITH ev AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+    CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events),
+p AS (
+  SELECT user_id, ts, event_id, us,
+    sum(c - 600) OVER w AS phi,
+    sum(400 - c) OVER w AS plo
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT user_id, ts, event_id,
+    phi - LEAST(0, min(phi) OVER w2) AS shi,
+    plo - LEAST(0, min(plo) OVER w2) AS slo
+  FROM p
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING))
+SELECT user_id, ts, event_id,
+  shi AS cusum_hi_c, slo AS cusum_lo_c,
+  shi > 2000 AS alarm_hi, slo > 2000 AS alarm_lo
+FROM s""",
         "interval_union": """
 WITH iv AS (
   SELECT user_id AS entity, epoch_us(ts) AS s,

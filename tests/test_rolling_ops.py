@@ -235,3 +235,79 @@ def test_counter_increase_null_scrape_bridges(spark):
     out = counter_increase(df, dt.timedelta(hours=1)).collect()
     assert len(out) == 1
     assert float(out[0]["increase"]) == 2.0 and out[0]["n_deltas"] == 1
+
+
+# ------------------------------------------------------------------------ cusum
+
+
+def test_cusum_hand_computed_and_null_hold(spark):
+    """target=5, slack=1: s_hi over [10,1,8,9,NULL,9] = [4,0,2,5,5,8]
+    (clamp at the 1, hold through the NULL); s_lo spikes to 3 at the 1.
+    threshold=4 alarms from the 9 at t=3 on."""
+    from timeseriesflattener_spark.operators.rolling import cusum
+
+    rows = [
+        ("A", T0 + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate([10.0, 1.0, 8.0, 9.0, None, 9.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in cusum(df, target=5, slack=1, threshold=4).collect()
+    }
+    assert [out[i]["cusum_hi"] for i in range(6)] == [4.0, 0.0, 2.0, 5.0, 5.0, 8.0]
+    assert [out[i]["cusum_lo"] for i in range(6)] == [0.0, 3.0, 0.0, 0.0, 0.0, 0.0]
+    assert [out[i]["alarm_hi"] for i in range(6)] == [False, False, False, True, True, True]
+    assert not any(out[i]["alarm_lo"] for i in range(6))
+
+
+def test_cusum_randomized_differential(spark):
+    """20 entities x 40 observations vs the sequential Python
+    recurrence (integer domain: exact equality)."""
+    import random
+
+    from timeseriesflattener_spark.operators.rolling import cusum
+
+    rng = random.Random(7)
+    rows, expect = [], {}
+    for e in range(20):
+        shi = slo = 0
+        for i in range(40):
+            v = rng.randrange(-50, 51)
+            rows.append((f"u{e}", T0 + dt.timedelta(seconds=i), i, v))
+            shi = max(0, shi + v - 12)   # target 10, slack 2
+            slo = max(0, slo + 8 - v)
+            expect[(f"u{e}", i)] = (shi, slo)
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, value long"
+    )
+    got = {
+        (r["user_id"], r["event_id"]): (r["cusum_hi"], r["cusum_lo"])
+        for r in cusum(df, target=10, slack=2, threshold=100).collect()
+    }
+    assert got == expect
+
+
+def test_cusum_validation_and_plan(spark):
+    from timeseriesflattener_spark.operators.rolling import cusum
+
+    df = spark.createDataFrame(
+        [("A", T0, 0, 1.0)],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    with pytest.raises(ValueError, match="slack"):
+        cusum(df, target=0, slack=-1, threshold=1)
+    with pytest.raises(ValueError, match="threshold"):
+        cusum(df, target=0, slack=0, threshold=0)
+    plan = (
+        cusum(df, target=0, slack=0, threshold=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # running sum + running min share one entity exchange and one sort
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort [") == 1

@@ -597,3 +597,67 @@ def bucket_quantiles(
             for q in qlist
         ],
     )
+
+
+def cusum(
+    df: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = "event_id",
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) at every
+    observation: ``cusum_hi`` accumulates excess above ``target +
+    slack``, ``cusum_lo`` deficit below ``target - slack``, both
+    clamped at zero; ``alarm_hi``/``alarm_lo`` flag statistics
+    exceeding ``threshold``. The sequential recurrence
+    ``s_t = max(0, s_{t-1} + d_t)`` is NOT computed in Python: by the
+    classic prefix identity ``s_t = p_t - min(0, min_{j<=t} p_j)``
+    (p = running sum of deviations), it is two built-in window passes —
+    a running sum and a running min — over ONE entity exchange and one
+    sort, whole-stage codegen end to end.
+
+    NULL values contribute nothing to the running sums, so the
+    statistic HOLDS through a NULL scrape (the row repeats the previous
+    state; rows before any observation are NULL). Equal timestamps
+    order by ``order_col`` for an engine-independent scan. Integer
+    inputs stay in exact integer arithmetic (the oracle runs in the
+    cents domain); float inputs follow the engines' shared sequential
+    running-aggregate order.
+    """
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack!r}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold!r}")
+    # materialize the sort key ONCE and build each window pair in a
+    # single select: per-withColumn window exprs regenerate the
+    # micros() sort key, and Catalyst then plans one Window+Sort per
+    # stat (the anti-pattern the rolling_stats plan pin guards
+    # against). This shape is 2 Window nodes / 1 sort / 1 exchange.
+    order = [F.col("__us")] + (
+        [F.col(order_col)] if order_col is not None else []
+    )
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col)
+    with_p = df.withColumn("__us", micros(F.col(ts_col))).select(
+        "*",
+        F.sum(x - F.lit(target + slack)).over(w).alias("__phi"),
+        F.sum(F.lit(target - slack) - x).over(w).alias("__plo"),
+    )
+    s_hi = F.col("__phi") - F.least(F.lit(0), F.min("__phi").over(w))
+    s_lo = F.col("__plo") - F.least(F.lit(0), F.min("__plo").over(w))
+    return (
+        with_p.select(
+            "*", s_hi.alias("cusum_hi"), s_lo.alias("cusum_lo")
+        )
+        .withColumn("alarm_hi", F.col("cusum_hi") > F.lit(threshold))
+        .withColumn("alarm_lo", F.col("cusum_lo") > F.lit(threshold))
+        .drop("__phi", "__plo", "__us")
+    )
