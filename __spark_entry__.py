@@ -2200,6 +2200,54 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cusum_drift: two clamped statistics per entity
+    in the state store (TWO doubles — bounded), folded per micro-batch
+    with the seeded prefix identity in vectorized numpy. Four weekly
+    time-split files (in-order ingest contract); the final max-batch_id
+    row per entity must equal the batch identity's LAST row per entity
+    — exact, because cents stay integral in float64."""
+    import tempfile
+
+    from timeseriesflattener_spark.streaming.stateful import start_cusum_stream
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-cusum-")
+    src = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("entity"), "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    for lo, hi in bounds:
+        part = src
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        part.coalesce(1).write.mode("append").parquet(f"{work}/input")
+    start_cusum_stream(
+        spark,
+        f"{work}/input",
+        schema="entity string, ts timestamp, cents long",
+        out_path=f"{work}/out",
+        checkpoint_dir=f"{work}/ckpt",
+        target=500, slack=100, threshold=2000,
+        value_col="cents",
+        max_files_per_trigger=1,
+    ).awaitTermination()
+    sink = spark.read.parquet(f"{work}/out")
+    return (
+        sink.groupBy("entity")
+        .agg(
+            F.max_by(
+                F.struct("cusum_hi", "cusum_lo", "alarm_hi", "alarm_lo", "n_obs"),
+                F.col("batch_id"),
+            ).alias("s")
+        )
+        .select("entity", "s.*")
+    )
+
+
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution, composed from the funnel detail
     frame: for each later step, DISCRETE p50/p90 of (step ts − anchor
@@ -2356,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": q_interval_union,
         "funnel_latency": q_funnel_latency,
         "cusum_drift": q_cusum_drift,
+        "stream_cusum": q_stream_cusum,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
@@ -2708,6 +2757,35 @@ SELECT user_id, ts, event_id,
   shi AS cusum_hi_c, slo AS cusum_lo_c,
   shi > 2000 AS alarm_hi, slo > 2000 AS alarm_lo
 FROM s""",
+        # stream_cusum: the batch identity's LAST row per entity (the
+        # held statistic after the final observation IS the stream's
+        # final state); doubles vs bigints hash alike (integral values)
+        "stream_cusum": """
+WITH ev AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+    CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events),
+p AS (
+  SELECT user_id, event_id, us, c,
+    sum(c - 600) OVER w AS phi,
+    sum(400 - c) OVER w AS plo
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT user_id, event_id, us,
+    phi - LEAST(0, min(phi) OVER w2) AS shi,
+    plo - LEAST(0, min(plo) OVER w2) AS slo,
+    count(c) OVER (PARTITION BY user_id) AS n_obs,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY us DESC, event_id DESC) AS rn
+  FROM p
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING))
+SELECT CAST(user_id AS VARCHAR) AS entity,
+  shi AS cusum_hi, slo AS cusum_lo,
+  shi > 2000 AS alarm_hi, slo > 2000 AS alarm_lo, n_obs
+FROM s WHERE rn = 1""",
         "interval_union": """
 WITH iv AS (
   SELECT user_id AS entity, epoch_us(ts) AS s,

@@ -116,3 +116,65 @@ def test_stateful_funnel_state_crosses_batches(spark, tmp_path):
     assert final == batch
     assert final["a"][0] == 3 and final["b"][0] == 1
     assert final["a"][2] == t0 + dt.timedelta(hours=2)
+
+
+def test_stateful_cusum_state_crosses_batches(spark, tmp_path):
+    """Entity 'a' accumulates drift across two micro-batches: values
+    [10, 1] then [8, 9] with target=5/slack=1 give s_hi 4,0 then 2,5 —
+    the final 5 requires the clamp at batch-1's end to carry over.
+    Matches the batch operator on the concatenated input exactly."""
+    from timeseriesflattener_spark.operators.rolling import cusum
+    from timeseriesflattener_spark.streaming.stateful import (
+        start_cusum_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "entity string, ts timestamp, value double"
+    files = [
+        [("a", t0, 10.0), ("a", t0 + dt.timedelta(minutes=1), 1.0)],
+        [
+            ("a", t0 + dt.timedelta(minutes=2), 8.0),
+            ("a", t0 + dt.timedelta(minutes=3), 9.0),
+            ("b", t0 + dt.timedelta(minutes=3), 2.0),
+        ],
+    ]
+    in_dir = str(tmp_path / "in")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = start_cusum_stream(
+        spark, in_dir, schema, out_dir, str(tmp_path / "ckpt"),
+        target=5, slack=1, threshold=4,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    assert out.filter(F.col("entity") == "a").select(
+        "batch_id"
+    ).distinct().count() == 2
+    w = Window.partitionBy("entity").orderBy(F.desc("batch_id"))
+    final = {
+        r["entity"]: (r["cusum_hi"], r["cusum_lo"], r["alarm_hi"], r["n_obs"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert final["a"] == (5.0, 0.0, True, 4)
+    assert final["b"] == (0.0, 2.0, False, 1)
+    # equals the batch operator's LAST row per entity
+    batch = cusum(
+        spark.read.parquet(in_dir), target=5, slack=1, threshold=4,
+        entity_col="entity", order_col=None,
+    )
+    last = {
+        r["entity"]: (r["cusum_hi"], r["cusum_lo"], r["alarm_hi"])
+        for r in batch.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("entity").orderBy(F.desc("ts"))
+            ),
+        ).filter(F.col("rn") == 1).collect()
+    }
+    assert {k: v[:3] for k, v in final.items()} == last

@@ -246,3 +246,118 @@ def start_funnel_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def running_cusum(
+    stream_df: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``operators.rolling.cusum``: the two clamped
+    statistics live in the state store (TWO numbers per entity —
+    bounded, independent of stream length). Each batch's events are
+    sorted by event time and folded in VECTORIZED numpy via the seeded
+    prefix identity (cum = s0 + cumsum(d); s = cum − min(0,
+    running_min(cum))) — no per-row Python. Exact batch equivalence
+    under the same in-order ingest contract as ``running_funnel``
+    (per-entity event time non-decreasing across micro-batches).
+    NULL values are skipped (the statistic holds). Update-mode
+    emission: the max-batch_id row per entity is the current state."""
+    import numpy as np
+
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack!r}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold!r}")
+    k_hi = target + slack
+    k_lo = target - slack
+    out_schema = (
+        "entity string, cusum_hi double, cusum_lo double, "
+        "alarm_hi boolean, alarm_lo boolean, n_obs long"
+    )
+    state_schema = "shi double, slo double, n long"
+
+    def _fold(s0: float, d: "np.ndarray") -> float:
+        cum = s0 + np.cumsum(d)
+        return float(cum[-1] - min(0.0, float(np.minimum.accumulate(cum).min())))
+
+    def _update(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (entity,) = key
+        shi, slo, n = state.get if state.exists else (0.0, 0.0, 0)
+        parts = []
+        for pdf in pdfs:
+            sel = pdf[value_col].notna() & pdf[ts_col].notna()
+            if sel.any():
+                parts.append(pdf.loc[sel, [ts_col, value_col]])
+        if parts:
+            ev = pd.concat(parts).sort_values(ts_col)
+            x = ev[value_col].to_numpy(dtype="float64")
+            shi = _fold(shi, x - k_hi)
+            slo = _fold(slo, k_lo - x)
+            n += len(x)
+        state.update((float(shi), float(slo), int(n)))
+        yield pd.DataFrame(
+            {
+                "entity": [entity],
+                "cusum_hi": [shi],
+                "cusum_lo": [slo],
+                "alarm_hi": [shi > threshold],
+                "alarm_lo": [slo > threshold],
+                "n_obs": [n],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_cusum_stream(
+    spark,
+    input_path: str,
+    schema: str,
+    out_path: str,
+    checkpoint_dir: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """readStream -> stateful CUSUM -> foreachBatch parquet appends."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stats = running_cusum(
+        reader.parquet(input_path), target, slack, threshold,
+        entity_col=entity_col, ts_col=ts_col, value_col=value_col,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    writer = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
