@@ -2213,7 +2213,7 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="tsf-stream-cusum-")
     src = _t(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("entity"), "ts",
+        F.col("user_id").cast("string").alias("entity"), "ts", "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
@@ -2228,11 +2228,11 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     start_cusum_stream(
         spark,
         f"{work}/input",
-        schema="entity string, ts timestamp, cents long",
+        schema="entity string, ts timestamp, event_id long, cents long",
         out_path=f"{work}/out",
         checkpoint_dir=f"{work}/ckpt",
         target=500, slack=100, threshold=2000,
-        value_col="cents",
+        value_col="cents", order_col="event_id",
         max_files_per_trigger=1,
     ).awaitTermination()
     sink = spark.read.parquet(f"{work}/out")
@@ -2742,7 +2742,7 @@ GROUP BY a.cohort_us, a.period, cs.n_cohort""",
 WITH ev AS (
   SELECT user_id, ts, event_id, epoch_us(ts) AS us,
     CAST(round(value * 100, 0) AS BIGINT) AS c
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 p AS (
   SELECT user_id, ts, event_id, us,
     sum(c - 600) OVER w AS phi,
@@ -2768,7 +2768,7 @@ FROM s""",
 WITH ev AS (
   SELECT user_id, ts, event_id, epoch_us(ts) AS us,
     CAST(round(value * 100, 0) AS BIGINT) AS c
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 p AS (
   SELECT user_id, event_id, us, c,
     sum(c - 600) OVER w AS phi,

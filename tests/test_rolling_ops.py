@@ -311,3 +311,17 @@ def test_cusum_validation_and_plan(spark):
     # running sum + running min share one entity exchange and one sort
     assert plan.count("Exchange") == 1
     assert plan.count("Sort [") == 1
+
+
+def test_cusum_null_ts_excluded(spark):
+    """NULL-timestamp rows are dropped (Spark orders NULLs first,
+    SQL engines last — keeping them would diverge from any SQL twin)."""
+    from timeseriesflattener_spark.operators.rolling import cusum
+
+    df = spark.createDataFrame(
+        [("A", T0, 0, 10.0), ("A", None, 1, 100.0)],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    out = cusum(df, target=5, slack=1, threshold=4).collect()
+    assert len(out) == 1
+    assert out[0]["event_id"] == 0 and out[0]["cusum_hi"] == 4.0

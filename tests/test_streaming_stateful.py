@@ -178,3 +178,36 @@ def test_stateful_cusum_state_crosses_batches(spark, tmp_path):
         ).filter(F.col("rn") == 1).collect()
     }
     assert {k: v[:3] for k, v in final.items()} == last
+
+
+def test_stateful_cusum_tie_break_by_order_col(spark, tmp_path):
+    """Two equal-timestamp observations arrive in REVERSED file row
+    order; with order_col the fold still processes them by event_id,
+    matching the batch operator exactly. The clamp makes order visible:
+    from 0 with target=5/slack=1, [-5 then +3] ends at 3 while
+    [+3 then -5] ends at 0."""
+    from timeseriesflattener_spark.operators.rolling import cusum
+    from timeseriesflattener_spark.streaming.stateful import (
+        start_cusum_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "entity string, ts timestamp, event_id long, value double"
+    # file row order: event 1 (value 9 -> d=+3) BEFORE event 0 (1 -> -5)
+    rows = [("a", t0, 1, 9.0), ("a", t0, 0, 1.0)]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = start_cusum_stream(
+        spark, in_dir, schema, out_dir, str(tmp_path / "ckpt"),
+        target=5, slack=1, threshold=100, order_col="event_id",
+    )
+    q.awaitTermination(300)
+    final = spark.read.parquet(out_dir).collect()[0]
+    # event_id order: d = -5 (clamp to 0) then +3 -> 3.0
+    assert final["cusum_hi"] == 3.0
+    batch = cusum(
+        spark.read.parquet(in_dir), target=5, slack=1, threshold=100,
+        entity_col="entity",
+    ).orderBy(F.desc("event_id")).collect()[0]
+    assert batch["cusum_hi"] == final["cusum_hi"]

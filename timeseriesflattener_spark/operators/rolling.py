@@ -622,7 +622,10 @@ def cusum(
 
     NULL values contribute nothing to the running sums, so the
     statistic HOLDS through a NULL scrape (the row repeats the previous
-    state; rows before any observation are NULL). Equal timestamps
+    state; rows before any observation are NULL). NULL-timestamp rows
+    are EXCLUDED (the repo-wide contract — Spark windows order NULLs
+    first and SQL engines last, so keeping them would silently diverge
+    from any SQL twin). Equal timestamps
     order by ``order_col`` for an engine-independent scan. Integer
     inputs stay in exact integer arithmetic (the oracle runs in the
     cents domain); float inputs follow the engines' shared sequential
@@ -646,6 +649,7 @@ def cusum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     x = F.col(value_col)
+    df = df.filter(F.col(ts_col).isNotNull())
     with_p = df.withColumn("__us", micros(F.col(ts_col))).select(
         "*",
         F.sum(x - F.lit(target + slack)).over(w).alias("__phi"),

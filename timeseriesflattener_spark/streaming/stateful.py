@@ -86,31 +86,17 @@ def start_profile_stream(
     """readStream -> stateful profiles -> foreachBatch parquet appends
     (each update batch lands with its batch_id; the max-batch_id row per
     conversation is the current profile)."""
-    from pyspark.sql import functions as F
-
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    profiles = running_profiles(reader.parquet(input_path))
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_path
-        )
-
-    writer = (
-        profiles.writeStream.outputMode("update")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_update_stream(
+        spark, input_path, schema, running_profiles,
+        out_path, checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
-def _funnel_schemas(steps: list[str]) -> tuple[str, str]:
+def _funnel_schemas(steps: list[str], entity_col: str) -> tuple[str, str]:
     k = len(steps)
-    out = "entity string, steps_completed int, " + ", ".join(
+    out = f"{entity_col} string, steps_completed int, " + ", ".join(
         f"ts_step{i + 1} timestamp" for i in range(k)
     )
     state = ", ".join(f"h{i + 1} long" for i in range(k)) + ", n int"
@@ -134,6 +120,8 @@ def running_funnel(
     append-only event logs), because an accepted hit is never revised
     when an older event arrives later. State is bounded: k accepted
     times + a counter per entity, independent of stream length.
+    The output key column is named ``entity_col`` and declared string —
+    cast the key to string upstream.
 
     Emission is ``update`` mode — each touched entity re-emits its
     refreshed progress; the max-batch_id row per entity is current.
@@ -153,7 +141,7 @@ def running_funnel(
         within_ns = within_us * 1000
     steps_l = list(steps)
     steps_set = set(steps_l)
-    out_schema, state_schema = _funnel_schemas(steps_l)
+    out_schema, state_schema = _funnel_schemas(steps_l, entity_col)
 
     def _update(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -191,7 +179,7 @@ def running_funnel(
                 continue
             hits.append(t)
         state.update(tuple(hits + [None] * (k - len(hits)) + [len(hits)]))
-        out = {"entity": [entity], "steps_completed": [len(hits)]}
+        out = {entity_col: [entity], "steps_completed": [len(hits)]}
         for i in range(k):
             out[f"ts_step{i + 1}"] = [
                 pd.Timestamp(hits[i]) if i < len(hits) else pd.NaT
@@ -223,15 +211,38 @@ def start_funnel_stream(
 ):
     """readStream -> stateful funnel -> foreachBatch parquet appends
     (max-batch_id row per entity is the current progress)."""
+    return _start_update_stream(
+        spark, input_path, schema,
+        lambda s: running_funnel(
+            s, steps, within=within, entity_col=entity_col,
+            ts_col=ts_col, type_col=type_col,
+        ),
+        out_path, checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now,
+    )
+
+
+def _start_update_stream(
+    spark,
+    input_path: str,
+    schema: str,
+    transform,
+    out_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Shared scaffolding for every update-mode stateful stream here:
+    readStream -> ``transform(stream_df)`` -> foreachBatch parquet
+    appends stamped with batch_id (the max-batch_id row per key is the
+    current state)."""
     from pyspark.sql import functions as F
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    prog = running_funnel(
-        reader.parquet(input_path), steps, within=within,
-        entity_col=entity_col, ts_col=ts_col, type_col=type_col,
-    )
+    out = transform(reader.parquet(input_path))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
@@ -239,7 +250,7 @@ def start_funnel_stream(
         ).parquet(out_path)
 
     writer = (
-        prog.writeStream.outputMode("update")
+        out.writeStream.outputMode("update")
         .foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -256,17 +267,23 @@ def running_cusum(
     entity_col: str = "entity",
     ts_col: str = "ts",
     value_col: str = "value",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators.rolling.cusum``: the two clamped
     statistics live in the state store (TWO numbers per entity —
     bounded, independent of stream length). Each batch's events are
-    sorted by event time and folded in VECTORIZED numpy via the seeded
-    prefix identity (cum = s0 + cumsum(d); s = cum − min(0,
-    running_min(cum))) — no per-row Python. Exact batch equivalence
-    under the same in-order ingest contract as ``running_funnel``
-    (per-entity event time non-decreasing across micro-batches).
-    NULL values are skipped (the statistic holds). Update-mode
-    emission: the max-batch_id row per entity is the current state."""
+    sorted by (event time, ``order_col``) — pass the same order column
+    the batch operator uses, or equal-timestamp folds are decided by
+    arrival order and the clamp makes that VISIBLE — and folded in
+    VECTORIZED numpy via the seeded prefix identity (cum = s0 +
+    cumsum(d); s = cum − min(0, min(cum))) — no per-row Python. Exact
+    batch equivalence under the same in-order ingest contract as
+    ``running_funnel`` (per-entity event time non-decreasing across
+    micro-batches). NULL values and NULL timestamps are skipped (the
+    statistic holds; same exclusion as the batch operator). The key
+    column in the output is named ``entity_col`` and declared string —
+    cast the key to string upstream. Update-mode emission: the
+    max-batch_id row per entity is the current state."""
     import numpy as np
 
     if slack < 0:
@@ -276,14 +293,15 @@ def running_cusum(
     k_hi = target + slack
     k_lo = target - slack
     out_schema = (
-        "entity string, cusum_hi double, cusum_lo double, "
+        f"{entity_col} string, cusum_hi double, cusum_lo double, "
         "alarm_hi boolean, alarm_lo boolean, n_obs long"
     )
     state_schema = "shi double, slo double, n long"
+    sort_cols = [ts_col] + ([order_col] if order_col is not None else [])
 
     def _fold(s0: float, d: "np.ndarray") -> float:
         cum = s0 + np.cumsum(d)
-        return float(cum[-1] - min(0.0, float(np.minimum.accumulate(cum).min())))
+        return float(cum[-1] - min(0.0, float(cum.min())))
 
     def _update(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -294,9 +312,9 @@ def running_cusum(
         for pdf in pdfs:
             sel = pdf[value_col].notna() & pdf[ts_col].notna()
             if sel.any():
-                parts.append(pdf.loc[sel, [ts_col, value_col]])
+                parts.append(pdf.loc[sel, sort_cols + [value_col]])
         if parts:
-            ev = pd.concat(parts).sort_values(ts_col)
+            ev = pd.concat(parts).sort_values(sort_cols)
             x = ev[value_col].to_numpy(dtype="float64")
             shi = _fold(shi, x - k_hi)
             slo = _fold(slo, k_lo - x)
@@ -304,7 +322,7 @@ def running_cusum(
         state.update((float(shi), float(slo), int(n)))
         yield pd.DataFrame(
             {
-                "entity": [entity],
+                entity_col: [entity],
                 "cusum_hi": [shi],
                 "cusum_lo": [slo],
                 "alarm_hi": [shi > threshold],
@@ -334,30 +352,18 @@ def start_cusum_stream(
     entity_col: str = "entity",
     ts_col: str = "ts",
     value_col: str = "value",
+    order_col: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ):
     """readStream -> stateful CUSUM -> foreachBatch parquet appends."""
-    from pyspark.sql import functions as F
-
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stats = running_cusum(
-        reader.parquet(input_path), target, slack, threshold,
-        entity_col=entity_col, ts_col=ts_col, value_col=value_col,
+    return _start_update_stream(
+        spark, input_path, schema,
+        lambda s: running_cusum(
+            s, target, slack, threshold, entity_col=entity_col,
+            ts_col=ts_col, value_col=value_col, order_col=order_col,
+        ),
+        out_path, checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now,
     )
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
-
-    writer = (
-        stats.writeStream.outputMode("update")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
