@@ -2200,6 +2200,24 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-anchor funnel (windowFunnel EXISTS semantics, 3-day
+    horizon): per-step counts of entities with SOME strictly-increasing
+    chain inside the horizon. The Spark side is the greedy max-anchor
+    DP scan; the oracle is the literal k-way EXISTS join — two
+    independent formulations of the same semantics."""
+    from timeseriesflattener_spark.operators.events import (
+        counts_from_detail,
+        funnel_reached,
+    )
+
+    steps = ["view", "click", "purchase"]
+    det = funnel_reached(
+        _t(spark, sf_dir, "events"), steps, within=dt.timedelta(days=3)
+    ).withColumnRenamed("steps_reached", "steps_completed")
+    return counts_from_detail(det, steps)
+
+
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of cusum_drift: two clamped statistics per entity
     in the state store (TWO doubles — bounded), folded per micro-batch
@@ -2400,13 +2418,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "interval_union": q_interval_union,
-        "funnel_latency": q_funnel_latency,
         "cusum_drift": q_cusum_drift,
+        "funnel_sliding": q_funnel_sliding,
         "stream_cusum": q_stream_cusum,
         # --- driver 50-row window boundary: everything below either
         # shares an in-window sibling's oracle verbatim (stream_m4 ==
-        # downsample_m4, stream_funnel == funnel_steps) or is covered
-        # by the committed CORRECTNESS_SELF artifact ---
+        # downsample_m4, stream_funnel == funnel_steps), derives from
+        # an in-window sibling (funnel_latency ⊂ funnel_steps' chain),
+        # or is covered by the committed CORRECTNESS_SELF artifact ---
+        "funnel_latency": q_funnel_latency,
         "stream_m4": q_stream_m4,
         "stream_funnel": q_stream_funnel,
         "sample_stratified": q_sample_stratified,
@@ -2684,6 +2704,36 @@ WITH {_FUNNEL_CTES},
 n AS (SELECT (SELECT count(*) FROM s1) AS n1,
              (SELECT count(*) FROM s2) AS n2,
              (SELECT count(*) FROM s3) AS n3)
+SELECT step, step_type, n_entities,
+  CASE WHEN n1 > 0
+       THEN CAST(n_entities AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion
+FROM (
+  SELECT 1 AS step, 'view' AS step_type, n1 AS n_entities, n1 FROM n
+  UNION ALL SELECT 2, 'click', n2, n1 FROM n
+  UNION ALL SELECT 3, 'purchase', n3, n1 FROM n)""",
+        # funnel_sliding: windowFunnel EXISTS semantics as the literal
+        # k-way join — structurally independent of the greedy
+        # max-anchor DP the Spark operator runs
+        "funnel_sliding": """
+WITH ev AS (
+  SELECT user_id AS entity, ts, event_type AS y FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('view', 'click', 'purchase')),
+r1 AS (SELECT DISTINCT entity FROM ev WHERE y = 'view'),
+r2 AS (
+  SELECT DISTINCT a.entity
+  FROM ev a JOIN ev b ON a.entity = b.entity
+  WHERE a.y = 'view' AND b.y = 'click' AND b.ts > a.ts
+    AND epoch_us(b.ts) - epoch_us(a.ts) <= 259200000000),
+r3 AS (
+  SELECT DISTINCT a.entity
+  FROM ev a JOIN ev b ON a.entity = b.entity
+       JOIN ev c ON a.entity = c.entity
+  WHERE a.y = 'view' AND b.y = 'click' AND c.y = 'purchase'
+    AND b.ts > a.ts AND c.ts > b.ts
+    AND epoch_us(c.ts) - epoch_us(a.ts) <= 259200000000),
+n AS (SELECT (SELECT count(*) FROM r1) AS n1,
+             (SELECT count(*) FROM r2) AS n2,
+             (SELECT count(*) FROM r3) AS n3)
 SELECT step, step_type, n_entities,
   CASE WHEN n1 > 0
        THEN CAST(n_entities AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion

@@ -359,3 +359,104 @@ def test_event_transitions_plan_one_exchange_broadcast(spark):
     assert plan.count("Window [") == 1
     assert "ReusedExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- funnel_reached
+
+
+def test_funnel_reached_sliding_vs_anchored(spark):
+    """The sliding scan credits a completion anchored at a LATER step-1
+    event (which the anchored funnel deliberately misses), enforces
+    strict t_j > t_{j-1} at equal timestamps, and never chains
+    backwards."""
+    from timeseriesflattener_spark.operators.events import funnel_reached
+
+    df = _ev(spark, [
+        ("A", 0, "view"), ("A", 115, "view"), ("A", 120, "click"),
+        ("B", 0, "view"), ("B", 1, "click"), ("B", 2, "purchase"),
+        ("C", 0, "view"), ("C", 0, "click"),
+        ("D", 0, "purchase"), ("D", 1, "view"),
+        ("E", 0, "click"), ("E", 1, "purchase"),
+    ])
+    W = dt.timedelta(hours=1)
+    r = {
+        x["user_id"]: x["steps_reached"]
+        for x in funnel_reached(df, STEPS, within=W).collect()
+    }
+    assert r == {"A": 2, "B": 3, "C": 1, "D": 1}
+    a = {
+        x["user_id"]: x["steps_completed"]
+        for x in funnel(df, STEPS, within=W).collect()
+    }
+    assert a["A"] == 1  # the documented anchored-semantics divergence
+
+
+def _python_reach(events, steps, within=None):
+    """Brute-force EXISTS reference: max j with a strictly-increasing
+    typed chain within `within` of its own anchor."""
+    import itertools
+
+    evs = sorted(events)
+    best = 0
+    for j in range(len(steps), 0, -1):
+        for combo in itertools.combinations(evs, j):
+            ts = [t for t, _ in combo]
+            ys = [y for _, y in combo]
+            if ys != steps[:j]:
+                continue
+            if any(ts[i + 1] <= ts[i] for i in range(j - 1)):
+                continue
+            if within is not None and ts[-1] - ts[0] > within:
+                continue
+            best = j
+            break
+        if best:
+            break
+    return best
+
+
+def test_funnel_reached_randomized_differential(spark):
+    """150 random entities vs the brute-force EXISTS reference, with
+    and without a horizon — the greedy max-anchor DP must agree with
+    exhaustive chain enumeration."""
+    rng = random.Random(11)
+    types = STEPS + ["signup"]
+    rows, exp_plain, exp_w = [], {}, {}
+    for i in range(150):
+        e = f"u{i}"
+        evs = [
+            (rng.randrange(0, 300), rng.choice(types))
+            for _ in range(rng.randrange(1, 10))
+        ]
+        rows += [(e, m, y) for m, y in evs]
+        fevs = [(m, y) for m, y in evs if y in STEPS]
+        exp_plain[e] = _python_reach(fevs, STEPS)
+        exp_w[e] = _python_reach(fevs, STEPS, within=45)
+    df = _ev(spark, rows)
+    from timeseriesflattener_spark.operators.events import funnel_reached
+
+    for within, expect in [
+        (None, exp_plain),
+        (dt.timedelta(minutes=45), exp_w),
+    ]:
+        got = {
+            r["user_id"]: r["steps_reached"]
+            for r in funnel_reached(df, STEPS, within=within).collect()
+        }
+        for e, want in expect.items():
+            assert got.get(e, 0) == want, (e, within, got.get(e, 0), want)
+
+
+def test_funnel_reached_validation_and_invariance(spark):
+    from timeseriesflattener_spark.operators.events import funnel_reached
+
+    df = _ev(spark, [("A", 0, "view"), ("A", 1, "click")])
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_reached(df, [])
+    with pytest.raises(ValueError, match="within must be positive"):
+        funnel_reached(df, STEPS, within=dt.timedelta(0))
+    base = sorted(map(tuple, funnel_reached(df, STEPS).collect()))
+    again = sorted(
+        map(tuple, funnel_reached(df.repartition(5), STEPS).collect())
+    )
+    assert base == again == [("A", 2)]

@@ -342,3 +342,113 @@ def event_transitions(
         "n",
         (F.col("n").cast("double") / F.col("__d").cast("double")).alias("p"),
     )
+
+
+def _sliding_scan(steps: list[str], within_us: int | None) -> "callable":
+    """Merge fn for the sliding-anchor reach scan. State is
+    struct(dp: array<bigint>, pend: array<bigint>, t: bigint): dp[j]
+    is the MAXIMUM anchor time among strictly-increasing chains that
+    reached step j+1 at a STRICTLY EARLIER timestamp, pend[j] the same
+    for chains completed at the CURRENT timestamp. Buffering same-
+    timestamp completions in pend enforces t_j > t_{j-1}: an event can
+    only extend chains from dp (strictly earlier), never from pend.
+    Max-anchor is the Pareto-dominant value: any future event is
+    strictly later than every completed chain's last time, so
+    feasibility depends only on the anchor (the `within` horizon), and
+    a larger anchor is always weakly better."""
+    k = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+
+    def merge(acc: Column, e: Column) -> Column:
+        roll = acc["t"].isNull() | (e["t"] > acc["t"])
+        dp1 = F.when(
+            roll,
+            F.zip_with(acc["dp"], acc["pend"], lambda x, y: F.greatest(x, y)),
+        ).otherwise(acc["dp"])
+        pend1 = F.when(
+            roll,
+            F.expr(f"CAST(array_repeat(NULL, {k}) AS array<bigint>)"),
+        ).otherwise(acc["pend"])
+        idx = F.array_position(steps_lit, e["y"])  # 1-based
+        prev_anchor = F.get(dp1, idx - 2)  # NULL when idx == 1
+        cand = F.when(idx == 1, e["t"])
+        if within_us is None:
+            cand = cand.otherwise(prev_anchor)
+        else:
+            cand = cand.otherwise(
+                F.when(
+                    (e["t"] - prev_anchor) <= F.lit(within_us), prev_anchor
+                )
+            )
+        pend2 = F.transform(
+            pend1,
+            lambda v, i: F.when(i == (idx - 1), F.greatest(v, cand)).otherwise(v),
+        )
+        return F.struct(
+            dp1.alias("dp"), pend2.alias("pend"), e["t"].alias("t")
+        )
+
+    return merge
+
+
+def funnel_reached(
+    df: DataFrame,
+    steps: list[str],
+    within: dt.timedelta | None = None,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """SLIDING-anchor funnel reach (ClickHouse-windowFunnel-style
+    EXISTS semantics — the complement of ``funnel``'s anchored
+    min-chain): per entity, ``steps_reached`` is the maximum j such
+    that SOME strictly-increasing chain t_1 < ... < t_j with
+    type(t_i) = steps[i] fits inside ``within`` of its own t_1 —
+    anchored anywhere, not just at the earliest step-1 event. One row
+    per entity with steps_reached >= 1.
+
+    Same one-exchange shape as ``funnel``: pre-filter to step types,
+    one groupBy(entity), and a greedy max-anchor dynamic program as a
+    catalyst `aggregate` lambda (see ``_sliding_scan``) — no windows,
+    no k-way self-join. The DuckDB oracle IS the literal k-way EXISTS
+    join, so the gate is a semantic differential between two
+    independent formulations.
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    within_us = None
+    if within is not None:
+        within_us = timedelta_to_micros(within)
+        if within_us <= 0:
+            raise ValueError(f"within must be positive, got {within!r}")
+    k = len(steps)
+    ev = df.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isin(list(set(steps)))
+    ).select(
+        F.col(entity_col).alias("__entity"),
+        F.struct(
+            micros(F.col(ts_col)).alias("t"),
+            F.col(type_col).alias("y"),
+        ).alias("__e"),
+    )
+    nulls = f"CAST(array_repeat(NULL, {k}) AS array<bigint>)"
+    init = F.struct(
+        F.expr(nulls).alias("dp"),
+        F.expr(nulls).alias("pend"),
+        F.lit(None).cast("bigint").alias("t"),
+    )
+    scanned = ev.groupBy("__entity").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__e")),
+            init,
+            _sliding_scan(steps, within_us),
+            lambda acc: F.zip_with(
+                acc["dp"], acc["pend"], lambda x, y: F.greatest(x, y)
+            ),
+        ).alias("__dp")
+    )
+    reach = F.size(F.filter(F.col("__dp"), lambda x: x.isNotNull()))
+    return scanned.select(
+        F.col("__entity").alias(entity_col),
+        reach.cast("int").alias("steps_reached"),
+    ).filter(F.col("steps_reached") >= 1)
