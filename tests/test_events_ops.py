@@ -460,3 +460,52 @@ def test_funnel_reached_validation_and_invariance(spark):
         map(tuple, funnel_reached(df.repartition(5), STEPS).collect())
     )
     assert base == again == [("A", 2)]
+
+
+def test_funnel_reached_repeated_step_types(spark):
+    """A repeated step type is creditable at EVERY position it occupies
+    (regression: array_position credited only the first), and sliding
+    reach is never below anchored completion."""
+    from timeseriesflattener_spark.operators.events import funnel_reached
+
+    df = _ev(spark, [
+        ("A", 0, "view"), ("A", 1, "view"),
+        ("B", 0, "view"),
+        # C: view,view,click with a too-early first view under within
+        ("C", 0, "view"), ("C", 115, "view"), ("C", 116, "view"),
+        ("C", 120, "click"),
+    ])
+    r = {
+        x["user_id"]: x["steps_reached"]
+        for x in funnel_reached(df, ["view", "view"]).collect()
+    }
+    assert r == {"A": 2, "B": 1, "C": 2}
+    r3 = {
+        x["user_id"]: x["steps_reached"]
+        for x in funnel_reached(
+            df, ["view", "view", "click"], within=dt.timedelta(hours=1)
+        ).collect()
+    }
+    # C: chain 115 -> 116 -> 120 fits in 1h (the 0-anchored one doesn't)
+    assert r3["C"] == 3 and r3["A"] == 2
+    # randomized duplicate-step differential vs brute force
+    rng = random.Random(3)
+    rows = []
+    expect = {}
+    dup_steps = ["view", "click", "view"]
+    for i in range(80):
+        e = f"d{i}"
+        evs = [
+            (rng.randrange(0, 120), rng.choice(["view", "click"]))
+            for _ in range(rng.randrange(1, 9))
+        ]
+        rows += [(e, m, y) for m, y in evs]
+        expect[e] = _python_reach(sorted(evs), dup_steps, within=30)
+    got = {
+        x["user_id"]: x["steps_reached"]
+        for x in funnel_reached(
+            _ev(spark, rows), dup_steps, within=dt.timedelta(minutes=30)
+        ).collect()
+    }
+    for e, want in expect.items():
+        assert got.get(e, 0) == want, (e, got.get(e, 0), want)

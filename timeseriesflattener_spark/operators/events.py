@@ -369,20 +369,29 @@ def _sliding_scan(steps: list[str], within_us: int | None) -> "callable":
             roll,
             F.expr(f"CAST(array_repeat(NULL, {k}) AS array<bigint>)"),
         ).otherwise(acc["pend"])
-        idx = F.array_position(steps_lit, e["y"])  # 1-based
-        prev_anchor = F.get(dp1, idx - 2)  # NULL when idx == 1
-        cand = F.when(idx == 1, e["t"])
-        if within_us is None:
-            cand = cand.otherwise(prev_anchor)
-        else:
-            cand = cand.otherwise(
+
+        # candidate anchor per 0-based step index i — evaluated for
+        # EVERY index whose step type matches the event (not just the
+        # first occurrence: a repeated step type must be creditable at
+        # each of its positions). All candidates read dp1, the
+        # pre-update strictly-earlier state, so within one timestamp
+        # the updates stay isolated in pend.
+        def cand(i: Column) -> Column:
+            prev_anchor = F.get(dp1, i - 1)  # NULL when i == 0
+            c = F.when(i == 0, e["t"])
+            if within_us is None:
+                return c.otherwise(prev_anchor)
+            return c.otherwise(
                 F.when(
                     (e["t"] - prev_anchor) <= F.lit(within_us), prev_anchor
                 )
             )
+
         pend2 = F.transform(
             pend1,
-            lambda v, i: F.when(i == (idx - 1), F.greatest(v, cand)).otherwise(v),
+            lambda v, i: F.when(
+                F.get(steps_lit, i) == e["y"], F.greatest(v, cand(i))
+            ).otherwise(v),
         )
         return F.struct(
             dp1.alias("dp"), pend2.alias("pend"), e["t"].alias("t")
@@ -412,10 +421,11 @@ def funnel_reached(
     catalyst `aggregate` lambda (see ``_sliding_scan``) — no windows,
     no k-way self-join. The DuckDB oracle IS the literal k-way EXISTS
     join, so the gate is a semantic differential between two
-    independent formulations.
+    independent formulations. Repeated step types are supported: the
+    scan credits an event at EVERY position whose type matches.
     """
     if not steps:
-        raise ValueError("funnel requires at least one step")
+        raise ValueError("funnel_reached requires at least one step")
     within_us = None
     if within is not None:
         within_us = timedelta_to_micros(within)
