@@ -454,9 +454,11 @@ def test_signal_corr_hand_computed(spark):
         _tev(spark, rows), ["click", "view", "error"], dt.timedelta(hours=1)
     ).collect()
     got = {(r["sig_a"], r["sig_b"]): (float(r["corr"]), r["n_buckets"]) for r in out}
-    assert got[("click", "view")] == (1.0, 3)
-    assert got[("click", "error")] == (-1.0, 3)
-    assert got[("view", "error")] == (-1.0, 3)
+    # corr is the RAW co-moment double (never rounded — the module's
+    # cross-engine contract), so ±1 holds only to float precision
+    assert got[("click", "view")][0] == pytest.approx(1.0) and got[("click", "view")][1] == 3
+    assert got[("click", "error")][0] == pytest.approx(-1.0) and got[("click", "error")][1] == 3
+    assert got[("view", "error")][0] == pytest.approx(-1.0) and got[("view", "error")][1] == 3
 
 
 def test_signal_corr_bucket_mean_alignment(spark):
@@ -474,7 +476,7 @@ def test_signal_corr_bucket_mean_alignment(spark):
     out = signal_corr(_tev(spark, rows), ["click", "view"], dt.timedelta(hours=1)).collect()
     assert len(out) == 1
     r = out[0]
-    assert float(r["corr"]) == 1.0 and r["n_buckets"] == 2
+    assert float(r["corr"]) == pytest.approx(1.0) and r["n_buckets"] == 2
 
 
 def test_signal_corr_min_buckets_and_constant_side_null(spark):
@@ -573,7 +575,9 @@ def test_bucket_quantiles_single_aggregate_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
-    assert "partial_percentile" in plan  # map-side partials
+    # the sorted-array buffer merges map-side like Spark's own
+    # percentile (ObjectHashAggregate partial collect_list)
+    assert "partial_collect_list" in plan
 
 
 # ---------------------------------------------------------- threshold_episodes

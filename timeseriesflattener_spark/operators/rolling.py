@@ -10,8 +10,8 @@ the M4 min/max/first/last downsample (Jugel et al., VLDB 2014) that
 renders a billion-point series into the <= 4 points per pixel column a
 plot can actually show, time-decayed EWMA for irregular cadences,
 seasonal ("normal for 3am?") profile z-scores, fixed-width value
-histograms, and cross-signal Pearson correlation on bucket-aligned
-means.
+histograms, exact per-bucket quantiles, and cross-signal Pearson
+correlation on bucket-aligned means.
 
 Scale shape (100 TB): every operator here shuffles at most once or
 twice, always keyed on the entity (plus slot/bucket refinements) — the
@@ -26,17 +26,30 @@ crossing (an O(n) per-entity recurrence no window frame expresses),
 Arrow-batched; seasonal_baseline is one whole-partition Window;
 value_histogram and signal_corr are pure map-side-combined aggregates.
 
-Cross-engine determinism: all derived doubles are rounded to
-DECIMAL(18,6) before they leave the operator (the repo-wide oracle
-contract), window frames are RANGE frames over integer epoch-microsecond
-keys so timestamp peers land in the same frame in every engine, and
-every argmin/argmax tie is broken inside an explicit struct ordering.
+Cross-engine determinism (the repo-wide "exact partials" contract,
+proven by the rollup tier oracles): statistics are ACCUMULATED as
+count/sum/sum-of-squares partials in the input column's native type —
+feed an integer column (e.g. cents) and every partial is an exact
+integer in ANY accumulation order and ANY engine — and the final
+mean/std/z doubles are derived from those partials by ONE pinned
+arithmetic expression (a short chain of IEEE-exact ops: cast, divide,
+subtract, sqrt), so two engines computing the same formula over the
+same integers produce bit-identical doubles.  Derived doubles are
+emitted RAW (never rounded, never DECIMAL-cast: a rounding step turns
+a last-ulp difference into a visible flip, and DECIMAL output types
+normalize differently across client fetch paths).  Window frames are
+RANGE frames over integer epoch-microsecond keys so timestamp peers
+land in the same frame in every engine, and every argmin/argmax tie is
+broken inside an explicit struct ordering.  Callers feeding float
+columns get the same formulas over order-dependent float sums —
+fine within one engine, not reproducible across engines.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 from collections.abc import Sequence
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,7 +60,31 @@ from ..functions.timeutils import micros
 from ..plans.rollup import floor_to_width
 from ..specs import require_positive_micros as _require_positive
 
-_DEC = "decimal(18,6)"
+
+def _moment_stats(
+    v: Column, n: Column, s1: Column, s2: Column, min_periods: int
+) -> tuple[Column, Column, Column]:
+    """The pinned finalize shared by rolling_stats and seasonal_baseline:
+    (mean, std, z) from exact (count, sum, sum-of-squares) partials.
+
+    Formula text is part of the cross-engine contract — the DuckDB
+    oracles state literally ``s/n``, ``sqrt((ss - s*s/n)/(n-1))`` and
+    ``(v - s/n) / sqrt(...)`` over partials cast to DOUBLE, so every
+    FP operation happens in the same order in both engines. std/z are
+    NULL below ``min_periods`` or when the window is constant
+    (``ss - s*s/n <= 0``): a too-young or flat series is "no evidence",
+    never ±inf."""
+    s1d, s2d, vd = s1.cast("double"), s2.cast("double"), v.cast("double")
+    mean = s1d / n
+    var_num = s2d - s1d * s1d / n
+    std = F.sqrt(var_num / (n - F.lit(1)))
+    ok_std = n >= F.lit(min_periods)
+    ok_z = ok_std & (var_num > 0)
+    return (
+        mean,
+        F.when(ok_std, std),
+        F.when(ok_z, (vd - s1d / n) / F.sqrt(var_num / (n - F.lit(1)))),
+    )
 
 
 def rolling_stats(
@@ -64,22 +101,26 @@ def rolling_stats(
     v2 flatten convention), plus ``roll_z`` — the z-score of the current
     value against that trailing window — the standard streaming anomaly
     score. ``roll_std``/``roll_z`` are NULL when the frame holds fewer
-    than ``min_periods`` points or the window is constant (std == 0):
-    a too-young or flat series is "no evidence", never ±inf.
+    than ``min_periods`` points or the window is constant: a too-young
+    or flat series is "no evidence", never ±inf.
 
     Unlike ``Flattener`` (stats at chosen prediction times) this scores
     every event — the shape needed for alerting/outlier-tagging passes.
 
-    One exchange (entity), ONE window pass: all four outputs are window
-    expressions over the same (partition, order, frame) spec emitted in
-    a single ``select``, so Catalyst plans exactly one Window node with
-    one Sort — a ``withColumn`` chain would plan one Window+Sort per
-    column. The RANGE frame is over integer epoch-micros, so rows with
-    identical timestamps are frame peers and get identical stats and
-    the result is partition- and arrival-order-free. Stats stay in
-    whole-stage codegen; nothing leaves the JVM. Appends columns; all
-    input columns pass through.
-    """
+    One exchange (entity), ONE window pass: the three partials (count,
+    sum, sum of squares) are window expressions over the same
+    (partition, order, frame) spec emitted in a single ``select``, so
+    Catalyst plans exactly one Window node with one Sort — a
+    ``withColumn`` chain would plan one Window+Sort per column. The
+    RANGE frame is over integer epoch-micros, so rows with identical
+    timestamps are frame peers and get identical stats and the result
+    is partition- and arrival-order-free. Partials accumulate in the
+    input column's native type (module contract: integer input =>
+    bit-reproducible doubles; the caller owns not overflowing
+    sum(v*v) at the feeding scale), and mean/std/z are the pinned
+    ``_moment_stats`` finalize. Stats stay in whole-stage codegen;
+    nothing leaves the JVM. Appends columns; all input columns pass
+    through."""
     us = _require_positive("window", window)
     if min_periods < 2:
         raise ValueError(f"min_periods must be >= 2, got {min_periods}")
@@ -88,17 +129,17 @@ def rolling_stats(
         .orderBy(micros(F.col(ts_col)))
         .rangeBetween(-us, 0)
     )
-    v = F.col(value_col).cast("double")
+    v = F.col(value_col)
     n = F.count(v).over(w)
-    mean = F.avg(v).over(w)
-    std = F.stddev_samp(v).over(w)
-    ok = (n >= F.lit(min_periods)) & (std > 0)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean, std, z = _moment_stats(v, n, s1, s2, min_periods)
     return df.select(
         "*",
         n.alias("roll_n"),
-        mean.cast(_DEC).alias("roll_mean"),
-        F.when(n >= F.lit(min_periods), std).cast(_DEC).alias("roll_std"),
-        F.when(ok, (v - mean) / std).cast(_DEC).alias("roll_z"),
+        mean.alias("roll_mean"),
+        std.alias("roll_std"),
+        z.alias("roll_z"),
     )
 
 
@@ -122,8 +163,9 @@ def counter_increase(
     itself but does NOT break the chain: the delta runs from the last
     NON-NULL sample, so the increase across the gap is preserved.
     Returns one row per (entity, bucket_start) that saw at least one
-    delta: ``(entity, bucket_start, increase, n_deltas)`` with
-    ``increase`` DECIMAL(18,6).
+    delta: ``(entity, bucket_start, increase, n_deltas)``; ``increase``
+    keeps the input column's type (module contract: integer input =>
+    exact integer output, any engine).
 
     ``monotonic=True`` asserts the no-reset fast path: negative deltas
     raise instead of being reinterpreted, catching broken feeds where a
@@ -144,7 +186,7 @@ def counter_increase(
     if order_col is not None:
         order.append(F.col(order_col))
     w = Window.partitionBy(entity_col).orderBy(*order)
-    v = F.col(value_col).cast("double")
+    v = F.col(value_col)
     # last non-NULL predecessor, not lag(): a NULL scrape between two
     # samples must not swallow the bridging increase
     prev = F.last(v, ignorenulls=True).over(
@@ -161,7 +203,7 @@ def counter_increase(
                     F.lit(" for entity "),
                     F.col(entity_col).cast("string"),
                 )
-            ).cast("double"),
+            ).cast(df.schema[value_col].dataType),
         ).otherwise(delta)
     else:
         contrib = F.when(delta < 0, v).otherwise(delta)
@@ -175,7 +217,7 @@ def counter_increase(
             F.timestamp_micros(F.col("__bucket_us")).alias("bucket_start"),
         )
         .agg(
-            F.sum("__contrib").cast(_DEC).alias("increase"),
+            F.sum("__contrib").alias("increase"),
             F.count(F.lit(1)).alias("n_deltas"),
         )
     )
@@ -194,7 +236,9 @@ def downsample_m4(
     pixel-perfect line rendering of the bucket, and the standard
     preview/dashboard reduction for raw series. Emits ONE wide row per
     (entity, bucket_start): ``first_ts first_val min_ts min_val max_ts
-    max_val last_ts last_val n_points``, values DECIMAL(18,6).
+    max_val last_ts last_val n_points``; values keep the input column's
+    type (min/max/first/last SELECT an input value, they never
+    accumulate — integer in, integer out).
 
     Ties are deterministic by construction: first/last order by
     (ts, value) — equal-timestamp duplicates resolve to the smaller /
@@ -230,10 +274,10 @@ def m4_agg_exprs(ts_us: Column, value: Column) -> list[Column]:
     contract (first/last by (ts, value); min/max by (value, ts)),
     shared by batch ``downsample_m4`` and the streaming twin
     (``streaming.windowed.m4_partials``) so the two can never drift
-    apart. ``ts_us`` must be integer epoch-micros."""
-    v = value.cast("double")
-    by_time = F.struct(ts_us.alias("t"), v.alias("v"))
-    by_value = F.struct(v.alias("v"), ts_us.alias("t"))
+    apart. ``ts_us`` must be integer epoch-micros. The value keeps its
+    native type (selection ops, never accumulation)."""
+    by_time = F.struct(ts_us.alias("t"), value.alias("v"))
+    by_value = F.struct(value.alias("v"), ts_us.alias("t"))
     return [
         F.min(by_time).alias("__first"),
         F.max(by_time).alias("__last"),
@@ -246,18 +290,18 @@ def m4_agg_exprs(ts_us: Column, value: Column) -> list[Column]:
 def m4_finalize(grouped: DataFrame) -> DataFrame:
     """Unpack the ``m4_agg_exprs`` structs to the public wide schema
     (``entity, bucket_start, first_ts/val, min, max, last, n_points``);
-    the one definition of the DECIMAL(18,6) output contract."""
+    values pass through in their native type."""
     return grouped.select(
         "entity",
         "bucket_start",
         F.timestamp_micros(F.col("__first.t")).alias("first_ts"),
-        F.col("__first.v").cast(_DEC).alias("first_val"),
+        F.col("__first.v").alias("first_val"),
         F.timestamp_micros(F.col("__min.t")).alias("min_ts"),
-        F.col("__min.v").cast(_DEC).alias("min_val"),
+        F.col("__min.v").alias("min_val"),
         F.timestamp_micros(F.col("__max.t")).alias("max_ts"),
-        F.col("__max.v").cast(_DEC).alias("max_val"),
+        F.col("__max.v").alias("max_val"),
         F.timestamp_micros(F.col("__last.t")).alias("last_ts"),
-        F.col("__last.v").cast(_DEC).alias("last_val"),
+        F.col("__last.v").alias("last_val"),
         "n_points",
     )
 
@@ -274,7 +318,7 @@ def ewma(
     ``0.5 ** (Δt / halflife)`` (pandas ``ewm(halflife=..., times=...)``
     semantics, adjust=True), so the smoothing horizon is WALL-CLOCK
     time, not a row count — the correct baseline for event streams
-    whose cadence varies per entity. Appends ``ewma`` DECIMAL(18,6).
+    whose cadence varies per entity. Appends ``ewma`` (double).
 
     Semantics: rows with identical timestamps are peers — they all
     receive the same ewma, computed over every point at-or-before that
@@ -292,7 +336,17 @@ def ewma(
     ``exp(t/tau)`` factorization). At 100 TB the recurrence
     parallelises across entities; a single entity's history bounds one
     task, same contract as sessionize/pack_documents.
-    """
+
+    Cross-engine reproducibility: the recurrence is pinned to one
+    operation ORDER — per distinct timestamp, ``d = 0.5 ** (Δt_ns /
+    halflife_ns)``, ``num = num * d + sum(block values)``, ``den =
+    den * d + count(block values)``, ``ewma = num / den`` — so a SQL
+    twin replaying the same recurrence (order-pinned recursive CTE)
+    over the same inputs executes the same float ops in the same order
+    and reproduces the doubles bit-for-bit (pow/mul/add/div resolve to
+    the platform libm in both this scan and a C-engine oracle; feed an
+    integer column to make the block sums exact — the entry-point
+    query's cents channel). The output is emitted RAW, never rounded."""
     us = _require_positive("halflife", halflife)
 
     out_schema = StructType(
@@ -339,10 +393,10 @@ def ewma(
         return pdf
 
     out = df.groupBy(entity_col).applyInPandas(_scan, schema=out_schema)
-    # NaN (no history / NULL ts) casts to NULL; rounding happens once,
-    # at the edge
+    # NaN (no history / NULL ts) casts to NULL; the double is emitted
+    # raw — the recurrence order above IS the reproducibility contract
     return out.select(
-        *df.columns, F.col("ewma").cast(_DEC).alias("ewma")
+        *df.columns, F.nanvl(F.col("ewma"), F.lit(None)).alias("ewma")
     )
 
 
@@ -361,17 +415,19 @@ def seasonal_baseline(
     3am?" anomaly baseline that a plain trailing window cannot express.
     Appends ``slot`` (0-based slot index within the period),
     ``season_n``, ``season_mean``, ``season_std``, ``season_z`` —
-    mean/std/z DECIMAL(18,6); std/z NULL below ``min_periods`` or on
-    flat slots. The baseline INCLUDES the current point (profile
-    semantics — leave-one-out would shift every historical mean when a
-    point arrives late).
+    std/z NULL below ``min_periods`` or on flat slots. The baseline
+    INCLUDES the current point (profile semantics — leave-one-out would
+    shift every historical mean when a point arrives late).
 
     The slot index is pure integer arithmetic on epoch-micros
     (``pmod(t, period) // slot``, UTC — sessions here pin UTC), so it
     is engine- and timezone-independent and correct pre-1970. ONE
     exchange on (entity, slot) and ONE whole-partition Window node (no
     sort needed — the frame is the entire partition); everything stays
-    in whole-stage codegen.
+    in whole-stage codegen. Partials accumulate in the input column's
+    native type and finalize through the pinned ``_moment_stats``
+    formulas (module contract: integer input => bit-reproducible
+    doubles in any engine).
 
     ``period`` must be a positive multiple of ``slot`` so slots tile
     the period exactly.
@@ -389,24 +445,24 @@ def seasonal_baseline(
         F.pmod(micros(F.col(ts_col)), F.lit(p_us)) / F.lit(s_us)
     ).cast("long")
     w = Window.partitionBy(F.col(entity_col), slot_idx)
-    v = F.col(value_col).cast("double")
+    v = F.col(value_col)
     n = F.count(v).over(w)
-    mean = F.avg(v).over(w)
-    std = F.stddev_samp(v).over(w)
-    ok = (n >= F.lit(min_periods)) & (std > 0)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean, std, z = _moment_stats(v, n, s1, s2, min_periods)
     return df.select(
         "*",
         slot_idx.alias("slot"),
         n.alias("season_n"),
-        mean.cast(_DEC).alias("season_mean"),
-        F.when(n >= F.lit(min_periods), std).cast(_DEC).alias("season_std"),
-        F.when(ok, (v - mean) / std).cast(_DEC).alias("season_z"),
+        mean.alias("season_mean"),
+        std.alias("season_std"),
+        z.alias("season_z"),
     )
 
 
 def value_histogram(
     df: DataFrame,
-    bin_width: float,
+    bin_width: float | int,
     group_cols: Sequence[str] = ("event_type",),
     value_col: str = "value",
 ) -> DataFrame:
@@ -414,27 +470,37 @@ def value_histogram(
     excluded, each remaining value lands in the bin
     ``[floor(v / bin_width) * bin_width, +bin_width)`` (floor-toward
     -inf, so negative values bin correctly), and the result is one row
-    per non-empty (group, bin): ``(*group_cols, bin_lo, n, total)``
-    with ``bin_lo``/``total`` DECIMAL(18,6). The density companion to
-    :func:`downsample_m4` — M4 renders the line, this renders the
-    distribution heatmap.
+    per non-empty (group, bin): ``(*group_cols, bin_lo, n, total)``.
+    The density companion to :func:`downsample_m4` — M4 renders the
+    line, this renders the distribution heatmap.
+
+    With an INTEGER ``bin_width`` over an integer value column the
+    whole computation is exact integer arithmetic — ``bin_lo`` is
+    ``v - pmod(v, w)`` (the floored multiple, correct for negatives via
+    the pmod identity, no float division anywhere) and ``total`` an
+    exact integer sum — reproducible bit-for-bit in any engine (the
+    module's exact-partials contract; feed cents and a cents-scaled
+    width). With a float width, bin assignment is a double division +
+    floor and ``total`` a float sum — fine within one engine.
 
     ONE map-side-combined hash aggregate; output is bounded by
-    groups x occupied bins, never input rows. Bin assignment is a
-    single double division + floor, bit-identical across engines.
+    groups x occupied bins, never input rows.
     """
     if not bin_width > 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
-    v = F.col(value_col).cast("double")
-    bin_lo = (F.floor(v / F.lit(float(bin_width))) * F.lit(float(bin_width))).cast(
-        _DEC
-    )
+    v = F.col(value_col)
+    if isinstance(bin_width, int):
+        w = F.lit(bin_width)
+        bin_lo = v - F.pmod(v, w)
+    else:
+        vd = v.cast("double")
+        bin_lo = F.floor(vd / F.lit(float(bin_width))) * F.lit(float(bin_width))
     return (
         df.filter(v.isNotNull())
         .groupBy(*[F.col(c) for c in group_cols], bin_lo.alias("bin_lo"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(v).cast(_DEC).alias("total"),
+            F.sum(v).alias("total"),
         )
     )
 
@@ -448,27 +514,39 @@ def signal_corr(
     type_col: str = "event_type",
     value_col: str = "value",
     min_buckets: int = 2,
+    exact_quantum: int | None = None,
 ) -> DataFrame:
     """Pairwise Pearson correlation between named signals of the SAME
     entity, after aligning the irregular streams onto a common
     ``bucket`` grid (correlating raw irregular series is meaningless —
     the observations never line up; bucket means are the standard
     alignment). Returns one row per (entity, unordered signal pair):
-    ``(entity, sig_a, sig_b, corr, n_buckets)`` — ``corr``
-    DECIMAL(18,6), NULL when fewer than ``min_buckets`` buckets have
-    BOTH signals (or either side is constant); ``n_buckets`` is that
-    both-present count. Pair order follows the ``signals`` list
-    (sig_a earlier), so output keys are deterministic.
+    ``(entity, sig_a, sig_b, corr, n_buckets)`` — ``corr`` double, NULL
+    when fewer than ``min_buckets`` buckets have BOTH signals (or
+    either side is constant); ``n_buckets`` is that both-present count.
+    Pair order follows the ``signals`` list (sig_a earlier), so output
+    keys are deterministic.
+
+    ``exact_quantum=Q`` (requires an integer value column, e.g. cents)
+    switches alignment to the FLOOR-QUANTIZED bucket mean
+    ``(sum*Q - pmod(sum*Q, n)) / n`` — an exact integer in units of
+    1/Q — and computes Pearson from exact integer co-moments
+    (n, Σx, Σy, Σxy, Σx², Σy² over both-present buckets) finalized by
+    one pinned float expression: bit-reproducible in any engine (the
+    module contract), at the cost of quantizing each bucket mean by
+    <= 1/Q. Pearson is scale-invariant, so the quantum's unit drops
+    out. With ``exact_quantum=None`` the alignment is the plain float
+    bucket mean and the co-moments are float sums (one-engine only).
 
     Two map-side-combined aggregates, no joins and no pivot shuffle:
     stage 1 reduces the stream to one row per (entity, bucket) with one
-    conditional-mean column per signal; stage 2 computes all
-    k(k-1)/2 ``corr`` co-moments in ONE aggregate over those reduced
-    rows (Pearson is scale-invariant, so Spark's and any other engine's
-    sample/population choice cancels), then an explode-of-struct-array
-    projection unpivots to long form. Cost is bounded by entities x buckets, not
-    input rows; the signal list is a fixed O(k^2) column budget, not a
-    data-dependent pivot.
+    conditional column per signal; stage 2 computes all k(k-1)/2
+    pairwise co-moments in ONE aggregate over those reduced rows, then
+    an explode-of-struct-array projection unpivots to long form. Cost
+    is bounded by entities x buckets, not input rows; the signal list
+    is a fixed O(k^2) column budget, not a data-dependent pivot.
+    Caller owns co-moment magnitude: quantized means times Q must keep
+    Σx² under 2^63 at the feeding scale.
     """
     us = _require_positive("bucket", bucket)
     sigs = list(signals)
@@ -478,66 +556,93 @@ def signal_corr(
         raise ValueError(f"duplicate signals in {sigs!r}")
     if min_buckets < 2:
         raise ValueError(f"min_buckets must be >= 2, got {min_buckets}")
+    if exact_quantum is not None and exact_quantum < 1:
+        raise ValueError(f"exact_quantum must be >= 1, got {exact_quantum!r}")
 
-    v = F.col(value_col).cast("double")
+    v = F.col(value_col)
+    if exact_quantum is not None:
+        q = F.lit(exact_quantum)
+
+        def _aligned_val(i: int, s: str) -> Column:
+            sv = F.sum(F.when(F.col(type_col) == s, v))
+            nn = F.count(F.when(F.col(type_col) == s, v))
+            num = sv * q
+            # floor-quantized mean: exact multiple of nn, so the double
+            # division is exact and the long cast lossless
+            return ((num - F.pmod(num, nn)) / nn).cast("long").alias(f"__s{i}")
+
+    else:
+
+        def _aligned_val(i: int, s: str) -> Column:
+            return F.avg(F.when(F.col(type_col) == s, v.cast("double"))).alias(
+                f"__s{i}"
+            )
+
     aligned = (
         df.filter(F.col(type_col).isin(sigs))
         .groupBy(
             F.col(entity_col).alias("entity"),
             floor_to_width(micros(F.col(ts_col)), us).alias("__b"),
         )
-        .agg(
-            *[
-                F.avg(F.when(F.col(type_col) == s, v)).alias(f"__s{i}")
-                for i, s in enumerate(sigs)
-            ]
-        )
+        .agg(*[_aligned_val(i, s) for i, s in enumerate(sigs)])
     )
-    # Pearson from covar/stddev co-moments rather than F.corr: under
-    # ANSI mode corr raises DIVIDE_BY_ZERO on a constant side, while
-    # the contract here is NULL ("no evidence"). Pairwise deletion
-    # needs the stddevs masked to both-present rows (a bucket where
-    # only one signal fired must not widen the other's spread).
+    # Pearson from co-moments rather than F.corr: under ANSI mode corr
+    # raises DIVIDE_BY_ZERO on a constant side, while the contract here
+    # is NULL ("no evidence"). Pairwise deletion masks every sum to
+    # both-present rows (a bucket where only one signal fired must not
+    # widen the other's spread).
     aggs, pairs = [], []
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
             ci, cj = F.col(f"__s{i}"), F.col(f"__s{j}")
-            aggs.append(F.covar_samp(ci, cj).alias(f"__cv_{i}_{j}"))
+            both = ci.isNotNull() & cj.isNotNull()
             aggs.append(
-                F.stddev_samp(F.when(cj.isNotNull(), ci)).alias(f"__sx_{i}_{j}")
+                F.count(F.when(both, F.lit(1))).alias(f"__n_{i}_{j}")
             )
-            aggs.append(
-                F.stddev_samp(F.when(ci.isNotNull(), cj)).alias(f"__sy_{i}_{j}")
-            )
-            aggs.append(
-                F.count(F.when(ci.isNotNull() & cj.isNotNull(), F.lit(1))).alias(
-                    f"__n_{i}_{j}"
-                )
-            )
+            aggs.append(F.sum(F.when(both, ci)).alias(f"__sx_{i}_{j}"))
+            aggs.append(F.sum(F.when(both, cj)).alias(f"__sy_{i}_{j}"))
+            aggs.append(F.sum(F.when(both, ci * cj)).alias(f"__sxy_{i}_{j}"))
+            aggs.append(F.sum(F.when(both, ci * ci)).alias(f"__sxx_{i}_{j}"))
+            aggs.append(F.sum(F.when(both, cj * cj)).alias(f"__syy_{i}_{j}"))
             pairs.append((i, j))
     wide = aligned.groupBy("entity").agg(*aggs)
     # unpivot to long form; pure projection (CASE branches evaluate
-    # lazily, so the division never fires on a constant/thin pair)
+    # lazily, so the division never fires on a constant/thin pair).
+    # Finalize formula text pinned (mirrored by the SQL oracle):
+    # num = sxy - sx*sy/n; dx = sxx - sx*sx/n; dy = syy - sy*sy/n;
+    # corr = num / (sqrt(dx) * sqrt(dy)) — partials cast to double first
     parts = []
     for i, j in pairs:
-        sx, sy = F.col(f"__sx_{i}_{j}"), F.col(f"__sy_{i}_{j}")
+        n = F.col(f"__n_{i}_{j}")
+        sx = F.col(f"__sx_{i}_{j}").cast("double")
+        sy = F.col(f"__sy_{i}_{j}").cast("double")
+        sxy = F.col(f"__sxy_{i}_{j}").cast("double")
+        sxx = F.col(f"__sxx_{i}_{j}").cast("double")
+        syy = F.col(f"__syy_{i}_{j}").cast("double")
+        dx = sxx - sx * sx / n
+        dy = syy - sy * sy / n
         gate = F.when(
-            (F.col(f"__n_{i}_{j}") >= F.lit(min_buckets))
-            & (sx > 0)
-            & (sy > 0),
-            F.col(f"__cv_{i}_{j}") / (sx * sy),
-        ).cast(_DEC)
+            (n >= F.lit(min_buckets)) & (dx > 0) & (dy > 0),
+            (sxy - sx * sy / n) / (F.sqrt(dx) * F.sqrt(dy)),
+        )
         parts.append(
             F.struct(
                 F.lit(sigs[i]).alias("sig_a"),
                 F.lit(sigs[j]).alias("sig_b"),
                 gate.alias("corr"),
-                F.col(f"__n_{i}_{j}").alias("n_buckets"),
+                n.alias("n_buckets"),
             )
         )
     return wide.select(
         "entity", F.explode(F.array(*parts)).alias("__p")
     ).select("entity", "__p.sig_a", "__p.sig_b", "__p.corr", "__p.n_buckets")
+
+
+def _quantile_fraction(q: float) -> Fraction:
+    frac = Fraction(str(q)).limit_denominator(10**6)
+    if not 0 < frac < 1:
+        raise ValueError(f"quantiles must be in (0, 1), got {q!r}")
+    return frac
 
 
 def bucket_quantiles(
@@ -552,28 +657,38 @@ def bucket_quantiles(
     percentiles, the canonical observability rollup. One map-side-
     combined aggregate emitting ``(entity, bucket_start, n, p50, p95,
     ...)``; quantile columns are named from the q values (0.5 -> p50,
-    0.999 -> p99_9), continuous (linear-interpolation) quantiles cast
-    DECIMAL(18,6); NULL values carry no weight (``n`` counts non-NULL;
-    all-NULL buckets keep the row with NULL quantiles).
+    0.999 -> p99_9) and hold the CONTINUOUS (linear-interpolation,
+    type-7) quantile as a double. NULL values carry no weight (``n``
+    counts non-NULL; all-NULL buckets keep the row with NULL
+    quantiles).
 
-    Exactness vs mergeability: ``percentile`` buffers each group's
-    values, so task memory is bounded by the largest (entity, bucket)
-    group — the right tool for bounded buckets needing exact tails.
-    For unbounded groups or cross-tier re-aggregation use the DDSketch
-    quantile tiers (``plans/sketch.py``): mergeable, fixed-size state,
-    rank-error-bounded. Spark's and DuckDB's/Postgres'
-    ``quantile_cont`` share the interpolation formula, so results are
-    bit-identical cross-engine.
+    The interpolation is stated EXPLICITLY as order statistics rather
+    than delegated to an engine quantile primitive (whose index/
+    midpoint formulas drift across engines and versions): with q =
+    num/den exact and the group's sorted non-NULL values a[0..n-1],
+    ``h = (n-1)*num``, ``idx = floor(h/den)``, ``rem = h - idx*den``
+    (all exact integers), and the result is the single pinned float
+    expression ``(a[idx]*den + (a[idx+1]-a[idx])*rem) / den`` — for an
+    integer value column the numerator is an exact integer, so the
+    quantile is one IEEE division and bit-reproducible in any engine
+    (the module contract); identical in real arithmetic to
+    quantile_cont/percentile.
+
+    Exactness vs mergeability: the sorted-array aggregate buffers each
+    group's values (exactly like Spark's own ``percentile``), so task
+    memory is bounded by the largest (entity, bucket) group — the
+    right tool for bounded buckets needing exact tails. For unbounded
+    groups or cross-tier re-aggregation use the DDSketch quantile
+    tiers (``plans/sketch.py``): mergeable, fixed-size state,
+    rank-error-bounded.
     """
     us = _require_positive("bucket", bucket)
     qlist = list(qs)
     if not qlist:
         raise ValueError("qs must be non-empty")
-    for q in qlist:
-        if not 0.0 < q < 1.0:
-            raise ValueError(f"quantiles must be in (0, 1), got {q!r}")
     if len(set(qlist)) != len(qlist):
         raise ValueError(f"duplicate quantiles in {qlist!r}")
+    fracs = [_quantile_fraction(q) for q in qlist]
 
     def _name(q: float) -> str:
         return "p" + format(q * 100, ".10g").replace(".", "_")
@@ -584,18 +699,35 @@ def bucket_quantiles(
             f"quantiles {qlist!r} render to colliding column names {names!r}"
         )
 
-    v = F.col(value_col).cast("double")
-    return df.groupBy(
+    v = F.col(value_col)
+    grouped = df.groupBy(
         F.col(entity_col).alias("entity"),
         F.timestamp_micros(floor_to_width(micros(F.col(ts_col)), us)).alias(
             "bucket_start"
         ),
-    ).agg(
-        F.count(v).alias("n"),
-        *[
-            F.percentile(v, F.lit(q)).cast(_DEC).alias(_name(q))
-            for q in qlist
-        ],
+    ).agg(F.array_sort(F.collect_list(v)).alias("__a"))
+
+    arr, n = F.col("__a"), F.size(F.col("__a"))
+    cols = []
+    for q, fr, name in zip(qlist, fracs, names):
+        num, den = F.lit(fr.numerator), F.lit(fr.denominator)
+        h = (n - F.lit(1)) * num
+        # h/den lands strictly inside (k, k+1) with margin >= 1/den when
+        # not exact, so the double division can't cross an integer
+        # boundary and floor is the true floor
+        idx = F.floor(h / den)
+        rem = h - idx * den
+        lo = F.element_at(arr, (idx + F.lit(1)).cast("int"))
+        hi = F.when(
+            rem > 0, F.element_at(arr, (idx + F.lit(2)).cast("int"))
+        ).otherwise(lo)
+        val = (lo * den + (hi - lo) * rem).cast("double") / den
+        cols.append(F.when(n > 0, val).alias(name))
+    return grouped.select(
+        "entity",
+        "bucket_start",
+        n.cast("long").alias("n"),
+        *cols,
     )
 
 
