@@ -113,6 +113,32 @@ def _value_frame_cents(spark: SparkSession, sf_dir: str) -> ValueFrame:
     )
 
 
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with value replaced by exact integer cents — the input
+    every oracle-checked raw-timeseries query feeds so engine-side
+    partials (sums, sums of squares, co-moments) are exact integers in
+    ANY accumulation order and ANY engine (see _value_frame_cents); the
+    operators then derive their doubles through one pinned expression,
+    bit-identical cross-engine, with NO rounding/DECIMAL at the edge
+    (DECIMAL output normalizes differently across client fetch paths —
+    the r6 driver-environment lesson)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+
+# the oracle-side twin of _events_cents (epoch-micros precomputed)
+_ORACLE_EV_CENTS = """
+ev AS (
+  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS t,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events)"""
+
+
 def _flatten(spark, sf_dir, lookbehinds, aggs, fallback=0, cents=False):
     vf = _value_frame_cents(spark, sf_dir) if cents else _value_frame(spark, sf_dir)
     flat = Flattener(predictiontime_frame=_pred_frame(spark, sf_dir)).aggregate_timeseries(
@@ -1814,13 +1840,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-doc_id half of the corpus, scores the odd half — so the
     unseen-bigram and unseen-left-word backoff paths both fire (a
     self-scored corpus would never produce an unseen bigram and the
-    oracle could not distinguish a broken backoff). lm_score is
-    DECIMAL(18,6): the rounding pins the double mean across engines'
-    libm log2 implementations."""
+    oracle could not distinguish a broken backoff). quantize=1e6 snaps
+    each bigram's nll to an integer grid (counts are exact, measured
+    boundary margin >= 4e-10 vs ~7e-15 libm jitter), so the weighted
+    sum is exact and lm_score is ONE IEEE division — bit-identical in
+    any engine, unlike the r6 DECIMAL-rounded double mean."""
     docs = _t(spark, sf_dir, "documents")
     return T.lm_score(
         docs.filter(F.col("doc_id") % 2 == 1),
         ref=docs.filter(F.col("doc_id") % 2 == 0),
+        quantize=10**6,
     )
 
 
@@ -1829,48 +1858,63 @@ def q_domain_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark ranks via the de-funnelled two-stage (domain, md5-bucket)
     window + exact re-rank of the <=16k survivors; the oracle states
     the value contract as the one-window rank it is identical to
-    (same pattern as curriculum_schedule). tfidf is DECIMAL(18,6)
-    rounded BEFORE ranking so rank order matches across libm ln."""
+    (same pattern as curriculum_schedule). quantize=1e6 snaps the
+    score to an integer grid BEFORE ranking (exact tf/df_t/N; measured
+    boundary margin >= 0.28 grid units vs ~1e-9 libm-ln jitter), so
+    both the emitted tfidf_q BIGINT and the rank are engine-proof."""
     return T.domain_tfidf_topk(
-        _t(spark, sf_dir, "documents"), domain_col="source", k=10
+        _t(spark, sf_dir, "documents"), domain_col="source", k=10,
+        quantize=10**6,
     )
 
 
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1h rolling stats + z-score at EVERY event (per-entity
     RANGE window over epoch-micros; peers-by-timestamp share a frame in
-    both engines; mean/std/z DECIMAL(18,6)-rounded)."""
+    both engines). Cents channel: the (n, Σ, Σ²) partials are exact
+    integers, mean/std/z are the pinned finalize — raw doubles,
+    bit-identical in any engine."""
     from timeseriesflattener_spark.operators.rolling import rolling_stats
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    return rolling_stats(ev, dt.timedelta(hours=1), entity_col="user_id")
+    ev = _events_cents(spark, sf_dir).select("event_id", "user_id", "ts", "cents")
+    return rolling_stats(
+        ev, dt.timedelta(hours=1), entity_col="user_id", value_col="cents"
+    )
 
 
 def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reset-aware per-1h counter increase (PromQL ``increase``): lag
     deltas per entity (event_id tie-break), negative delta = reset =
     post-reset value, delta attributed to the later sample's bucket,
-    first sample dropped."""
+    first sample dropped. Cents channel: increase is an exact integer
+    sum — BIGINT in both engines."""
     from timeseriesflattener_spark.operators.rolling import counter_increase
 
-    ev = _t(spark, sf_dir, "events")
-    return counter_increase(ev, dt.timedelta(hours=1), entity_col="user_id")
+    ev = _events_cents(spark, sf_dir)
+    return counter_increase(
+        ev, dt.timedelta(hours=1), entity_col="user_id", value_col="cents"
+    )
 
 
 def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 visualization downsample: first/last/min/max point per
-    (entity, 6h bucket) in ONE hash aggregate of 4 struct min/max
-    partials; ties pinned by (ts,value)/(value,ts) struct order."""
+    (entity, 6h bucket) in ONE aggregate of 4 struct min/max partials;
+    ties pinned by (ts,value)/(value,ts) struct order. Cents channel:
+    min/max/first/last SELECT an input value — integer in, integer out,
+    no accumulation anywhere."""
     from timeseriesflattener_spark.operators.rolling import downsample_m4
 
-    ev = _t(spark, sf_dir, "events")
-    return downsample_m4(ev, dt.timedelta(hours=6), entity_col="user_id")
+    ev = _events_cents(spark, sf_dir)
+    return downsample_m4(
+        ev, dt.timedelta(hours=6), entity_col="user_id", value_col="cents"
+    )
 
 
 def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized time-in-state: each event opens [ts, next ts) for its
     event_type; intervals chopped at 6h boundaries, horizon closed at
-    2024-02-01; integer-us arithmetic, DECIMAL(18,6) seconds."""
+    2024-02-01; integer-µs arithmetic end to end, seconds = ONE IEEE
+    division of the exact µs sum (raw double, engine-proof)."""
     from timeseriesflattener_spark.operators.intervals import state_durations
 
     ev = _t(spark, sf_dir, "events")
@@ -1886,30 +1930,39 @@ def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decayed EWMA (halflife 2h, pandas ewm(times=) semantics) at
     every event via the per-entity O(n) Arrow recurrence; equal-ts rows
-    are peers; NULL values weightless."""
+    are peers; NULL values weightless. Cents channel + order-pinned
+    oracle: the oracle REPLAYS the operator's exact recurrence (d =
+    0.5^(Δns/hl_ns); num = num*d + Σblock; den = den*d + nblock) as a
+    recursive CTE over the same integers, so both engines execute the
+    same float ops in the same order — bit-identical doubles (the
+    pack_documents pattern), unlike the r6 closed-form self-join whose
+    float-sum accumulation order differed."""
     from timeseriesflattener_spark.operators.rolling import ewma
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    return ewma(ev, dt.timedelta(hours=2), entity_col="user_id")
+    ev = _events_cents(spark, sf_dir).select("event_id", "user_id", "ts", "cents")
+    return ewma(ev, dt.timedelta(hours=2), entity_col="user_id", value_col="cents")
 
 
 def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal profile z-score per user: slot = pure
     epoch-micros arithmetic (UTC), baseline = whole-(entity, slot)
-    window including the current point; std/z NULL below min_periods=3."""
+    window including the current point; std/z NULL below min_periods=3.
+    Cents channel: exact partials, pinned finalize, raw doubles."""
     from timeseriesflattener_spark.operators.rolling import seasonal_baseline
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    return seasonal_baseline(ev, entity_col="user_id")
+    ev = _events_cents(spark, sf_dir).select("event_id", "user_id", "ts", "cents")
+    return seasonal_baseline(ev, entity_col="user_id", value_col="cents")
 
 
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width (2.5) value histogram per event_type: one map-side-
-    combined hash aggregate; floor-toward--inf binning; NULLs excluded."""
+    """Fixed-width value histogram per event_type (250 cents = the 2.5
+    width in the cents domain): one map-side-combined hash aggregate;
+    floor-toward--inf binning via the pmod identity — pure integer
+    arithmetic, no float division anywhere; NULLs excluded."""
     from timeseriesflattener_spark.operators.rolling import value_histogram
 
-    ev = _t(spark, sf_dir, "events")
-    return value_histogram(ev, 2.5, group_cols=("event_type",))
+    ev = _events_cents(spark, sf_dir)
+    return value_histogram(ev, 250, group_cols=("event_type",), value_col="cents")
 
 
 def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1946,23 +1999,31 @@ def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT p50/p95/p99 per (user, 6h bucket) in one map-side-combined
-    aggregate; Spark percentile and DuckDB quantile_cont share the
-    linear-interpolation formula bit-for-bit. The DDSketch tier
+    aggregate. The type-7 interpolation is stated as explicit integer
+    order statistics over sorted cents (h/idx/rem exact; ONE final IEEE
+    division) rather than delegated to engine quantile primitives whose
+    index formulas drift across versions. The DDSketch tier
     (sketch_quantiles_1h) is the mergeable scale path of this."""
     from timeseriesflattener_spark.operators.rolling import bucket_quantiles
 
-    ev = _t(spark, sf_dir, "events")
-    return bucket_quantiles(ev, dt.timedelta(hours=6), entity_col="user_id")
+    ev = _events_cents(spark, sf_dir)
+    return bucket_quantiles(
+        ev, dt.timedelta(hours=6), entity_col="user_id", value_col="cents"
+    )
 
 
 def q_threshold_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands alert episodes: maximal runs of consecutive
-    events with value > 15 per user; flip-count run ids over the unique
-    (epoch-micros, event_id) order; NULL condition = False."""
+    events with cents > 1500 (== value > 15: values carry exactly 2
+    decimals) per user; flip-count run ids over the unique
+    (epoch-micros, event_id) order; NULL condition = False; peak
+    SELECTS an input cent value — BIGINT in both engines."""
     from timeseriesflattener_spark.operators.intervals import threshold_episodes
 
-    ev = _t(spark, sf_dir, "events")
-    return threshold_episodes(ev, F.col("value") > 15, entity_col="user_id")
+    ev = _events_cents(spark, sf_dir)
+    return threshold_episodes(
+        ev, F.col("cents") > 1500, entity_col="user_id", value_col="cents"
+    )
 
 
 def q_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,13 +2037,13 @@ def q_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesflattener_spark.streaming.windowed import start_m4_stream
 
     work = tempfile.mkdtemp(prefix="tsf-stream-m4-")
-    src = _t(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    src = _events_cents(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "cents"
     )
     sentinel = spark.createDataFrame([(-1,)], "user_id long").select(
         "user_id",
         F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
-        F.lit(0.0).alias("value"),
+        F.lit(0).cast("long").alias("cents"),
     )
     src.unionByName(sentinel).repartition(4).write.parquet(f"{work}/input")
 
@@ -1990,11 +2051,12 @@ def q_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_m4_stream(
             spark,
             f"{work}/input",
-            schema="user_id long, ts timestamp, value double",
+            schema="user_id long, ts timestamp, cents long",
             out_path=f"{work}/out",
             checkpoint_dir=f"{work}/ckpt",
             bucket=dt.timedelta(hours=6),
             entity_col="user_id",
+            value_col="cents",
             watermark="1 hour",
         ).awaitTermination()
 
@@ -2014,20 +2076,24 @@ def q_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _M4_ORACLE_SQL = """
-WITH g AS (
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+g AS (
   SELECT user_id AS entity,
-    make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket_start,
-    min({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS f,
-    max({'t': epoch_us(ts), 'v': CAST(value AS DOUBLE)}) AS l,
-    min({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS lo,
-    max({'v': CAST(value AS DOUBLE), 't': epoch_us(ts)}) AS hi,
+    make_timestamp(t - t % 21600000000) AS bucket_start,
+    min({'t': t, 'v': cents}) AS f,
+    max({'t': t, 'v': cents}) AS l,
+    min({'v': cents, 't': t}) AS lo,
+    max({'v': cents, 't': t}) AS hi,
     CAST(count(*) AS BIGINT) AS n_points
-  FROM events GROUP BY 1, 2)
+  FROM ev GROUP BY 1, 2)
 SELECT entity, bucket_start,
-  make_timestamp(f.t) AS first_ts, CAST(f.v AS DECIMAL(18,6)) AS first_val,
-  make_timestamp(lo.t) AS min_ts, CAST(lo.v AS DECIMAL(18,6)) AS min_val,
-  make_timestamp(hi.t) AS max_ts, CAST(hi.v AS DECIMAL(18,6)) AS max_val,
-  make_timestamp(l.t) AS last_ts, CAST(l.v AS DECIMAL(18,6)) AS last_val,
+  make_timestamp(f.t) AS first_ts, CAST(f.v AS BIGINT) AS first_val,
+  make_timestamp(lo.t) AS min_ts, CAST(lo.v AS BIGINT) AS min_val,
+  make_timestamp(hi.t) AS max_ts, CAST(hi.v AS BIGINT) AS max_val,
+  make_timestamp(l.t) AS last_ts, CAST(l.v AS BIGINT) AS last_val,
   n_points
 FROM g"""
 
@@ -2037,45 +2103,111 @@ _SIGNAL_CORR_SIGS = ["click", "view", "error", "purchase", "signup"]
 
 def q_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation between the five event-type signals
-    per user, aligned on daily bucket means; covar/stddev co-moments
-    with pairwise-masked stddevs (NULL below 2 shared buckets or on a
-    constant side — never an ANSI divide-by-zero)."""
+    per user, aligned on daily buckets; pairwise-masked co-moments (NULL
+    below 2 shared buckets or on a constant side — never an ANSI
+    divide-by-zero). exact_quantum=100 floor-quantizes each bucket mean
+    to an exact integer (1/100 cent units — Pearson is scale-invariant)
+    so all six co-moments are exact integer sums and corr is one pinned
+    float finalize — bit-identical in any engine."""
     from timeseriesflattener_spark.operators.rolling import signal_corr
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _events_cents(spark, sf_dir)
     return signal_corr(
-        ev, _SIGNAL_CORR_SIGS, dt.timedelta(days=1), entity_col="user_id"
+        ev,
+        _SIGNAL_CORR_SIGS,
+        dt.timedelta(days=1),
+        entity_col="user_id",
+        value_col="cents",
+        exact_quantum=100,
     )
 
 
 def _signal_corr_oracle() -> str:
-    """Mirror of signal_corr's two-stage plan in DuckDB SQL, generated
-    over the same signal list so the pair set cannot drift."""
+    """Mirror of signal_corr's exact_quantum=100 plan in DuckDB SQL,
+    generated over the same signal list so the pair set cannot drift:
+    floor-quantized integer bucket means, exact integer co-moments over
+    both-present buckets, and the operator's LITERAL pinned finalize
+    (num/dx/dy formula text identical — same float ops, same order)."""
     sigs = _SIGNAL_CORR_SIGS
-    avgs = ",\n    ".join(
-        f"avg(CASE WHEN event_type = '{s}' THEN value END) AS s{i}"
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN event_type = '{s}' THEN cents END) AS sv{i},\n"
+        f"    count(CASE WHEN event_type = '{s}' THEN cents END) AS nn{i}"
         for i, s in enumerate(sigs)
+    )
+    # floor-quantized mean in 1/100-cent units: exact multiple of nn,
+    # so the // is exact (pmod identity keeps negatives floored)
+    aligned = ",\n    ".join(
+        f"CASE WHEN nn{i} > 0 THEN CAST((sv{i} * 100"
+        f" - ((sv{i} * 100 % nn{i}) + nn{i}) % nn{i}) // nn{i}"
+        f" AS BIGINT) END AS s{i}"
+        for i in range(len(sigs))
     )
     pair_sqls = []
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
-            n = f"count(CASE WHEN s{i} IS NOT NULL AND s{j} IS NOT NULL THEN 1 END)"
-            sx = f"stddev_samp(CASE WHEN s{j} IS NOT NULL THEN s{i} END)"
-            sy = f"stddev_samp(CASE WHEN s{i} IS NOT NULL THEN s{j} END)"
+            both = f"s{i} IS NOT NULL AND s{j} IS NOT NULL"
             pair_sqls.append(
                 f"""SELECT entity, '{sigs[i]}' AS sig_a, '{sigs[j]}' AS sig_b,
-  CAST(CASE WHEN {n} >= 2 AND {sx} > 0 AND {sy} > 0
-       THEN covar_samp(s{i}, s{j}) / ({sx} * {sy}) END
-       AS DECIMAL(18,6)) AS corr,
-  CAST({n} AS BIGINT) AS n_buckets
+  CAST(count(CASE WHEN {both} THEN 1 END) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN {both} THEN s{i} END) AS DOUBLE) AS sx,
+  CAST(sum(CASE WHEN {both} THEN s{j} END) AS DOUBLE) AS sy,
+  CAST(sum(CASE WHEN {both} THEN s{i} * s{j} END) AS DOUBLE) AS sxy,
+  CAST(sum(CASE WHEN {both} THEN s{i} * s{i} END) AS DOUBLE) AS sxx,
+  CAST(sum(CASE WHEN {both} THEN s{j} * s{j} END) AS DOUBLE) AS syy
 FROM a GROUP BY entity"""
             )
     return (
-        "WITH a AS (\n  SELECT user_id AS entity,\n"
-        "    epoch_us(ts) - epoch_us(ts) % 86400000000 AS b,\n    "
-        + avgs
-        + "\n  FROM events GROUP BY 1, 2)\n"
-        + "\nUNION ALL\n".join(pair_sqls)
+        "WITH ev AS (\n"
+        "  SELECT user_id, event_type, epoch_us(ts) AS t,\n"
+        "    CAST(round(value * 100, 0) AS BIGINT) AS cents\n"
+        "  FROM events),\n"
+        "b AS (\n  SELECT user_id AS entity, t - t % 86400000000 AS bk,\n    "
+        + sums
+        + "\n  FROM ev GROUP BY 1, 2),\n"
+        "a AS (\n  SELECT entity,\n    " + aligned + "\n  FROM b),\n"
+        "pairs AS (\n" + "\nUNION ALL\n".join(pair_sqls) + ")\n"
+        "SELECT entity, sig_a, sig_b,\n"
+        "  CASE WHEN n >= 2 AND sxx - sx * sx / n > 0"
+        " AND syy - sy * sy / n > 0\n"
+        "       THEN (sxy - sx * sy / n)"
+        " / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))\n"
+        "       END AS corr,\n"
+        "  n AS n_buckets\nFROM pairs"
+    )
+
+
+def _bucket_quantiles_oracle() -> str:
+    """bucket_quantiles' explicit type-7 order statistics in DuckDB SQL,
+    generated from the same (numerator, denominator) fractions as the
+    operator so the interpolation text cannot drift. DuckDB lists are
+    1-based; `//` on the non-negative exact integers h/den is floor."""
+    cols = []
+    for num, den, name in ((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99")):
+        h = f"((n - 1) * {num})"
+        idx = f"({h} // {den})"
+        rem = f"({h} - {idx} * {den})"
+        lo = f"a[CAST({idx} AS BIGINT) + 1]"
+        hi = f"(CASE WHEN {rem} > 0 THEN a[CAST({idx} AS BIGINT) + 2] ELSE {lo} END)"
+        cols.append(
+            f"  CASE WHEN n > 0 THEN\n"
+            f"    CAST({lo} * {den} + ({hi} - {lo}) * {rem} AS DOUBLE) / {den}\n"
+            f"    END AS {name}"
+        )
+    return (
+        "WITH ev AS (\n"
+        "  SELECT user_id, epoch_us(ts) AS t,\n"
+        "    CAST(round(value * 100, 0) AS BIGINT) AS cents\n"
+        "  FROM events),\n"
+        "g AS (\n"
+        "  SELECT user_id AS entity,\n"
+        "    make_timestamp(t - t % 21600000000) AS bucket_start,\n"
+        "    coalesce(list_sort(list(cents) FILTER (cents IS NOT NULL)), [])"
+        " AS a\n"
+        "  FROM ev GROUP BY 1, 2),\n"
+        "s AS (SELECT entity, bucket_start, a, len(a) AS n FROM g)\n"
+        "SELECT entity, bucket_start, CAST(n AS BIGINT) AS n,\n"
+        + ",\n".join(cols)
+        + "\nFROM s"
     )
 
 
@@ -2313,11 +2445,11 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(i).alias("step"),
                         F.lit(steps[i - 1]).alias("step_type"),
                         F.col(f"__n{i}").alias("n_converted"),
-                        (F.col(f"__p50_{i}") / F.lit(1_000_000.0))
-                        .cast("decimal(18,6)")
+                        # percentile_disc selects an exact integer µs;
+                        # ONE IEEE division — raw double, engine-proof
+                        (F.col(f"__p50_{i}").cast("double") / F.lit(1_000_000.0))
                         .alias("p50_secs"),
-                        (F.col(f"__p90_{i}") / F.lit(1_000_000.0))
-                        .cast("decimal(18,6)")
+                        (F.col(f"__p90_{i}").cast("double") / F.lit(1_000_000.0))
                         .alias("p90_secs"),
                     )
                     for i in (2, 3)
@@ -2357,6 +2489,106 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the pinned co-moment Pearson (the repo's actual corr path — engine
+# corr()/covar_samp() aggregates differ ~1 ulp between JVM and DuckDB
+# even on this box, which is exactly why no query uses them)
+_CANARY_CORR_PINNED = (
+    "(CAST(sum(xi * yi) AS DOUBLE)"
+    " - CAST(sum(xi) AS DOUBLE) * CAST(sum(yi) AS DOUBLE) / count(*))"
+    " / (sqrt(CAST(sum(xi * xi) AS DOUBLE)"
+    " - CAST(sum(xi) AS DOUBLE) * CAST(sum(xi) AS DOUBLE) / count(*))"
+    " * sqrt(CAST(sum(yi * yi) AS DOUBLE)"
+    " - CAST(sum(yi) AS DOUBLE) * CAST(sum(yi) AS DOUBLE) / count(*)))"
+)
+
+_CANARY_PROBES = [
+    # aggregate-algorithm probes (accumulation order / algorithm seams;
+    # naive sequential sums over one partition — green on a matched
+    # engine pair, red iff the env's engine changed its agg algorithm)
+    ("avg_v", "avg(v)", "avg(v)"),
+    ("sum_v", "sum(v)", "sum(v)"),
+    ("stddev_samp_v", "stddev_samp(v)", "stddev_samp(v)"),
+    ("var_samp_v", "var_samp(v)", "var_samp(v)"),
+    # the repo's pinned exact-co-moment Pearson (identical text)
+    ("corr_pinned", _CANARY_CORR_PINNED, _CANARY_CORR_PINNED),
+    # quantile-interpolation probes (index/midpoint formula seams)
+    ("p50_v", "percentile(v, 0.5D)", "quantile_cont(v, 0.5)"),
+    ("p95_v", "percentile(v, 0.95D)", "quantile_cont(v, 0.95)"),
+    # quantized-log probes: raw ln/log2 differ by 1 ulp between JVM and
+    # glibc libm ON THIS BOX — the repo's lm_score/domain_tfidf contract
+    # is round(log * 1e6), asserted here; red means the env's libm
+    # drifted past the quantization margin (which WOULD break those)
+    (
+        "ln_3_q6",
+        "max(CAST(round(ln(3.0D) * 1000000D, 0) AS BIGINT)) / 1000000.0D",
+        "max(CAST(round(ln(3.0) * 1000000, 0) AS BIGINT)) / 1000000.0",
+    ),
+    (
+        "log2_10_q6",
+        "max(CAST(round(log2(10.0D) * 1000000D, 0) AS BIGINT)) / 1000000.0D",
+        "max(CAST(round(log2(10.0) * 1000000, 0) AS BIGINT)) / 1000000.0",
+    ),
+    # libm probes that DO match bit-for-bit on a healthy pair
+    ("pow_half", "max(pow(0.5D, 0.1234567D))", "max(pow(0.5, 0.1234567))"),
+    ("sqrt_2", "max(sqrt(2.0D))", "max(sqrt(2.0))"),
+    ("exp_1p1", "max(exp(1.1D))", "max(exp(1.1))"),
+    # literal-rounding probes (half-up vs half-even vs away-from-zero)
+    ("round_2675_2", "max(round(2.675D, 2))", "max(round(2.675, 2))"),
+    ("round_1005_2", "max(round(1.005D, 2))", "max(round(1.005, 2))"),
+    ("round_neg_2675_2", "max(round(-2.675D, 2))", "max(round(-2.675, 2))"),
+]
+
+
+def q_float_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-seam canary (VERDICT r6 #3): one fixed 20-point series
+    probing every engine float primitive the repo leans on — mean/std/
+    var/corr accumulation, quantile interpolation, libm (ln/log2/pow/
+    sqrt/exp), literal rounding — plus a deliberate DECIMAL(18,6)
+    column (``value_dec``) probing the client DECIMAL fetch path the r6
+    driver-RED queries implicated. Inputs derive from integers inside
+    each engine (``i*0.1``, ``i*i*0.01 + 0.005``) over ONE partition,
+    so both engines see identical doubles in identical order. If a
+    driver round fails this query, the differing probe row pinpoints
+    WHICH primitive (or the DECIMAL channel) diverges in that
+    environment — turning any future drift into one readable diff."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    aggs = ",\n    ".join(f"{expr} AS {name}" for name, expr, _ in _CANARY_PROBES)
+    rows = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS probe, {name} AS value FROM agg"
+        for name, _, _ in _CANARY_PROBES
+    )
+    return spark.sql(f"""
+WITH base AS (
+  SELECT CAST(id AS DOUBLE) * 0.1D AS v,
+         CAST(id * id AS DOUBLE) * 0.01D + 0.005D AS w,
+         id AS xi, id * id AS yi
+  FROM range(1, 21, 1, 1)),
+agg AS (
+  SELECT {aggs}
+  FROM base)
+SELECT probe, value, CAST(value AS DECIMAL(18,6)) AS value_dec FROM (
+  {rows})""")
+
+
+def _float_canary_oracle() -> str:
+    aggs = ",\n    ".join(f"{expr} AS {name}" for name, _, expr in _CANARY_PROBES)
+    rows = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS probe, {name} AS value FROM agg"
+        for name, _, _ in _CANARY_PROBES
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(id AS DOUBLE) * 0.1 AS v,
+         CAST(id * id AS DOUBLE) * 0.01 + 0.005 AS w,
+         id AS xi, id * id AS yi
+  FROM range(1, 21) t(id)),
+agg AS (
+  SELECT {aggs}
+  FROM base)
+SELECT probe, value, CAST(value AS DECIMAL(18,6)) AS value_dec FROM (
+  {rows})"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-window multi-aggregator flattening at sf0.001."""
     return q_flatten_multiwindow(spark, "/root/testdata/sf0.001")
@@ -2371,6 +2603,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_SELF_r*.json still covers ALL of them (pinned by
     # tests/test_artifacts.py).
     return {
+        # --- r7 window rows 1-14: the 14 r6 driver-RED float operators,
+        # re-landed on the exact-partials contract (VERDICT r6 #1) —
+        # every one strict-norm green vs DuckDB locally; they lead the
+        # window so CORRECTNESS_r07 records their driver verdict first
+        "rolling_zscore": q_rolling_zscore,
+        "counter_increase": q_counter_increase,
+        "downsample_m4": q_downsample_m4,
+        "state_durations": q_state_durations,
+        "ewma_halflife": q_ewma_halflife,
+        "seasonal_baseline": q_seasonal_baseline,
+        "value_histogram": q_value_histogram,
+        "signal_corr": q_signal_corr,
+        "bucket_quantiles": q_bucket_quantiles,
+        "threshold_episodes": q_threshold_episodes,
+        "interval_union": q_interval_union,
+        "cusum_drift": q_cusum_drift,
+        "domain_tfidf": q_domain_tfidf,
+        "lm_score": q_lm_score,
+        # --- row 15: the float-seam canary (VERDICT r6 #3) — if a
+        # driver round fails it, the differing probe row names the
+        # diverging engine primitive
+        "float_canary": q_float_canary,
+        # --- rows 16-27: the 12 queries that had never appeared in any
+        # driver artifact through r6 (VERDICT r6 missing #1) — after r7
+        # every query in this file has a driver verdict in some round
+        "corpus_stats": q_corpus_stats,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_lines": q_dedup_lines,
+        "funnel_latency": q_funnel_latency,
+        "mix_domains": q_mix_domains,
+        "pack_documents": q_pack_documents,
+        "quality_bins": q_quality_bins,
+        "resample_epochs": q_resample_epochs,
+        "split_corpus": q_split_corpus,
+        "stream_funnel": q_stream_funnel,
+        "stream_m4": q_stream_m4,
+        "synth_frame": q_synth_frame,
+        # --- rows 28-50: core regression coverage — one row per major
+        # family (flatten, rollup tiers, streaming, gap-fill, gorilla,
+        # as-of, dedup, funnel, quality gate)
         "flatten_multiwindow": q_flatten_multiwindow,
         "flatten_interval_window": q_flatten_interval_window,
         "flatten_var_unique_bool": q_flatten_var_unique_bool,
@@ -2390,118 +2662,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_1d": q_gapfill_linear_1d,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "asof_latest_value": q_asof_latest_value,
+        "dedup_exact": q_dedup_exact,
+        "funnel_steps": q_funnel_steps,
+        "stream_cusum": q_stream_cusum,
+        "quality_filter": q_quality_filter,
+        # --- driver 50-row window boundary: everything below was
+        # driver-GREEN in r5/r6 artifacts (the rotation ledger) or is a
+        # redundant twin of an in-window sibling; the committed
+        # CORRECTNESS_SELF artifact still covers ALL of them under the
+        # strict norm (pinned by tests/test_artifacts.py) ---
+        # r6-GREEN rows rotated out to make room for the 14+12+canary:
+        # text_stats / multimodal_meta / scrub_pii / curriculum_schedule
+        # / vocab_induct / overlap_join / chunk_documents / corpus_clean
+        # / pack_shards / pack_contexts / cohort_retention /
+        # event_transitions / funnel_sliding all have green r6 driver
+        # rows; their semantics stay partially in-window via
+        # quality_filter (same gate), quality_bins (same bins),
+        # funnel_steps (same chain), and corpus_stats (same stats)
         "text_stats": q_text_stats,
         "multimodal_meta": q_multimodal_meta,
         "scrub_pii": q_scrub_pii,
-        "quality_filter": q_quality_filter,
         "curriculum_schedule": q_curriculum_schedule,
-        "dedup_exact": q_dedup_exact,
         "vocab_induct": q_vocab_induct,
-        "domain_tfidf": q_domain_tfidf,
-        "rolling_zscore": q_rolling_zscore,
-        "counter_increase": q_counter_increase,
-        "downsample_m4": q_downsample_m4,
-        "state_durations": q_state_durations,
-        "ewma_halflife": q_ewma_halflife,
-        "seasonal_baseline": q_seasonal_baseline,
-        "value_histogram": q_value_histogram,
         "overlap_join": q_overlap_join,
-        "signal_corr": q_signal_corr,
-        "bucket_quantiles": q_bucket_quantiles,
-        "threshold_episodes": q_threshold_episodes,
         "chunk_documents": q_chunk_documents,
-        "lm_score": q_lm_score,
         "corpus_clean": q_corpus_clean,
         "pack_shards": q_pack_shards,
         "pack_contexts": q_pack_contexts,
-        "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
-        "interval_union": q_interval_union,
-        "cusum_drift": q_cusum_drift,
         "funnel_sliding": q_funnel_sliding,
-        "stream_cusum": q_stream_cusum,
-        # --- driver 50-row window boundary: everything below either
-        # shares an in-window sibling's oracle verbatim (stream_m4 ==
-        # downsample_m4, stream_funnel == funnel_steps), derives from
-        # an in-window sibling (funnel_latency ⊂ funnel_steps' chain),
-        # or is covered by the committed CORRECTNESS_SELF artifact ---
-        "funnel_latency": q_funnel_latency,
-        "stream_m4": q_stream_m4,
-        "stream_funnel": q_stream_funnel,
+        # long-standing tail twins (justifications unchanged from r6):
+        # ann_lsh/ann_ivf share ann_cosine's exact ranking + dominance
+        # oracle; flatten_boolean_outcome overlaps flatten_outcome +
+        # flatten_var_unique_bool; text_repetition drives
+        # quality_filter's repetition rule; dedup_jaccard yields the
+        # same verified pair set dedup_minhash checks; sessionize_30m
+        # shares sessionize_window_30m's oracle; dedup_simhash's family
+        # keeps minhash + embedding legs covered; pack_manifest is the
+        # arithmetic view of pack_contexts; prepare_training composes
+        # corpus_clean + sample_stratified + pack_shards byte-for-byte;
+        # flatten_v1_boundary carries 12 independent pytest goldens
         "sample_stratified": q_sample_stratified,
-        "split_corpus": q_split_corpus,
-        "synth_frame": q_synth_frame,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # tail = redundant twins of in-window queries: ann_lsh/ann_ivf
-        # share ann_cosine's exact ranking + the dominance-invariant
-        # oracle; flatten_boolean_outcome's lit(1) injection + bool agg
-        # overlap flatten_outcome + flatten_var_unique_bool;
-        # text_repetition's dup-line machinery drives quality_filter's
-        # repetition rule; dedup_jaccard at threshold 0.5 yields the
-        # same verified pair set dedup_minhash is oracle-checked on;
-        # sessionize_30m shares its oracle with sessionize_window_30m
-        # and the streaming twin stays in-window; dedup_simhash's
-        # near-dup family keeps minhash + embedding legs in-window;
-        # pack_manifest is the pure-arithmetic view of in-window
-        # pack_contexts; resample_epochs shares the md5-threshold
-        # contract with in-window sample_stratified + split_corpus;
-        # prepare_training composes in-window corpus_clean +
-        # sample_stratified + pack_shards (oracle reuses
-        # _CORPUS_CLEAN_CTES byte-for-byte); quality_bins is the bin
-        # projection curriculum_schedule (in-window) already contains
-        # flatten_v1_boundary: v1 boundary mode carries 12 independent
-        # pytest goldens; the v1 family stays represented in-tail
-        # stream_windowed_full_1h / dedup_incremental / dedup_lines
-        # moved in-tail for the r6 rolling/counter/m4 additions: their
-        # semantics stay in-window via stream_windowed_1h+stream_rollup
-        # (complete-mode twin), stream_dedup_against (the streaming
-        # form of the same accepted-corpus gate) and dedup_exact (the
-        # same normalise+hash groupBy at line grain)
         "stream_windowed_full_1h": q_stream_windowed_full_1h,
-        # hll_unique_1d / lang_id / pack_documents / mix_domains moved
-        # in-tail for the r6 state/ewma/seasonal/histogram additions:
-        # the sketch-tier contract stays in-window via topk + quantiles
-        # (HLL merge carries pytest + hypothesis goldens); lang_id is
-        # the same pure-projection text scoring as in-window text_stats;
-        # pack_documents is the no-split variant of in-window
-        # pack_contexts (FULL recursive-CTE oracle stays in the
-        # self-check artifact); mix_domains applies the same
-        # md5-threshold draw as in-window sample_stratified
         "hll_unique_1d": q_hll_unique_1d,
         "lang_id": q_lang_id,
-        "pack_documents": q_pack_documents,
-        "mix_domains": q_mix_domains,
-        # sketch_quantiles_1h / corpus_stats moved in-tail for
-        # bucket_quantiles + threshold_episodes: the quantile surface
-        # stays in-window via the exact bucket_quantiles (DDSketch is
-        # its mergeable scale path, pytest + hypothesis covered), and
-        # corpus_stats' quality-mean arithmetic fires in-window via
-        # quality_filter + curriculum_schedule
         "sketch_quantiles_1h": q_sketch_quantiles_1h,
-        "corpus_stats": q_corpus_stats,
-        # decontaminate moved in-tail for stream_m4: its benchmark
-        # n-gram anti-join fires in-window as corpus_clean's stage 4
-        # (the chained oracle re-derives that stage byte-for-byte)
         "decontaminate": q_decontaminate,
-        # stream_sessionize_30m moved in-tail for signal_corr: its
-        # watermarked-window machinery stays in-window via
-        # stream_rollup_1h + stream_profiles, and its values equal the
-        # batch sessionize oracle (also in-tail)
         "stream_sessionize_30m": q_stream_sessionize_30m,
-        # embedding_near_dup moved in-tail for overlap_join: its cosine
-        # machinery is in-window via ann_cosine_topk and the near-dup
-        # gate family keeps dedup_minhash + dedup_clusters in-window
         "embedding_near_dup": q_embedding_near_dup,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_lines": q_dedup_lines,
         "dedup_simhash": q_dedup_simhash,
         "flatten_v1_boundary": q_flatten_v1_boundary,
-        "quality_bins": q_quality_bins,
         "pack_manifest": q_pack_manifest,
-        "resample_epochs": q_resample_epochs,
         "prepare_training": q_prepare_training,
         "sessionize_30m": q_sessionize_30m,
         "text_repetition": q_text_repetition,
@@ -2518,7 +2733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery; TPC-H entries are sanity anchors, not operators
         "flatten_mean_30d": q_flatten_mean_30d,
         "sessionize_window_30m": q_sessionize_window_30m,
-        # stream_windowed_1h ⊂ stream_windowed_full_1h (now in-window)
         "stream_windowed_1h": q_stream_windowed_1h,
         "rollup_unique_1h": q_rollup_unique_1h,
         "gapfill_locf_1d": q_gapfill_locf_1d,
@@ -2694,6 +2908,8 @@ def oracle_sql() -> dict[str, str]:
     jb30 = _LOOKBEHIND_JOIN.format(days=30)
     jb7 = _LOOKBEHIND_JOIN.format(days=7)
     oracles = {
+        # float-seam canary: same probe list, generated for both engines
+        "float_canary": _float_canary_oracle(),
         # funnel_steps: the literal anchored sequential-min chain the
         # operator docstring promises (t1 = min step-1 ts; t_i = min
         # step-i ts strictly after t_{i-1}, all within 3d of t1) —
@@ -2751,13 +2967,13 @@ d2 AS (SELECT epoch_us(s2.t2) - epoch_us(s1.t1) AS d
 d3 AS (SELECT epoch_us(s3.t3) - epoch_us(s1.t1) AS d
        FROM s3 JOIN s1 ON s3.entity = s1.entity)
 SELECT 2 AS step, 'click' AS step_type, count(*) AS n_converted,
-  CAST(quantile_disc(d, 0.5) / 1000000.0 AS DECIMAL(18,6)) AS p50_secs,
-  CAST(quantile_disc(d, 0.9) / 1000000.0 AS DECIMAL(18,6)) AS p90_secs
+  CAST(quantile_disc(d, 0.5) AS DOUBLE) / 1000000.0 AS p50_secs,
+  CAST(quantile_disc(d, 0.9) AS DOUBLE) / 1000000.0 AS p90_secs
 FROM d2
 UNION ALL
 SELECT 3, 'purchase', count(*),
-  CAST(quantile_disc(d, 0.5) / 1000000.0 AS DECIMAL(18,6)),
-  CAST(quantile_disc(d, 0.9) / 1000000.0 AS DECIMAL(18,6))
+  CAST(quantile_disc(d, 0.5) AS DOUBLE) / 1000000.0,
+  CAST(quantile_disc(d, 0.9) AS DOUBLE) / 1000000.0
 FROM d3""",
         # cohort_retention: 7d global-grid cohorts; pmod-form floors so
         # the arithmetic matches floor_to_width exactly (incl. pre-epoch)
@@ -2808,7 +3024,7 @@ s AS (
   WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
                 ROWS UNBOUNDED PRECEDING))
 SELECT user_id, ts, event_id,
-  shi AS cusum_hi_c, slo AS cusum_lo_c,
+  CAST(shi AS BIGINT) AS cusum_hi_c, CAST(slo AS BIGINT) AS cusum_lo_c,
   shi > 2000 AS alarm_hi, slo > 2000 AS alarm_lo
 FROM s""",
         # stream_cusum: the batch identity's LAST row per entity (the
@@ -2837,7 +3053,7 @@ s AS (
   WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
                 ROWS UNBOUNDED PRECEDING))
 SELECT CAST(user_id AS VARCHAR) AS entity,
-  shi AS cusum_hi, slo AS cusum_lo,
+  CAST(shi AS DOUBLE) AS cusum_hi, CAST(slo AS DOUBLE) AS cusum_lo,
   shi > 2000 AS alarm_hi, slo > 2000 AS alarm_lo, n_obs
 FROM s WHERE rn = 1""",
         "interval_union": """
@@ -2860,7 +3076,7 @@ f AS (
 SELECT entity, make_timestamp(min(s)) AS start_ts,
   make_timestamp(max(e)) AS end_ts,
   CAST(count(*) AS BIGINT) AS n_intervals,
-  CAST((max(e) - min(s)) / 1000000.0 AS DECIMAL(18,6)) AS covered_secs
+  CAST(max(e) - min(s) AS DOUBLE) / 1000000.0 AS covered_secs
 FROM f GROUP BY entity, isl""",
         "event_transitions": """
 WITH o AS (
@@ -3518,8 +3734,10 @@ SELECT c.doc_id, coalesce(r.text, '') AS text,
   CAST(len(string_split(c.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
     AS n_removed
 FROM c LEFT JOIN r ON c.doc_id = r.doc_id""",
-        # train on even doc_ids, score odd; DECIMAL(18,6) rounding pins
-        # the double mean across libm log2 implementations
+        # train on even doc_ids, score odd; quantized-log contract: each
+        # nll snaps to the 1e-6 grid (exact counts; measured boundary
+        # margin >= 4e-10 vs ~7e-15 libm jitter), the weighted sum is an
+        # exact integer, and lm_score is ONE IEEE division
         "lm_score": r"""
 WITH tl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\r\n\f]+') AS toks
@@ -3552,9 +3770,10 @@ SELECT doc_id,
   CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
   CAST(sum(CASE WHEN c_pair IS NULL THEN n_occ ELSE 0 END) AS BIGINT)
     AS n_unseen,
-  CAST(sum(n_occ * (log2(coalesce(c_left, 0) + 1.0 * vocab_size)
-                    - log2(coalesce(c_pair, 0) + 1.0))) / sum(n_occ)
-       AS DECIMAL(18,6)) AS lm_score
+  CAST(sum(n_occ * CAST(round((log2(coalesce(c_left, 0) + 1.0 * vocab_size)
+                               - log2(coalesce(c_pair, 0) + 1.0))
+                              * 1000000) AS BIGINT)) AS DOUBLE)
+    / (sum(n_occ) * 1000000) AS lm_score
 FROM j GROUP BY doc_id""",
         # DuckDB list slicing is 1-based inclusive: [s+1 : s+32] is the
         # same 32-token window as Spark's slice(toks, s+1, 32)
@@ -3572,7 +3791,9 @@ SELECT doc_id,
   array_to_string(toks[tok_start + 1 : tok_start + 32], ' ') AS chunk_text
 FROM s""",
         # one-window statement of the two-stage (domain, bucket) rank;
-        # tfidf rounded to DECIMAL(18,6) before ranking in both engines
+        # tfidf_q = round(tf * ln(N/df) * 1e6) — integer grid over exact
+        # counts (margin >= 0.28 grid units), so score AND rank are
+        # engine-proof BIGINTs
         "domain_tfidf": r"""
 WITH tl AS (
   SELECT source AS domain,
@@ -3584,46 +3805,61 @@ dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
 nd AS (SELECT count(DISTINCT source) AS n FROM documents),
 s AS (
   SELECT domain, term, tf, df_t,
-    CAST(tf * ln(CAST(n AS DOUBLE) / df_t) AS DECIMAL(18,6)) AS tfidf
+    CAST(round(tf * ln(CAST(n AS DOUBLE) / df_t) * 1000000) AS BIGINT)
+      AS tfidf_q
   FROM tf JOIN dfq USING (term) CROSS JOIN nd),
 r AS (
-  SELECT domain, term, tf, df_t, tfidf,
-    CAST(row_number() OVER (PARTITION BY domain ORDER BY tfidf DESC, term)
+  SELECT domain, term, tf, df_t, tfidf_q,
+    CAST(row_number() OVER (PARTITION BY domain ORDER BY tfidf_q DESC, term)
          AS BIGINT) AS rank
   FROM s)
-SELECT domain, term, tf, df_t, tfidf, rank FROM r WHERE rank <= 10""",
+SELECT domain, term, tf, df_t, tfidf_q, rank FROM r WHERE rank <= 10""",
         # RANGE frame over integer epoch-micros: timestamp peers share a
-        # frame in both engines; doubles DECIMAL(18,6)-rounded at the edge
+        # frame in both engines; exact (n, Σ, Σ²) cents partials, then
+        # the LITERAL pinned finalize the operator states (same float
+        # ops, same order => bit-identical raw doubles — never an
+        # engine stddev_samp, whose accumulation algorithm may differ)
         "rolling_zscore": """
-SELECT event_id, user_id, ts, value,
-  count(value) OVER w AS roll_n,
-  CAST(avg(value) OVER w AS DECIMAL(18,6)) AS roll_mean,
-  CAST(CASE WHEN count(value) OVER w >= 2
-       THEN stddev_samp(value) OVER w END AS DECIMAL(18,6)) AS roll_std,
-  CAST(CASE WHEN count(value) OVER w >= 2
-             AND stddev_samp(value) OVER w > 0
-       THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
-       END AS DECIMAL(18,6)) AS roll_z
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+WITH ev AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+p AS (
+  SELECT event_id, user_id, ts, cents,
+    count(cents) OVER w AS n,
+    CAST(sum(cents) OVER w AS DOUBLE) AS s,
+    CAST(sum(cents * cents) OVER w AS DOUBLE) AS ss
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts, cents,
+  CAST(n AS BIGINT) AS roll_n,
+  s / n AS roll_mean,
+  CASE WHEN n >= 2 THEN sqrt((ss - s * s / n) / (n - 1)) END AS roll_std,
+  CASE WHEN n >= 2 AND ss - s * s / n > 0
+       THEN (cents - s / n) / sqrt((ss - s * s / n) / (n - 1))
+       END AS roll_z
+FROM p""",
         # PromQL increase: negative delta = reset = post-reset value;
         # delta lands in the LATER sample's bucket; first sample dropped;
         # IGNORE NULLS = a NULL scrape never swallows the bridging delta
         "counter_increase": """
-WITH d AS (
-  SELECT user_id, ts, value,
-    value - lag(value IGNORE NULLS)
-              OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts), event_id) AS delta
+WITH ev AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
   FROM events),
+d AS (
+  SELECT user_id, t, cents,
+    cents - lag(cents IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY t, event_id) AS delta
+  FROM ev),
 c AS (
   SELECT user_id AS entity,
-    make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_start,
-    CASE WHEN delta < 0 THEN value ELSE delta END AS contrib
+    make_timestamp(t - t % 3600000000) AS bucket_start,
+    CASE WHEN delta < 0 THEN cents ELSE delta END AS contrib
   FROM d WHERE delta IS NOT NULL)
 SELECT entity, bucket_start,
-  CAST(sum(contrib) AS DECIMAL(18,6)) AS increase,
+  CAST(sum(contrib) AS BIGINT) AS increase,
   CAST(count(*) AS BIGINT) AS n_deltas
 FROM c GROUP BY 1, 2""",
         # M4: 4 struct min/max aggregates — lexicographic struct order is
@@ -3631,34 +3867,33 @@ FROM c GROUP BY 1, 2""",
         # shares the identical oracle (exact order-insensitive ops)
         "downsample_m4": _M4_ORACLE_SQL,
         "stream_m4": _M4_ORACLE_SQL,
-        # Spark percentile == DuckDB quantile_cont (same interpolation)
-        "bucket_quantiles": """
-SELECT user_id AS entity,
-  make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket_start,
-  CAST(count(value) AS BIGINT) AS n,
-  CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS p50,
-  CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS p95,
-  CAST(quantile_cont(value, 0.99) AS DECIMAL(18,6)) AS p99
-FROM events GROUP BY 1, 2""",
+        # the operator's EXPLICIT type-7 order statistics restated over
+        # the sorted cents list (never an engine quantile primitive,
+        # whose index/midpoint formulas drift across versions): h, idx,
+        # rem exact integers; ONE final IEEE division per quantile
+        "bucket_quantiles": _bucket_quantiles_oracle(),
         # classic gaps-and-islands: flip-count run ids over the unique
         # (epoch-micros, event_id) order; ROWS frame pins the cumsum
         "threshold_episodes": """
-WITH o AS (
-  SELECT user_id, ts, value, event_id,
-    CASE WHEN value > 15 THEN 1 ELSE 0 END AS f
+WITH ev AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
   FROM events),
+o AS (
+  SELECT user_id, ts, event_id, t, cents,
+    CASE WHEN cents > 1500 THEN 1 ELSE 0 END AS f
+  FROM ev),
 p AS (
-  SELECT *, lag(f) OVER (PARTITION BY user_id
-                         ORDER BY epoch_us(ts), event_id) AS pf
+  SELECT *, lag(f) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pf
   FROM o),
 g AS (
   SELECT *, SUM(CASE WHEN pf IS NULL OR f <> pf THEN 1 ELSE 0 END)
-      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      OVER (PARTITION BY user_id ORDER BY t, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
   FROM p)
 SELECT user_id AS entity, min(ts) AS start_ts, max(ts) AS end_ts,
   CAST(count(*) AS BIGINT) AS n_events,
-  CAST(max(value) AS DECIMAL(18,6)) AS peak
+  CAST(max(cents) AS BIGINT) AS peak
 FROM g WHERE f = 1 GROUP BY user_id, run""",
         # lead-closed intervals clipped to the horizon, chopped by
         # generate_series; exclusive ends: a boundary-ending interval
@@ -3681,47 +3916,76 @@ ch AS (
                            21600000000)) AS b
   FROM iv)
 SELECT entity, state, make_timestamp(b) AS bucket_start,
-  CAST(SUM(LEAST(e, b + 21600000000) - GREATEST(s, b)) / 1000000.0
-       AS DECIMAL(18,6)) AS seconds,
+  CAST(SUM(LEAST(e, b + 21600000000) - GREATEST(s, b)) AS DOUBLE)
+    / 1000000.0 AS seconds,
   CAST(count(*) AS BIGINT) AS n_intervals
 FROM ch GROUP BY 1, 2, 3""",
-        # closed form of the recurrence: weight 0.5^(dt/halflife); the
-        # b.t <= a.t predicate makes equal-ts rows peers, matching the
-        # peer-grouped scan; NULL values join out (weightless)
+        # ORDER-PINNED REPLAY of the operator's recurrence (not a
+        # closed form): per distinct timestamp block, d = 0.5^(Δns/hl),
+        # num = num*d + Σblock, den = den*d + count — the recursive CTE
+        # executes the same float ops in the same order over the same
+        # exact integers as the Arrow scan, so the doubles match
+        # bit-for-bit (the pack_documents oracle pattern)
         "ewma_halflife": """
-WITH e AS (SELECT event_id, user_id, ts, value, epoch_us(ts) AS t
-           FROM events)
-SELECT a.event_id, a.user_id, a.ts, a.value,
-  CAST(SUM(b.value * POW(0.5, (a.t - b.t) / 7200000000.0)) /
-       SUM(POW(0.5, (a.t - b.t) / 7200000000.0)) AS DECIMAL(18,6)) AS ewma
-FROM e a LEFT JOIN e b
-  ON a.user_id = b.user_id AND b.t <= a.t AND b.value IS NOT NULL
-GROUP BY a.event_id, a.user_id, a.ts, a.value""",
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL),
+blk AS (
+  SELECT user_id, t,
+    CAST(coalesce(sum(cents), 0) AS DOUBLE) AS bs,
+    CAST(count(cents) AS DOUBLE) AS bc,
+    row_number() OVER (PARTITION BY user_id ORDER BY t) AS k
+  FROM ev GROUP BY user_id, t),
+rec AS (
+  SELECT user_id, t, k, bs AS num, bc AS den FROM blk WHERE k = 1
+  UNION ALL
+  SELECT b.user_id, b.t, b.k,
+    r.num * pow(0.5, CAST((b.t - r.t) * 1000 AS DOUBLE) / 7200000000000.0)
+      + b.bs,
+    r.den * pow(0.5, CAST((b.t - r.t) * 1000 AS DOUBLE) / 7200000000000.0)
+      + b.bc
+  FROM rec r JOIN blk b ON b.user_id = r.user_id AND b.k = r.k + 1)
+SELECT e.event_id, e.user_id, e.ts, e.cents,
+  CASE WHEN r.den > 0 THEN r.num / r.den END AS ewma
+FROM ev e JOIN rec r ON e.user_id = r.user_id AND e.t = r.t""",
         # slot = pure epoch-micros arithmetic (UTC session), baseline =
         # whole-(entity, slot) frame including the current point
         "seasonal_baseline": """
-WITH s AS (
-  SELECT event_id, user_id, ts, value,
-    CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS slot
-  FROM events)
-SELECT event_id, user_id, ts, value, slot,
-  count(value) OVER w AS season_n,
-  CAST(avg(value) OVER w AS DECIMAL(18,6)) AS season_mean,
-  CAST(CASE WHEN count(value) OVER w >= 3
-       THEN stddev_samp(value) OVER w END AS DECIMAL(18,6)) AS season_std,
-  CAST(CASE WHEN count(value) OVER w >= 3
-             AND stddev_samp(value) OVER w > 0
-       THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
-       END AS DECIMAL(18,6)) AS season_z
-FROM s
-WINDOW w AS (PARTITION BY user_id, slot)""",
-        # floor-toward--inf double binning is bit-identical cross-engine
+WITH ev AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+    CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+sl AS (
+  SELECT event_id, user_id, ts, cents,
+    CAST((t % 86400000000) // 3600000000 AS BIGINT) AS slot
+  FROM ev),
+p AS (
+  SELECT event_id, user_id, ts, cents, slot,
+    count(cents) OVER w AS n,
+    CAST(sum(cents) OVER w AS DOUBLE) AS s,
+    CAST(sum(cents * cents) OVER w AS DOUBLE) AS ss
+  FROM sl
+  WINDOW w AS (PARTITION BY user_id, slot))
+SELECT event_id, user_id, ts, cents, slot,
+  CAST(n AS BIGINT) AS season_n,
+  s / n AS season_mean,
+  CASE WHEN n >= 3 THEN sqrt((ss - s * s / n) / (n - 1)) END AS season_std,
+  CASE WHEN n >= 3 AND ss - s * s / n > 0
+       THEN (cents - s / n) / sqrt((ss - s * s / n) / (n - 1))
+       END AS season_z
+FROM p""",
+        # integer binning via the pmod identity: bin_lo is the floored
+        # multiple of 250 cents — no float division anywhere, exact sums
         "value_histogram": """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events)
 SELECT event_type,
-  CAST(FLOOR(value / 2.5) * 2.5 AS DECIMAL(18,6)) AS bin_lo,
+  CAST(cents - ((cents % 250) + 250) % 250 AS BIGINT) AS bin_lo,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(SUM(value) AS DECIMAL(18,6)) AS total
-FROM events WHERE value IS NOT NULL
+  CAST(SUM(cents) AS BIGINT) AS total
+FROM ev WHERE cents IS NOT NULL
 GROUP BY 1, 2""",
         "signal_corr": _signal_corr_oracle(),
         # half-open point-in-interval: t in [error_ts, error_ts + 2h)

@@ -601,7 +601,7 @@ def test_domain_tfidf_two_stage_equals_one_window(spark):
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    got = sorted(map(tuple, domain_tfidf_topk(docs, k=7).collect()))
+    got = sorted(map(tuple, domain_tfidf_topk(docs, k=7, quantize=10**6).collect()))
 
     tf = (
         docs.select(
@@ -618,12 +618,16 @@ def test_domain_tfidf_two_stage_equals_one_window(spark):
         .crossJoin(ndom)
         .select(
             "domain", "term", "tf", "df_t",
-            (F.col("tf") * F.log(F.col("n_domains").cast("double") / F.col("df_t")))
-            .cast("decimal(18,6)").alias("tfidf"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_domains").cast("double") / F.col("df_t"))
+                * F.lit(10**6),
+                0,
+            ).cast("long").alias("tfidf_q"),
         )
     )
     w = Window.partitionBy("domain").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
+        F.col("tfidf_q").desc(), F.col("term").asc()
     )
     naive = scored.withColumn(
         "rank", F.row_number().over(w).cast("long")

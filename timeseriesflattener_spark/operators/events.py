@@ -28,6 +28,7 @@ import datetime as dt
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.timeutils import micros
 from ..plans.rollup import floor_to_width
@@ -85,6 +86,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     order_col: str | None = None,
+    max_events_per_entity: int | None = None,
 ) -> DataFrame:
     """Per-entity funnel progress: one row per entity that performed
     step 1, with ``steps_completed`` (1..k) and ``ts_step{i}``
@@ -101,6 +103,19 @@ def funnel(
     expressions (`array_sort` + `aggregate`) — no Python, no window.
     Per-entity memory is bounded by that entity's step-type event
     count, the same bound the SQL formulation's join fan-out carries.
+
+    ``max_events_per_entity`` caps that bound for hot entities (bot
+    traffic: one entity with tens of millions of step-typed events is
+    otherwise a single-task buffer cliff — the one scale-killer shape
+    in this family): only each entity's EARLIEST ``max_events``
+    step-typed events (by (ts, order)) enter the scan, and the output
+    gains a ``truncated`` boolean flagging entities that had more (the
+    ``exact_duplicates`` ids_truncated pattern). Truncation keeps a
+    time PREFIX, so a truncated entity's ``steps_completed`` is a
+    lower bound — the anchored chain can only extend past the prefix,
+    never change inside it. The cap adds one row_number over the same
+    entity exchange (no extra shuffle); ``None`` (default) keeps the
+    exact zero-window path and emits no ``truncated`` column.
     """
     if not steps:
         raise ValueError("funnel requires at least one step")
@@ -131,13 +146,21 @@ def funnel(
         F.expr("CAST(array() AS array<bigint>)").alias("hits"),
         F.lit(0).alias("n"),
     )
-    scanned = ev.groupBy("__entity").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("__e")),
-            init,
-            _steps_completed_scan(steps, within_us),
-        ).alias("__s")
-    )
+    scan = _steps_completed_scan(steps, within_us)
+    if max_events_per_entity is None:
+        scanned = ev.groupBy("__entity").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("__e")), init, scan
+            ).alias("__s")
+        )
+    else:
+        capped, trunc = _cap_per_entity(ev, max_events_per_entity)
+        scanned = capped.groupBy("__entity").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("__kept")), init, scan
+            ).alias("__s"),
+            trunc,
+        )
     out = [F.col("__entity").alias(entity_col)]
     out.append(F.col("__s")["n"].alias("steps_completed"))
     for i in range(k):
@@ -146,7 +169,26 @@ def funnel(
                 f"ts_step{i + 1}"
             )
         )
+    if max_events_per_entity is not None:
+        out.append(F.col("__trunc").alias("truncated"))
     return scanned.select(*out).filter(F.col("steps_completed") >= 1)
+
+
+def _cap_per_entity(ev: DataFrame, cap: int):
+    """Shared hot-entity guard for the funnel scans: keep each entity's
+    EARLIEST ``cap`` step events (row_number over the same entity
+    exchange the groupBy uses — no extra shuffle) as ``__kept`` (NULL
+    past the cap; collect_list drops NULLs), plus the aggregate
+    expression flagging entities that overflowed."""
+    if cap < 1:
+        raise ValueError(f"max_events_per_entity must be >= 1, got {cap!r}")
+    w = Window.partitionBy("__entity").orderBy(F.col("__e"))
+    capped = ev.withColumn("__rn", F.row_number().over(w)).select(
+        "__entity",
+        F.when(F.col("__rn") <= cap, F.col("__e")).alias("__kept"),
+        "__rn",
+    )
+    return capped, (F.max("__rn") > F.lit(cap)).alias("__trunc")
 
 
 def funnel_counts(
@@ -230,7 +272,11 @@ def cohort_retention(
     period grid, so the quotient is an exact integer). Output one row
     per (cohort, period): ``cohort`` (timestamp), ``period`` (0-based
     long), ``n_active``, ``n_cohort``, ``retention`` = n_active /
-    n_cohort (period 0 is 1.0 by construction). NULL timestamps are
+    n_cohort. With the default ``period_width == cohort_width`` the
+    first event lands in period 0, so period 0 is 1.0 by construction;
+    with a FINER ``period_width`` an entity's first activity lands in
+    the period of its first event relative to the cohort floor, which
+    can be > 0 (no period-0 row is guaranteed). NULL timestamps are
     excluded.
 
     Shape at scale: one groupBy(entity) for first-seen, an equi-join of
@@ -407,6 +453,7 @@ def funnel_reached(
     entity_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_entity: int | None = None,
 ) -> DataFrame:
     """SLIDING-anchor funnel reach (ClickHouse-windowFunnel-style
     EXISTS semantics — the complement of ``funnel``'s anchored
@@ -423,6 +470,11 @@ def funnel_reached(
     join, so the gate is a semantic differential between two
     independent formulations. Repeated step types are supported: the
     scan credits an event at EVERY position whose type matches.
+
+    ``max_events_per_entity`` is the same hot-entity guard as
+    ``funnel``'s (earliest-prefix cap + ``truncated`` flag, one
+    row_number on the shared entity exchange); a truncated entity's
+    ``steps_reached`` is a lower bound.
     """
     if not steps:
         raise ValueError("funnel_reached requires at least one step")
@@ -447,18 +499,26 @@ def funnel_reached(
         F.expr(nulls).alias("pend"),
         F.lit(None).cast("bigint").alias("t"),
     )
-    scanned = ev.groupBy("__entity").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("__e")),
+    def _agg(col: str) -> Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
             init,
             _sliding_scan(steps, within_us),
             lambda acc: F.zip_with(
                 acc["dp"], acc["pend"], lambda x, y: F.greatest(x, y)
             ),
         ).alias("__dp")
-    )
+
+    if max_events_per_entity is None:
+        scanned = ev.groupBy("__entity").agg(_agg("__e"))
+    else:
+        capped, trunc = _cap_per_entity(ev, max_events_per_entity)
+        scanned = capped.groupBy("__entity").agg(_agg("__kept"), trunc)
     reach = F.size(F.filter(F.col("__dp"), lambda x: x.isNotNull()))
-    return scanned.select(
+    cols = [
         F.col("__entity").alias(entity_col),
         reach.cast("int").alias("steps_reached"),
-    ).filter(F.col("steps_reached") >= 1)
+    ]
+    if max_events_per_entity is not None:
+        cols.append(F.col("__trunc").alias("truncated"))
+    return scanned.select(*cols).filter(F.col("steps_reached") >= 1)

@@ -22,10 +22,14 @@ inequality join Spark would execute as a per-entity cross filter into an
 (entity, grid-cell) EQUI-join, with each qualifying pair attributed to
 exactly one cell so no dedup pass is needed.
 
-Cross-engine determinism: interval ends come from ``lead`` ordered by
-(epoch-micros, order_col) so equal-timestamp transitions are ordered
+Cross-engine determinism (the repo-wide "exact partials" contract —
+see ``operators/rolling.py``): interval ends come from ``lead`` ordered
+by (epoch-micros, order_col) so equal-timestamp transitions are ordered
 identically in every engine; durations are exact integer microsecond
-arithmetic converted to DECIMAL(18,6) seconds at the edge.
+arithmetic end to end, and the seconds views are ONE final IEEE
+division of that exact integer by 1e6 — bit-identical in any engine —
+emitted raw (never rounded, never DECIMAL-cast). ``peak`` selects an
+input value (max), so it keeps the input column's type.
 """
 
 from __future__ import annotations
@@ -39,8 +43,6 @@ from pyspark.sql.window import Window
 from ..functions.timeutils import micros
 from ..plans.rollup import floor_to_width
 from ..specs import require_positive_micros, timedelta_to_micros
-
-_DEC = "decimal(18,6)"
 
 
 def state_durations(
@@ -57,8 +59,15 @@ def state_durations(
     ``state_col`` value; intervals are chopped at bucket boundaries and
     the overlap summed per (entity, state, bucket). Returns
     ``(entity, state, bucket_start, seconds, n_intervals)`` with
-    ``seconds`` DECIMAL(18,6) and ``n_intervals`` the number of
-    interval fragments that touched the bucket.
+    ``seconds`` a raw double — the exact integer-microsecond sum
+    divided once by 1e6 (bit-identical in any engine) — and
+    ``n_intervals`` the number of interval fragments that touched the
+    bucket.
+
+    ``end_ts`` must be a NAIVE datetime interpreted as UTC wall-clock
+    (the same contract as the session timezone every timestamp column
+    goes through); a tz-aware value raises rather than silently mixing
+    epoch bases.
 
     The entity's LAST event has no successor: with ``end_ts`` given its
     interval closes there (events at/after ``end_ts`` are dropped, and
@@ -85,6 +94,11 @@ def state_durations(
     start = micros(F.col(ts_col))
     nxt = F.lead(start).over(w)
     if end_ts is not None:
+        if end_ts.tzinfo is not None:
+            raise ValueError(
+                "state_durations end_ts must be a naive UTC datetime "
+                f"(the session-timezone contract), got tz-aware {end_ts!r}"
+            )
         end_us = timedelta_to_micros(end_ts - dt.datetime(1970, 1, 1))
         nxt = F.least(F.coalesce(nxt, F.lit(end_us)), F.lit(end_us))
 
@@ -124,7 +138,11 @@ def state_durations(
             F.timestamp_micros(F.col("__bucket_us")).alias("bucket_start"),
         )
         .agg(
-            (F.sum("__dur_us") / F.lit(1_000_000.0)).cast(_DEC).alias("seconds"),
+            # exact integer-µs sum, ONE IEEE division — bit-identical
+            # in any engine; emitted raw (module contract)
+            (F.sum("__dur_us").cast("double") / F.lit(1_000_000.0)).alias(
+                "seconds"
+            ),
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
@@ -215,8 +233,10 @@ def threshold_episodes(
     run; rows failing the condition are dropped after run assignment
     (they are the gaps). One row per episode: ``(entity, start_ts,
     end_ts, n_events, peak)`` — the alert-episode shape ("value stayed
-    over threshold from X to Y, peaking at Z"), with ``peak``
-    DECIMAL(18,6) (NULL if the episode's values are all NULL — e.g. a
+    over threshold from X to Y, peaking at Z"). ``peak`` SELECTS an
+    input value (max, never an accumulation), so it keeps
+    ``value_col``'s type — integer in, integer out, reproducible in any
+    engine (NULL if the episode's values are all NULL — e.g. a
     condition on another column). A NULL condition counts as False.
 
     One entity exchange shared by the lag and the running flip-count
@@ -245,7 +265,7 @@ def threshold_episodes(
             F.min(F.col(ts_col)).alias("start_ts"),
             F.max(F.col(ts_col)).alias("end_ts"),
             F.count(F.lit(1)).alias("n_events"),
-            F.max(F.col(value_col).cast("double")).cast(_DEC).alias("peak"),
+            F.max(F.col(value_col)).alias("peak"),
         )
         .drop("__run")
     )
@@ -261,7 +281,8 @@ def interval_union(
     union (gaps-and-islands over a running max end): one row per
     maximal covered span — ``(entity, start_ts, end_ts, n_intervals,
     covered_secs)`` with ``covered_secs`` the exact integer-microsecond
-    span as DECIMAL(18,6). The coverage/uptime primitive: overlapping
+    span divided once by 1e6 (a raw double, bit-identical in any
+    engine). The coverage/uptime primitive: overlapping
     sessions, redundant monitors, and billing windows collapse to the
     time actually covered. Half-open [start, end) semantics; intervals
     that merely TOUCH (one ends exactly where the next starts) merge —
@@ -306,9 +327,10 @@ def interval_union(
             F.timestamp_micros(F.min("__s")).alias("start_ts"),
             F.timestamp_micros(F.max("__e")).alias("end_ts"),
             F.count(F.lit(1)).alias("n_intervals"),
-            ((F.max("__e") - F.min("__s")) / F.lit(1_000_000.0))
-            .cast(_DEC)
-            .alias("covered_secs"),
+            (
+                (F.max("__e") - F.min("__s")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("covered_secs"),
         )
         .drop("__isl")
     )

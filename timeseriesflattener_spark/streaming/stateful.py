@@ -178,6 +178,12 @@ def running_funnel(
             if within_ns is not None and n > 0 and t - hits[0] > within_ns:
                 continue
             hits.append(t)
+        if not hits:
+            # no accepted step-1 event yet: nothing worth storing, and
+            # the batch twin filters steps_completed >= 1 — emitting a
+            # zero row would surface spurious entities to a consumer
+            # following the max-batch_id-row-per-entity recipe
+            return
         state.update(tuple(hits + [None] * (k - len(hits)) + [len(hits)]))
         out = {entity_col: [entity], "steps_completed": [len(hits)]}
         for i in range(k):

@@ -31,6 +31,11 @@ TABLES = [
 
 
 def norm(v):
+    """STRICT normalization (r7): floats compare by exact shortest
+    round-trip repr — bit-identical or fail. The pre-r7 int-collapse
+    (1.0 == 1) could only be LAXER than the driver's hash; with every
+    query on the exact-partials contract the self-check must be at
+    least as strict as any driver normalization."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -38,11 +43,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
-    if isinstance(v, (int,)):
-        return str(v)
     return str(v)
 
 
