@@ -2589,6 +2589,87 @@ SELECT probe, value, CAST(value AS DECIMAL(18,6)) AS value_dec FROM (
   {rows})"""
 
 
+_ZBITS = 16
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user bucket, epoch day) — the
+    multi-dimensional clustering key behind OPTIMIZE ZORDER BY, as pure
+    unrolled integer shift/and/or (no UDF, no shuffle; exact BIGINTs,
+    engine-proof). ``apply_zorder_layout`` (the range-partition + sort
+    write path it feeds) is exercised by tests/test_layout.py — the key
+    is the SQL-comparable surface."""
+    from timeseriesflattener_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    ua = F.pmod(F.col("user_id"), F.lit(1024)).cast("long")
+    db = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    return ev.select(
+        "event_id",
+        ua.alias("user_bucket"),
+        db.alias("day_bucket"),
+        zorder_key(ua, db, bits=_ZBITS).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(((ua >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((db >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT event_id,
+    CAST(user_id % 1024 AS BIGINT) AS ua,
+    epoch_us(ts) // 86400000000 AS db
+  FROM events)
+SELECT event_id, ua AS user_bucket, db AS day_bucket,
+  CAST({interleave} AS BIGINT) AS zkey
+FROM b"""
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — IDENTICAL output to
+    ``decontaminate`` (exact confirm join absorbs Bloom false
+    positives), exercised through the non-broadcast confirm path where
+    the map-side bitmap cut is the thing that saves the corpus shuffle
+    at 100 TB. Same oracle as ``decontaminate`` by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    pairs = D.contamination_pairs_bloom(
+        docs,
+        bench,
+        n=3,
+        bench_id_col="bench_id",
+        m_bits=1 << 16,
+        k_hashes=4,
+        broadcast_benchmark=False,
+    )
+    return pairs.filter(F.col("doc_id") != F.col("bench_id")).select(
+        "doc_id", "bench_id", "n_shared"
+    )
+
+
+def q_conversation_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural profile (events as transcript turns:
+    user_id = conversation, event_type = role): turn count, distinct
+    roles, exact-µs span and max inter-turn gap, adjacent same-type
+    repeats (alternation violations). BIGINT end to end."""
+    from timeseriesflattener_spark.operators.sessions import conversation_shape
+
+    ev = _t(spark, sf_dir, "events")
+    return conversation_shape(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        order_col="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-window multi-aggregator flattening at sf0.001."""
     return q_flatten_multiwindow(spark, "/root/testdata/sf0.001")
@@ -2640,6 +2721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "stream_m4": q_stream_m4,
         "synth_frame": q_synth_frame,
+        # --- r7 new operators (driver-verify same round they land;
+        # the three core rows they displace at the window tail are
+        # already driver-green in the r1-r6 ledger) ---
+        "zorder_key": q_zorder_key,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "conversation_shape": q_conversation_shape,
         # --- rows 28-50: core regression coverage — one row per major
         # family (flatten, rollup tiers, streaming, gap-fill, gorilla,
         # as-of, dedup, funnel, quality gate)
@@ -4336,6 +4423,24 @@ GROUP BY n.n_name ORDER BY revenue DESC""",
     # same oracle verbatim (entity is cast to string in the stream; the
     # oracle compares step COUNTS, which the cast cannot change)
     oracles["stream_funnel"] = oracles["funnel_steps"]
+    # bloom prefilter + exact confirm == the exact pass, by construction
+    oracles["decontaminate_bloom"] = oracles["decontaminate"]
+    oracles["zorder_key"] = _zorder_oracle()
+    oracles["conversation_shape"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+    lag(epoch_us(ts)) OVER w AS prev_us,
+    lag(event_type) OVER w AS prev_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+  max(us) - min(us) AS span_us,
+  CAST(coalesce(max(us - prev_us), 0) AS BIGINT) AS max_gap_us,
+  CAST(coalesce(sum(CASE WHEN event_type = prev_t THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_repeats
+FROM e GROUP BY user_id"""
     return oracles
 
 

@@ -104,3 +104,71 @@ def test_session_window_stats_matches_sessionize(spark):
     )
     got = {r["session_id"]: r["n_events"] for r in session_window_stats(edge, gap).collect()}
     assert got == {0: 2, 1: 1}
+
+
+# -------------------------------------------------- conversation_shape
+
+
+def _shape_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+
+
+def test_conversation_shape_golden(spark):
+    from timeseriesflattener_spark.operators.sessions import conversation_shape
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = _shape_df(
+        spark,
+        [
+            ("a", 0, "user", t0),
+            ("a", 1, "assistant", t0 + dt.timedelta(seconds=10)),
+            ("a", 2, "assistant", t0 + dt.timedelta(seconds=70)),  # repeat + max gap
+            ("a", 3, "user", t0 + dt.timedelta(seconds=75)),
+            ("b", 0, "user", t0),  # single-turn conversation
+        ],
+    )
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_shape(df, type_col="role").collect()
+    }
+    a = got["a"]
+    assert a["n_events"] == 4 and a["n_types"] == 2
+    assert a["span_us"] == 75_000_000
+    assert a["max_gap_us"] == 60_000_000
+    assert a["n_repeats"] == 1
+    b = got["b"]
+    assert b["n_events"] == 1 and b["n_types"] == 1
+    assert b["span_us"] == 0 and b["max_gap_us"] == 0 and b["n_repeats"] == 0
+
+
+def test_conversation_shape_tie_break_by_order_col(spark):
+    """Equal timestamps: turn_idx decides adjacency, so the repeat count
+    is deterministic under any partitioning."""
+    from timeseriesflattener_spark.operators.sessions import conversation_shape
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = _shape_df(
+        spark,
+        [
+            ("a", 2, "user", t0),
+            ("a", 0, "user", t0),
+            ("a", 1, "assistant", t0),
+        ],
+    ).repartition(4)
+    row = conversation_shape(df, type_col="role").first()
+    # order by turn_idx: user, assistant, user -> zero repeats
+    assert row["n_repeats"] == 0 and row["n_events"] == 3
+
+
+def test_conversation_shape_single_exchange(spark):
+    """The lag window and the groupBy share one entity exchange."""
+    from timeseriesflattener_spark.operators.sessions import conversation_shape
+
+    df = _shape_df(spark, [("a", 0, "user", dt.datetime(2024, 1, 1))])
+    plan = (
+        conversation_shape(df, type_col="role")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1489,3 +1489,67 @@ def test_release_pipeline_caches(spark, docs):
     curriculum_schedule(docs).count()
     assert release_pipeline_caches() >= 1
     assert release_pipeline_caches() == 0
+
+
+def test_bloom_filter_words_no_false_negatives(spark):
+    """Every inserted hash tests positive (Bloom guarantee); a disjoint
+    probe set sees a low FP rate at the default sizing."""
+    from timeseriesflattener_spark.operators.dedup import (
+        _bloom_might_contain,
+        bloom_filter_words,
+    )
+
+    m, k = 1 << 12, 4
+    inserted = spark.range(0, 200).select(F.xxhash64("id").alias("__h"))
+    words = bloom_filter_words(inserted, "__h", m_bits=m, k_hashes=k)
+    assert len(words) == m // 64
+    hits = inserted.filter(
+        _bloom_might_contain(F.lit(words), F.col("__h"), m, k)
+    ).count()
+    assert hits == 200  # no false negatives, ever
+    probe = spark.range(10_000, 12_000).select(F.xxhash64("id").alias("__h"))
+    fp = probe.filter(
+        _bloom_might_contain(F.lit(words), F.col("__h"), m, k)
+    ).count()
+    # 200 keys in 4096 bits, k=4 -> theoretical FP ~ (1-e^(-800/4096))^4
+    # ~ 0.1%; assert an order of magnitude of slack
+    assert fp / 2000 < 0.05, fp
+
+
+def test_bloom_filter_words_validation(spark):
+    from timeseriesflattener_spark.operators.dedup import bloom_filter_words
+
+    h = spark.range(1).select(F.xxhash64("id").alias("__h"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter_words(h, "__h", m_bits=100)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_filter_words(h, "__h", k_hashes=0)
+
+
+def test_contamination_pairs_bloom_equals_exact(spark, docs):
+    """The Bloom-prefiltered pass returns EXACTLY the exact pass's pairs
+    (confirm join absorbs false positives) — through both the broadcast
+    and the shuffle-join confirm paths."""
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    exact = {
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in D.contamination_pairs(
+            docs, bench, n=3, bench_id_col="bench_id"
+        ).collect()
+    }
+    for bcast in (True, False):
+        got = {
+            (r["doc_id"], r["bench_id"], r["n_shared"])
+            for r in D.contamination_pairs_bloom(
+                docs,
+                bench,
+                n=3,
+                bench_id_col="bench_id",
+                m_bits=1 << 14,
+                k_hashes=4,
+                broadcast_benchmark=bcast,
+            ).collect()
+        }
+        assert got == exact, f"broadcast_benchmark={bcast}"

@@ -340,6 +340,111 @@ def drop_contaminated(
     return docs.join(flagged, id_col, "left_anti")
 
 
+def bloom_filter_words(
+    hashes: DataFrame, hash_col: str = "__h", m_bits: int = 1 << 18, k_hashes: int = 4
+) -> list[int]:
+    """Build a Bloom filter over a 64-bit hash column as a dense list of
+    ``m_bits / 64`` bitmap words (Python ints), aggregated DISTRIBUTED
+    (explode k bit positions -> map-side-combined ``bit_or`` per word)
+    and collected to the driver — the collect is bounded by the filter
+    size (m_bits/64 rows, e.g. 4096 longs = 32 KB at the default), never
+    by the input cardinality, so it is safe for any benchmark size.
+
+    Bit positions are ``xxhash64(h, j) mod m_bits`` for j in [0, k) —
+    k independent rehashes of the already-hashed shingle.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits!r}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes!r}")
+    h = F.col(hash_col)
+    idx = F.explode(
+        F.array(*[F.pmod(F.xxhash64(h, F.lit(j)), F.lit(m_bits)) for j in range(k_hashes)])
+    ).alias("__idx")
+    rows = (
+        hashes.select(idx)
+        .select(
+            F.shiftright(F.col("__idx"), 6).alias("__word"),
+            # F.shiftleft only takes a literal shift; the SQL function
+            # accepts a column — call it through the registry
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__idx") % 64).cast("int")
+            ).alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["__word"]] = r["__bits"]
+    return words
+
+
+def _bloom_might_contain(
+    words_lit: Column, hash_col: Column, m_bits: int, k_hashes: int
+) -> Column:
+    """Map-side membership test against a literal bitmap: all k bits
+    set. Pure integer shift/and — no join, no shuffle, codegen-friendly."""
+    cond = F.lit(True)
+    for j in range(k_hashes):
+        idx = F.pmod(F.xxhash64(hash_col, F.lit(j)), F.lit(m_bits))
+        word = F.element_at(words_lit, (F.shiftright(idx, 6) + 1).cast("int"))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (idx % 64).cast("int")
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def contamination_pairs_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """``contamination_pairs`` with a Bloom-filter pre-filter on the
+    corpus side — IDENTICAL output (the exact join confirms every Bloom
+    candidate, so false positives never escape; false negatives are
+    impossible by Bloom construction).
+
+    This is the runtime-filter pattern made explicit for the one case
+    Spark can't infer it: when the benchmark is too big to broadcast
+    (``broadcast_benchmark=False`` -> shuffle join), the UNfiltered plan
+    shuffles every corpus shingle; here the ~32 KB bitmap rides into
+    every task as a literal and drops non-matching shingles MAP-SIDE, so
+    only the (true hits + ~n/2^k false-positive) sliver is shuffled —
+    at 100 TB that is the difference between shuffling the corpus and
+    shuffling (approximately) the contamination. With a broadcastable
+    benchmark the bloom still cuts the probe-side rows feeding the
+    confirm join and its downstream groupBy.
+
+    One extra benchmark-side pass (the distributed bitmap build +
+    bounded m_bits/64-row collect) buys the corpus-side cut; the
+    benchmark is the small side by definition in decontamination.
+    """
+    b = _hashed_exploded(benchmark, bench_text_col, bench_id_col, n, persist=True)
+    words = bloom_filter_words(b, "__h", m_bits=m_bits, k_hashes=k_hashes)
+    words_lit = F.lit(words)
+    d = _hashed_exploded(docs, text_col, id_col, n, persist=False).filter(
+        _bloom_might_contain(words_lit, F.col("__h"), m_bits, k_hashes)
+    )
+    bj = b.select(F.col("doc").alias("bench_id"), "__h")
+    if broadcast_benchmark:
+        bj = F.broadcast(bj)
+    return (
+        d.join(bj, "__h")
+        .groupBy(F.col("doc").alias(id_col), "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # -------------------------------------------------------- minhash
 
 

@@ -101,3 +101,59 @@ def session_window_stats(
         "duration_micros",
         "n_events",
     )
+
+
+def conversation_shape(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    type_col: str = "role",
+    order_col: str | None = "turn_idx",
+) -> DataFrame:
+    """Per-conversation shape profile: the structural quality stats a
+    transcript-training pipeline gates on before a conversation enters
+    the corpus (too-short threads, role-alternation violations, stalls).
+
+    One row per entity:
+
+    - ``n_events``       turns in the conversation
+    - ``n_types``        distinct ``type_col`` values (roles/event kinds)
+    - ``span_us``        first->last turn in exact integer micros
+    - ``max_gap_us``     longest inter-turn gap in exact integer micros
+                         (0 for single-turn conversations)
+    - ``n_repeats``      adjacent turn pairs with the SAME type — for
+                         role columns this counts alternation
+                         violations (double-user / double-assistant)
+
+    All stats are exact integer arithmetic over epoch-micros — BIGINT
+    end to end, no division anywhere (the r7 exact-partials contract;
+    callers wanting seconds divide at the edge). Plan: one lag window +
+    one groupBy sharing a single entity exchange (the groupBy reuses the
+    window's hash partitioning); everything whole-stage codegen.
+    ``order_col`` breaks timestamp ties deterministically — pass None
+    only when (entity, ts) is known unique.
+    """
+    order = [micros(F.col(ts_col))]
+    if order_col is not None:
+        order.append(F.col(order_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    us = micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    rep = (F.col(type_col) == F.lag(type_col).over(w)).cast("long")
+    return (
+        df.select(
+            entity_col,
+            F.col(type_col).alias("__t"),
+            us.alias("__us"),
+            gap.alias("__gap"),
+            rep.alias("__rep"),
+        )
+        .groupBy(entity_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("__t").alias("n_types"),
+            (F.max("__us") - F.min("__us")).alias("span_us"),
+            F.coalesce(F.max("__gap"), F.lit(0).cast("long")).alias("max_gap_us"),
+            F.coalesce(F.sum("__rep"), F.lit(0).cast("long")).alias("n_repeats"),
+        )
+    )
