@@ -2670,6 +2670,111 @@ def q_conversation_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: semantic-clustering query constants (k, Lloyd iterations, int grid
+#: scale, SemDeDup squared-distance threshold ~ p15 of rep distances)
+_KM_K, _KM_ITER, _KM_SCALE, _KM_THRESH = 8, 2, 10_000, 150_000_000
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over int-grid embeddings (k smallest
+    ids init, exact BIGINT distances, half-up integer centroid means,
+    fixed 2 update rounds) — assignments + squared distances are exact
+    integers, so the unrolled DuckDB replay matches bit-for-bit."""
+    from timeseriesflattener_spark.operators.similarity import semantic_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_clusters(emb, k=_KM_K, n_iter=_KM_ITER, scale=_KM_SCALE)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup flags: cluster reps (smallest id)
+    + exact int-grid distance-to-rep threshold. O(n) after clustering —
+    no within-cluster self-join."""
+    from timeseriesflattener_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=_KM_K, n_iter=_KM_ITER, threshold_sq=_KM_THRESH, scale=_KM_SCALE
+    )
+
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+
+
+def _kmeans_ctes() -> tuple[str, str]:
+    """Unrolled Lloyd CTE chain (q, c0, then aN/sN/cN per iteration).
+    The centroid mean uses an explicit floor-division CASE because
+    DuckDB's ``//`` truncates toward zero on negatives while the
+    operator's Python ``//`` floors."""
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {_KM_K})"""
+    ]
+    cur = "c0"
+    for it in range(1, _KM_ITER + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, j AS cl FROM (
+    SELECT q.vec_id, c.j, row_number() OVER (PARTITION BY q.vec_id ORDER BY {_KM_DIST}, c.j) AS rn
+    FROM q CROSS JOIN {cur} c) WHERE rn = 1),
+s{it} AS (
+  SELECT j, list(CASE WHEN 2 * s + n >= 0 THEN (2 * s + n) // (2 * n)
+                      ELSE -((-(2 * s + n) + 2 * n - 1) // (2 * n)) END ORDER BY i) AS cv
+  FROM (
+    SELECT a.cl AS j, u.i AS i, sum(u.val) AS s, count(*) AS n
+    FROM q JOIN a{it} a USING (vec_id),
+      LATERAL (SELECT unnest(q.qv) AS val, generate_subscripts(q.qv, 1) AS i) u
+    GROUP BY a.cl, u.i)
+  GROUP BY j),
+c{it} AS (
+  SELECT c.j, coalesce(s.cv, c.cv) AS cv
+  FROM {cur} c LEFT JOIN s{it} s USING (j))"""
+        )
+        cur = f"c{it}"
+    return ",\n".join(parts), cur
+
+
+def _semantic_clusters_oracle() -> str:
+    prefix, final = _kmeans_ctes()
+    return f"""
+WITH {prefix}
+SELECT vec_id, j AS cluster, d AS dist_sq FROM (
+  SELECT q.vec_id, c.j, {_KM_DIST} AS d,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY {_KM_DIST}, c.j) AS rn
+  FROM q CROSS JOIN {final} c) WHERE rn = 1"""
+
+
+def _semantic_dedup_oracle() -> str:
+    prefix, final = _kmeans_ctes()
+    rep_dist = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, rv.rep_qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    return f"""
+WITH {prefix},
+fin AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT q.vec_id, c.j,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {_KM_DIST}, c.j) AS rn
+    FROM q CROSS JOIN {final} c) WHERE rn = 1),
+reps AS (
+  SELECT cluster, min(vec_id) AS rep_id FROM fin GROUP BY cluster),
+rv AS (
+  SELECT r.cluster, r.rep_id, q.qv AS rep_qv FROM reps r JOIN q ON q.vec_id = r.rep_id)
+SELECT f.vec_id, f.cluster, rv.rep_id,
+  {rep_dist} AS rep_dist_sq,
+  ({rep_dist} <= {_KM_THRESH} AND f.vec_id <> rv.rep_id) AS is_dup
+FROM fin f JOIN q USING (vec_id) JOIN rv USING (cluster)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: multi-window multi-aggregator flattening at sf0.001."""
     return q_flatten_multiwindow(spark, "/root/testdata/sf0.001")
@@ -2727,6 +2832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "decontaminate_bloom": q_decontaminate_bloom,
         "conversation_shape": q_conversation_shape,
+        "semantic_clusters": q_semantic_clusters,
+        "semantic_dedup": q_semantic_dedup,
         # --- rows 28-50: core regression coverage — one row per major
         # family (flatten, rollup tiers, streaming, gap-fill, gorilla,
         # as-of, dedup, funnel, quality gate)
@@ -4426,6 +4533,8 @@ GROUP BY n.n_name ORDER BY revenue DESC""",
     # bloom prefilter + exact confirm == the exact pass, by construction
     oracles["decontaminate_bloom"] = oracles["decontaminate"]
     oracles["zorder_key"] = _zorder_oracle()
+    oracles["semantic_clusters"] = _semantic_clusters_oracle()
+    oracles["semantic_dedup"] = _semantic_dedup_oracle()
     oracles["conversation_shape"] = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS us,

@@ -1553,3 +1553,120 @@ def test_contamination_pairs_bloom_equals_exact(spark, docs):
             ).collect()
         }
         assert got == exact, f"broadcast_benchmark={bcast}"
+
+
+# ------------------------------------------------ semantic clustering
+
+
+def test_kmeans_matches_python_lloyd(spark, embs):
+    """The full deterministic contract (grid snap, min-id init, BIGINT
+    argmin with small-j ties, half-up integer centroid means, empty-
+    cluster carry) replayed in pure Python over the same vectors."""
+    from timeseriesflattener_spark.operators.similarity import (
+        kmeans_fit,
+        release_kmeans_caches,
+        semantic_clusters,
+    )
+
+    k, n_iter, scale = 4, 2, 10_000
+    rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in embs.collect()),
+    )[:80]
+    q = {
+        vid: [int(__import__("math").floor(float(x) * scale + 0.5)) for x in v]
+        for vid, v in rows
+    }
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cent = [q[vid] for vid in sorted(q)[:k]]
+    for _ in range(n_iter):
+        members = {}
+        for vid, v in q.items():
+            j = min(range(k), key=lambda j: (dist(v, cent[j]), j))
+            members.setdefault(j, []).append(v)
+        for j, vs in members.items():
+            n = len(vs)
+            cent[j] = [
+                (2 * sum(col) + n) // (2 * n) for col in zip(*vs)
+            ]
+    expect = {
+        vid: min(range(k), key=lambda j: (dist(v, cent[j]), j)) for vid, v in q.items()
+    }
+
+    sub = embs.filter(F.col("vec_id").isin(list(q.keys())))
+    got_cent = kmeans_fit(sub, k=k, n_iter=n_iter, scale=scale)
+    assert got_cent == cent
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in semantic_clusters(sub, k=k, n_iter=n_iter, scale=scale).collect()
+    }
+    assert got == expect
+    release_kmeans_caches()
+
+
+def test_kmeans_partition_invariant(spark, embs):
+    from timeseriesflattener_spark.operators.similarity import (
+        release_kmeans_caches,
+        semantic_clusters,
+    )
+
+    a = sorted(
+        tuple(r) for r in semantic_clusters(embs, k=8, n_iter=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semantic_clusters(embs.repartition(13), k=8, n_iter=2).collect()
+    )
+    assert a == b
+    release_kmeans_caches()
+
+
+def test_kmeans_assignment_plan_is_map_side(spark, embs):
+    """The final assignment is pure projection over literal centroids —
+    NO join, NO exchange (the scale contract: at 100 TB the assignment
+    never shuffles vectors)."""
+    from timeseriesflattener_spark.operators.similarity import (
+        release_kmeans_caches,
+        semantic_clusters,
+    )
+
+    out = semantic_clusters(embs, k=4, n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    release_kmeans_caches()
+
+
+def test_semantic_dedup_reps_and_flags(spark, embs):
+    from timeseriesflattener_spark.operators.similarity import (
+        release_kmeans_caches,
+        semantic_dedup,
+    )
+
+    rows = semantic_dedup(embs, k=8, n_iter=2, threshold_sq=10**9).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        rep = min(m["vec_id"] for m in members)
+        assert all(m["rep_id"] == rep for m in members)
+        for m in members:
+            if m["vec_id"] == rep:
+                assert m["rep_dist_sq"] == 0 and not m["is_dup"]
+            else:
+                assert m["is_dup"] == (m["rep_dist_sq"] <= 10**9)
+    release_kmeans_caches()
+
+
+def test_kmeans_validation(spark, embs):
+    from timeseriesflattener_spark.operators.similarity import kmeans_fit
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(embs, k=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_fit(embs, k=2, n_iter=-1)
+    with pytest.raises(ValueError, match="only"):
+        kmeans_fit(embs.limit(3), k=5)

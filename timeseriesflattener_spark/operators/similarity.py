@@ -267,3 +267,214 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------ semantic clustering
+
+#: persisted int-embedding frames awaiting release (kmeans scans the
+#: input n_iter+2 times; same registry pattern as dedup._SHINGLE_CACHES)
+_KMEANS_CACHES: list[DataFrame] = []
+
+
+def release_kmeans_caches() -> None:
+    while _KMEANS_CACHES:
+        try:
+            _KMEANS_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def int_embedding(vec: Column, scale: int = 10_000) -> Column:
+    """Snap a float embedding onto an exact integer grid:
+    ``floor(x * scale + 0.5)`` per component (round-half-up, engine-proof:
+    float32 widens to the same double everywhere, the multiply/add/floor
+    are single IEEE ops, and everything after is BIGINT arithmetic)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def _int_dist_sq(int_vec: Column, centroid: list[int]) -> Column:
+    """Exact squared L2 distance between an int-grid vector column and a
+    literal int-grid centroid — pure BIGINT (dim * (2*scale)^2 bounds the
+    sum far below 2^63 for any sane scale/dim)."""
+    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(int_vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_struct(int_vec: Column, centroids: list[list[int]]) -> Column:
+    """struct(dist_sq, cluster) of the nearest centroid — array_min over
+    per-centroid structs orders by distance then cluster id, so ties
+    break to the smallest cluster deterministically."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _int_dist_sq(int_vec, c).alias("d"),
+                    F.lit(j).cast("long").alias("j"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> list[list[int]]:
+    """Lloyd's k-means over int-grid embeddings with a FULLY deterministic,
+    engine-reproducible contract (no RNG, no floats):
+
+    - init: the ``k`` vectors with the smallest ``id_col`` (snapped to
+      the grid) in id order;
+    - assignment: exact BIGINT squared-L2 argmin, ties to the smaller
+      cluster id;
+    - update: per-dimension integer mean with half-up rounding,
+      ``(2*S + n) // (2*n)`` (floor division of exact integers — the
+      same formula an oracle replays in SQL), empty clusters carry
+      their previous centroid;
+    - ``n_iter`` update rounds (fixed, not convergence-tested — the
+      determinism contract).
+
+    Scale shape (the canonical distributed Lloyd): centroids are k
+    driver-side literals folded into the plan, the assignment is pure
+    map-side column arithmetic (NO shuffle, no join), and each update is
+    ONE map-side-combined groupBy collecting k x dim integer sums — at
+    100 TB each iteration shuffles k*partitions tiny rows, never
+    vectors. The driver state is k*dim ints.
+    """
+    q = _int_frame(df, id_col, vec_col, scale)
+    return _fit_on(q, k, n_iter)
+
+
+def _int_frame(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    """(__id, __q) int-grid projection, persisted (scanned n_iter+2
+    times across fit + final assignment)."""
+    from pyspark import StorageLevel
+
+    q = df.select(
+        F.col(id_col).alias("__id"), int_embedding(F.col(vec_col), scale).alias("__q")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _KMEANS_CACHES.append(q)
+    return q
+
+
+def _fit_on(q: DataFrame, k: int, n_iter: int) -> list[list[int]]:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter!r}")
+    first = q.select("__q").first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty input")
+    dim = len(first[0])
+    init = sorted(q.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"])
+    if len(init) < k:
+        raise ValueError(f"kmeans_fit: k={k} but only {len(init)} vectors")
+    centroids = [list(r["__q"]) for r in init]
+    for _ in range(n_iter):
+        a = _assign_struct(F.col("__q"), centroids)
+        sums = (
+            q.select(a["j"].alias("__c"), "__q")
+            .groupBy("__c")
+            .agg(
+                F.count("*").alias("__n"),
+                *[
+                    F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty clusters carry over
+        for r in sums:
+            j, n = int(r["__c"]), int(r["__n"])
+            nxt[j] = [(2 * int(r[f"__s{i}"]) + n) // (2 * n) for i in range(dim)]
+        centroids = nxt
+    return centroids
+
+
+def semantic_clusters(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Assign every vector to its nearest ``kmeans_fit`` centroid:
+    ``(id_col, cluster, dist_sq)`` — exact BIGINTs end to end. The final
+    assignment is one map-side pass over the persisted int-grid frame
+    (no shuffle at all)."""
+    q = _int_frame(df, id_col, vec_col, scale)
+    centroids = _fit_on(q, k, n_iter)
+    a = _assign_struct(F.col("__q"), centroids)
+    return q.select(
+        F.col("__id").alias(id_col), a["j"].alias("cluster"), a["d"].alias("dist_sq")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold_sq: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate flagging: cluster with
+    ``semantic_clusters``, elect each cluster's representative (smallest
+    id), and flag every non-representative whose exact int-grid squared
+    distance to the rep is <= ``threshold_sq``. Output
+    ``(id_col, cluster, rep_id, rep_dist_sq, is_dup)``.
+
+    Unlike pairwise within-cluster SemDeDup this is O(n) after
+    clustering — each vector is compared to exactly ONE representative
+    (k literal vectors folded into the plan), so no within-cluster
+    self-join exists to blow up on a dense cluster. The rep election is
+    a k-row aggregate; the rep vectors ride into every task as plan
+    literals, keeping the flag pass map-side (one entity-free scan, no
+    join)."""
+    q = _int_frame(df, id_col, vec_col, scale)
+    centroids = _fit_on(q, k, n_iter)
+    a = _assign_struct(F.col("__q"), centroids)
+    assigned = q.select(
+        F.col("__id").alias(id_col), "__q", a["j"].alias("cluster")
+    )
+    reps = {
+        int(r["cluster"]): (int(r["rep_id"]), list(r["__q"]))
+        for r in assigned.groupBy("cluster")
+        .agg(F.min_by(F.struct(id_col, "__q"), F.col(id_col)).alias("__rep"))
+        .select(
+            "cluster",
+            F.col("__rep")[id_col].alias("rep_id"),
+            F.col("__rep.__q").alias("__q"),
+        )
+        .collect()
+    }
+    rep_id = F.lit(None).cast("long")
+    rep_d = F.lit(None).cast("long")
+    for j in sorted(reps, reverse=True):
+        rid, rvec = reps[j]
+        is_j = F.col("cluster") == j
+        rep_id = F.when(is_j, F.lit(rid).cast("long")).otherwise(rep_id)
+        rep_d = F.when(is_j, _int_dist_sq(F.col("__q"), rvec)).otherwise(rep_d)
+    return assigned.select(
+        id_col,
+        "cluster",
+        rep_id.alias("rep_id"),
+        rep_d.alias("rep_dist_sq"),
+        (
+            (rep_d <= F.lit(int(threshold_sq))) & (F.col(id_col) != rep_id)
+        ).alias("is_dup"),
+    )
