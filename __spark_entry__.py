@@ -2670,6 +2670,51 @@ def q_conversation_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of LOCF gap-fill: per-entity dense daily grids
+    carried across micro-batches with TWO longs of state per entity.
+    Four weekly time-split files (the in-order ingest contract; weekly
+    cuts align with daily buckets, so no bucket straddles a batch).
+    The max-batch_id row per (entity, bucket) must equal the batch LOCF
+    identity — the oracle replays it as generate_series + last_value
+    IGNORE NULLS over the per-day LAST observation (exact integer
+    cents; `filled` == the batch twin's `is_gap`)."""
+    import tempfile
+
+    from timeseriesflattener_spark.streaming.stateful import start_locf_stream
+
+    work = tempfile.mkdtemp(prefix="tsf-stream-locf-")
+    src = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("entity"), "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    for lo, hi in bounds:
+        part = src
+        if lo:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        part.coalesce(1).write.mode("append").parquet(f"{work}/input")
+    start_locf_stream(
+        spark,
+        f"{work}/input",
+        schema="entity string, ts timestamp, event_id long, cents long",
+        out_path=f"{work}/out",
+        checkpoint_dir=f"{work}/ckpt",
+        bucket_micros=86_400_000_000,
+        order_col="event_id",
+        max_files_per_trigger=1,
+    ).awaitTermination()
+    sink = spark.read.parquet(f"{work}/out")
+    return (
+        sink.groupBy("entity", "bucket_start_us")
+        .agg(F.max_by(F.struct("cents", "filled"), F.col("batch_id")).alias("s"))
+        .select("entity", "bucket_start_us", "s.*")
+    )
+
+
 #: semantic-clustering query constants (k, Lloyd iterations, int grid
 #: scale, SemDeDup squared-distance threshold ~ p15 of rep distances)
 _KM_K, _KM_ITER, _KM_SCALE, _KM_THRESH = 8, 2, 10_000, 150_000_000
@@ -2834,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_shape": q_conversation_shape,
         "semantic_clusters": q_semantic_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "stream_locf": q_stream_locf,
         # --- rows 28-50: core regression coverage — one row per major
         # family (flatten, rollup tiers, streaming, gap-fill, gorilla,
         # as-of, dedup, funnel, quality gate)
@@ -4535,6 +4581,26 @@ GROUP BY n.n_name ORDER BY revenue DESC""",
     oracles["zorder_key"] = _zorder_oracle()
     oracles["semantic_clusters"] = _semantic_clusters_oracle()
     oracles["semantic_dedup"] = _semantic_dedup_oracle()
+    # stream_locf converges to the batch LOCF identity: per-day LAST
+    # observation (exact cents), dense grid, carry-forward
+    oracles["stream_locf"] = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+pts AS (
+  SELECT entity, d, cents FROM (
+    SELECT entity, us // 86400000000 AS d, cents,
+      row_number() OVER (PARTITION BY entity, us // 86400000000
+                         ORDER BY us DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1),
+rng AS (SELECT entity, min(d) AS lo, max(d) AS hi FROM pts GROUP BY 1),
+grid AS (SELECT entity, unnest(generate_series(lo, hi, 1)) AS d FROM rng)
+SELECT g.entity, g.d * 86400000000 AS bucket_start_us,
+  last_value(p.cents IGNORE NULLS) OVER (PARTITION BY g.entity ORDER BY g.d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents,
+  p.cents IS NULL AS filled
+FROM grid g LEFT JOIN pts p ON g.entity = p.entity AND g.d = p.d"""
     oracles["conversation_shape"] = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS us,

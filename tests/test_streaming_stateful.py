@@ -211,3 +211,46 @@ def test_stateful_cusum_tie_break_by_order_col(spark, tmp_path):
         entity_col="entity",
     ).orderBy(F.desc("event_id")).collect()[0]
     assert batch["cusum_hi"] == final["cusum_hi"]
+
+
+def test_stateful_locf_carries_across_batches(spark, tmp_path):
+    """Entity 'a': day 0 = 10 then (batch 2) day 3 = 30 — the 2-day gap
+    spans the batch boundary, so days 1-2 must be filled FROM STATE
+    (carry 10) in batch 2. Multiple same-day events take the LAST by
+    ts; single-observation entity 'b' emits exactly one unfilled row."""
+    from timeseriesflattener_spark.streaming.stateful import start_locf_stream
+
+    day = 86_400_000_000
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "entity string, ts timestamp, cents long"
+    files = [
+        [
+            ("a", t0, 10),
+            ("a", t0 + dt.timedelta(hours=2), 11),  # same day: last wins
+            ("b", t0, 7),
+        ],
+        [("a", t0 + dt.timedelta(days=3), 30)],
+    ]
+    in_dir = str(tmp_path / "in")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    q = start_locf_stream(
+        spark, in_dir, schema, out_dir, str(tmp_path / "ckpt"),
+        bucket_micros=day, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    rows = {
+        (r["entity"], r["bucket_start_us"]): (r["cents"], r["filled"], r["batch_id"])
+        for r in out.collect()
+    }
+    base = 19723 * day  # 2024-01-01 in epoch days
+    assert rows[("a", base)] == (11, False, 0)          # last-of-day wins
+    assert rows[("a", base + day)] == (11, True, 1)     # filled from state
+    assert rows[("a", base + 2 * day)] == (11, True, 1)
+    assert rows[("a", base + 3 * day)] == (30, False, 1)
+    assert rows[("b", base)] == (7, False, 0)
+    assert len(rows) == 5  # nothing re-emitted, no spurious buckets

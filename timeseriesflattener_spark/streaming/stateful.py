@@ -373,3 +373,122 @@ def start_cusum_stream(
         max_files_per_trigger=max_files_per_trigger,
         available_now=available_now,
     )
+
+
+def running_locf(
+    stream_df: DataFrame,
+    bucket_micros: int,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of the LOCF leg of ``plans.gapfill.fill_gaps``:
+    per-entity dense bucket grids carried forward across micro-batches.
+    State is TWO longs per entity — (last emitted bucket index, its
+    carried value) — independent of stream length and gap width.
+
+    Each batch emits, per touched entity, one row for every bucket from
+    (state bucket + 1) — or the batch's first bucket when the state is
+    behind it, the carried value filling the gap between — through the
+    batch's last bucket: ``filled`` marks grid rows with no observation
+    (the batch twin's ``is_gap``). The per-bucket value is the LAST
+    observation in the bucket by (event time, ``order_col``). Same
+    in-order ingest contract as ``running_funnel``/``running_cusum``
+    (per-entity event time non-decreasing across micro-batches); a
+    batch may only revisit the single open tail bucket, and only with
+    later observations, so re-emitted rows supersede under the
+    max-batch_id consumer recipe. Grid construction is vectorized
+    pandas (map + ffill) — no per-row Python. Values stay exact longs
+    end to end (the integer-cents contract).
+    """
+    import numpy as np
+
+    if bucket_micros <= 0:
+        raise ValueError(f"bucket_micros must be positive, got {bucket_micros!r}")
+    out_schema = (
+        f"{entity_col} string, bucket_start_us long, {value_col} long, "
+        "filled boolean"
+    )
+    state_schema = "last_b long, last_c long"
+    sort_cols = [ts_col] + ([order_col] if order_col is not None else [])
+
+    def _update(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (entity,) = key
+        parts = []
+        for pdf in pdfs:
+            sel = pdf[value_col].notna() & pdf[ts_col].notna()
+            if sel.any():
+                parts.append(pdf.loc[sel, sort_cols + [value_col]])
+        if not parts:
+            return
+        ev = pd.concat(parts).sort_values(sort_cols)
+        us = ev[ts_col].astype("int64") // 1000  # ns -> us
+        ev = ev.assign(__b=us // bucket_micros)
+        last_per_bucket = ev.drop_duplicates("__b", keep="last")
+        obs = pd.Series(
+            last_per_bucket[value_col].to_numpy(dtype="int64"),
+            index=last_per_bucket["__b"].to_numpy(dtype="int64"),
+        )
+        bmin, bmax = int(obs.index.min()), int(obs.index.max())
+        if state.exists:
+            last_b, last_c = state.get
+            start, carry = min(bmin, last_b + 1), last_c
+        else:
+            start, carry = bmin, None
+        grid = np.arange(start, bmax + 1, dtype="int64")
+        vals = obs.reindex(grid)
+        filled = vals.isna().to_numpy()
+        vals = vals.ffill()
+        if carry is not None:
+            vals = vals.fillna(float(carry))
+        out_vals = vals.to_numpy(dtype="int64")
+        state.update((int(bmax), int(out_vals[-1])))
+        yield pd.DataFrame(
+            {
+                entity_col: entity,
+                "bucket_start_us": grid * bucket_micros,
+                value_col: out_vals,
+                "filled": filled,
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_locf_stream(
+    spark,
+    input_path: str,
+    schema: str,
+    out_path: str,
+    checkpoint_dir: str,
+    bucket_micros: int,
+    entity_col: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    order_col: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """readStream -> stateful LOCF gap-fill -> foreachBatch parquet
+    appends (max-batch_id row per (entity, bucket) is current)."""
+    return _start_update_stream(
+        spark,
+        input_path,
+        schema,
+        lambda s: running_locf(
+            s, bucket_micros, entity_col, ts_col, value_col, order_col
+        ),
+        out_path,
+        checkpoint_dir,
+        max_files_per_trigger,
+        available_now,
+    )
