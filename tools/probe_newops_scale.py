@@ -27,6 +27,12 @@ NEW_OPS = [
     "split_corpus",
     "chunk_documents",
     "lm_score",
+    # r7 additions
+    "zorder_key",
+    "decontaminate_bloom",
+    "conversation_shape",
+    "semantic_clusters",
+    "semantic_dedup",
 ]
 
 
@@ -36,6 +42,7 @@ def main() -> None:
     ops = sys.argv[2:] if len(sys.argv) > 2 else NEW_OPS
     from timeseriesflattener_spark.operators.dedup import release_shingle_caches
     from timeseriesflattener_spark.operators.pipeline import release_pipeline_caches
+    from timeseriesflattener_spark.operators.similarity import release_kmeans_caches
 
     spark = _session(CPUS, "tsf-newops-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,12 +57,12 @@ def main() -> None:
         t0 = time.time()
         rows1 = queries[name](spark, SF_DIR).count()
         w1 = time.time() - t0
-        release_shingle_caches(); release_pipeline_caches()
+        release_shingle_caches(); release_pipeline_caches(); release_kmeans_caches()
         spark.catalog.clearCache()
         t0 = time.time()
         rows2 = queries[name](spark, big_dir).count()
         w2 = time.time() - t0
-        release_shingle_caches(); release_pipeline_caches()
+        release_shingle_caches(); release_pipeline_caches(); release_kmeans_caches()
         out[name] = {
             "base_s": round(w1, 3), "scaled_s": round(w2, 3),
             "ratio": round(w2 / w1, 2), "base_rows": rows1,
