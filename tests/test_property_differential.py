@@ -368,3 +368,94 @@ def test_quality_rule_columns_match_python(spark, texts):
         assert got[i]["bl"] == bl, (i, repr(t))
         assert got[i]["el"] == el, (i, repr(t))
         assert got[i]["aw"] == aw, (i, repr(t))
+
+
+# ---------------------------------------------- r7 property tests
+
+
+zbits_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=(1 << 20) - 1),
+        st.integers(min_value=0, max_value=(1 << 20) - 1),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=zbits_pairs, bits=st.integers(min_value=1, max_value=20))
+def test_zorder_key_property_matches_python(spark, pairs, bits):
+    """zorder_key == the Python bit interleave for arbitrary (a, b, bits),
+    including values above 2^bits (masked-alias contract)."""
+    from timeseriesflattener_spark.operators.layout import zorder_key
+    import pyspark.sql.functions as F
+
+    def pyz(a, b):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long"
+    )
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", zorder_key(F.col("a"), F.col("b"), bits=bits).alias("z")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == pyz(a, b), (a, b, bits)
+
+
+shape_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),       # entity
+        st.integers(min_value=0, max_value=5000),    # seconds offset
+        st.sampled_from(["u", "a", "t"]),            # type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=shape_events)
+def test_conversation_shape_property_matches_python(spark, rows):
+    """conversation_shape == a Python scan over (ts, order)-sorted events
+    for arbitrary micro-streams (duplicate timestamps included — the
+    order column pins adjacency)."""
+    from timeseriesflattener_spark.operators.sessions import conversation_shape
+
+    data = [
+        (str(e), i, t, BASE + dt.timedelta(seconds=s))
+        for i, (e, s, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, ts timestamp"
+    ).repartition(5)
+    got = {
+        r["conv_id"]: (
+            r["n_events"], r["n_types"], r["span_us"], r["max_gap_us"], r["n_repeats"]
+        )
+        for r in conversation_shape(df, type_col="role").collect()
+    }
+    by_entity = {}
+    for e, i, t, ts in data:
+        by_entity.setdefault(e, []).append((int(ts.timestamp() * 1_000_000), i, t))
+    for e, evs in by_entity.items():
+        evs.sort()
+        us = [x[0] for x in evs]
+        types = [x[2] for x in evs]
+        gaps = [b - a for a, b in zip(us, us[1:])]
+        expect = (
+            len(evs),
+            len(set(types)),
+            us[-1] - us[0],
+            max(gaps) if gaps else 0,
+            sum(1 for a, b in zip(types, types[1:]) if a == b),
+        )
+        assert got[e] == expect, (e, evs)
