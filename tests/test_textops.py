@@ -1670,3 +1670,24 @@ def test_kmeans_validation(spark, embs):
         kmeans_fit(embs, k=2, n_iter=-1)
     with pytest.raises(ValueError, match="only"):
         kmeans_fit(embs.limit(3), k=5)
+
+
+def test_drop_semantic_duplicates_keeps_reps(spark, embs):
+    from timeseriesflattener_spark.operators.similarity import (
+        drop_semantic_duplicates,
+        release_kmeans_caches,
+        semantic_dedup,
+    )
+
+    thr = 10**9
+    flags = semantic_dedup(embs, k=8, n_iter=2, threshold_sq=thr).collect()
+    dropped = {r["vec_id"] for r in flags if r["is_dup"]}
+    assert dropped  # threshold chosen to flag some
+    kept = drop_semantic_duplicates(embs, k=8, n_iter=2, threshold_sq=thr)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in embs.select("vec_id").collect()}
+    assert kept_ids == all_ids - dropped
+    assert kept.columns == embs.columns  # full schema preserved
+    reps = {r["rep_id"] for r in flags}
+    assert reps <= kept_ids  # representatives always survive
+    release_kmeans_caches()

@@ -11,6 +11,10 @@
   in the tests.
 - ``embedding_near_dup_pairs``: all pairs above a cosine threshold via
   the same LSH candidate generation (embedding-cosine near-dup).
+- ``kmeans_fit`` / ``semantic_clusters`` / ``semantic_dedup`` /
+  ``drop_semantic_duplicates``: deterministic int-grid Lloyd k-means +
+  SemDeDup-style keep-one dedup — exact BIGINT distances, map-side
+  assignment over literal centroids, fully replayable in SQL.
 
 Hyperplanes are generated from a seeded numpy RNG at *plan build time*
 (driver-side constants folded into the plan — deterministic and tiny:
@@ -478,3 +482,25 @@ def semantic_dedup(
             (rep_d <= F.lit(int(threshold_sq))) & (F.col(id_col) != rep_id)
         ).alias("is_dup"),
     )
+
+
+def drop_semantic_duplicates(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold_sq: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Keep-one semantic dedup: drop every row ``semantic_dedup`` flags
+    (cluster representatives always survive) — the API twin of
+    ``drop_exact_duplicates`` / ``drop_near_duplicates`` /
+    ``drop_contaminated``. One id-only anti-join against the flagged
+    set; the input is scanned once more to preserve its full schema."""
+    flagged = (
+        semantic_dedup(df, k, n_iter, threshold_sq, id_col, vec_col, scale)
+        .filter(F.col("is_dup"))
+        .select(id_col)
+    )
+    return df.join(flagged, id_col, "left_anti")
