@@ -2743,9 +2743,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# index-comprehension form (not list_zip + positional struct access):
+# list comprehensions are the construct the r1-r6 oracles already
+# proved against the DRIVER's DuckDB build — minimal new surface
 _KM_DIST = (
-    "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
-    " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    "CAST(list_sum([ (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])"
+    " for i in range(1, len(q.qv) + 1) ]) AS BIGINT)"
 )
 
 
@@ -2800,8 +2803,8 @@ SELECT vec_id, j AS cluster, d AS dist_sq FROM (
 def _semantic_dedup_oracle() -> str:
     prefix, final = _kmeans_ctes()
     rep_dist = (
-        "CAST(list_sum(list_transform(list_zip(q.qv, rv.rep_qv),"
-        " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+        "CAST(list_sum([ (q.qv[i] - rv.rep_qv[i]) * (q.qv[i] - rv.rep_qv[i])"
+        " for i in range(1, len(q.qv) + 1) ]) AS BIGINT)"
     )
     return f"""
 WITH {prefix},
