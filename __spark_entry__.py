@@ -1411,7 +1411,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(S.cosine(F.col("__va"), F.col("__vb")), 4))
+        .withColumn("cos_sim", F.round(S.cosine(F.col("__va"), F.col("__vb"), dim=64), 4))
         .filter(F.col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -221,6 +221,12 @@ def _hashed_exploded(
     if persist:
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
         _SHINGLE_CACHES.append(ex)
+        # (r8 measured note: an eager ex.count() here — to stop AQE's
+        # concurrent stage materialization racing the cache and
+        # re-running the text scan per branch — was tried and REJECTED:
+        # min-of-N wall got WORSE (8.9s vs 5.7s at sf1.0) because the
+        # racing scans overlap on idle cores locally while the eager
+        # count serializes a full pass before any downstream work.)
     return ex
 
 
@@ -524,19 +530,27 @@ def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 def _candidates_from_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     banded = _banded(sig, num_hashes, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.doc") < F.col("b.doc"),
-            ],
-        )
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("n_bands_shared"))
+    # Pair generation via ONE groupBy(band, bucket) + in-bucket explode
+    # instead of the banded self-join (r8): the self-join evaluated the
+    # 64-aggregate signature scan TWICE (once per alias) and needed two
+    # sort-merge exchanges; this shape computes signatures once and pays
+    # a single hash-aggregate exchange on (band, bucket). Pair output is
+    # identical: each bucket of n docs yields all (a < b) pairs once, and
+    # per-pair row count = number of shared bands, exactly as the join
+    # produced. Skew parity: a hot bucket's n^2 blow-up landed on one
+    # task either way (plan diff: 2 signature aggs + SMJ -> 1 agg,
+    # dedup_minhash sf1.0 29.6s -> measured in OPTIMIZATION_r08.md).
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc").alias("__docs"))
+        .filter(F.size("__docs") > 1)
     )
+    pairs = (
+        grouped.select(F.explode("__docs").alias("doc_a"), F.col("__docs"))
+        .select("doc_a", F.explode("__docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands_shared"))
 
 
 def minhash_dedup_pairs(
@@ -565,6 +579,10 @@ def minhash_dedup_pairs(
     sizes = ex.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     # intersection size per candidate pair: |pairs| x |shingles(a)| rows,
     # keyed on (doc, hash) — no hot keys, no all-pairs blowup
+    # (r8 note: a semi-join prefilter of ex down to candidate docs was
+    # measured and REJECTED — re-reading cands three times forced either
+    # a triple LSH run or an eager persist barrier, both slower than
+    # letting AQE broadcast the cached ex sliver: 6.9s vs 9.0s at sf1.0)
     n_common = (
         cands.join(ex.select(F.col("doc").alias("doc_a"), "__h"), "doc_a")
         .join(ex.select(F.col("doc").alias("doc_b"), "__h"), ["doc_b", "__h"])

@@ -29,18 +29,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns.
+
+    With ``dim`` given, rows whose arrays are exactly that length take an
+    UNROLLED scalar expression — ``((0.0 + a0*b0) + a1*b1) + ...`` — which
+    is whole-stage-codegen-compiled instead of the interpreted
+    higher-order-function fold (measured ~20x faster per pair at dim=64;
+    r8). The unroll reproduces the fold's exact left-to-right IEEE
+    addition order, so results are bit-identical; rows of any other
+    length fall back to the fold, so semantics never change.
+    """
+    hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
+    if dim is None:
+        return hof
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i) * F.get(b, i)
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(hof)
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; same fixed-``dim`` unrolled fast path as ``dot``."""
+    hof = F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    if dim is None:
+        return F.sqrt(hof)
+    acc = F.lit(0.0)
+    for i in range(dim):
+        v = F.get(a, i)
+        acc = acc + v * v
+    return F.sqrt(F.when(F.size(a) == dim, acc).otherwise(hof))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def cosine_topk(
@@ -51,19 +75,38 @@ def cosine_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact top-k neighbours per query (excluding self-matches).
-    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    Returns (query_id, neighbor_id, cos_sim, rank).
+
+    ``dim`` enables the unrolled codegen dot/norm fast path (see ``dot``)
+    and hoists each side's norm out of the pair loop: |Q|+|C| norm
+    evaluations instead of 2x|Q|x|C| (bit-identical — the norm is the
+    same expression over the same array, computed once per row)."""
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col), dim).alias("__qn"),
     )
     if broadcast_queries:
         q = F.broadcast(q)
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col), dim).alias("__cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -78,15 +121,28 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((tables, bits, dim)).astype(np.float32)
 
 
+def _plane_dot(vec: Column, plane: np.ndarray) -> Column:
+    """vec . literal-plane with the unrolled codegen fast path (exact
+    left-fold order, same as the zip_with/aggregate fold) for rows whose
+    length matches the plane; any other length falls back to the fold
+    (zip_with pads the shorter side with nulls, which the unroll cannot
+    reproduce)."""
+    hof = F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    acc = F.lit(0.0)
+    for i, x in enumerate(plane):
+        acc = acc + F.get(vec, i) * F.lit(float(x))
+    return F.when(F.size(vec) == len(plane), acc).otherwise(hof)
+
+
 def lsh_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     """Sign-LSH bucket key for one table: packed bits of sign(v . h_j)."""
     key = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        d = _plane_dot(vec, plane)
         key = key.bitwiseOR(
             F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         )
@@ -141,7 +197,7 @@ def lsh_topk(
     scored = (
         cand.join(F.broadcast(q) if broadcast_queries else q, "query_id")
         .join(c, "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -178,7 +234,7 @@ def embedding_near_dup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb"), dim), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -206,15 +262,9 @@ def _ivf_pivots(corpus: DataFrame, id_col: str, vec_col: str, nlist: int) -> np.
 
 
 def _pivot_dots(vec: Column, pivots: np.ndarray) -> list[Column]:
-    """Dot product of ``vec`` with every (unit) pivot, JVM-side."""
-    return [
-        F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for p in pivots
-    ]
+    """Dot product of ``vec`` with every (unit) pivot, JVM-side —
+    unrolled codegen fast path per pivot (see ``_plane_dot``)."""
+    return [_plane_dot(vec, p) for p in pivots]
 
 
 def ivf_topk(
@@ -263,7 +313,10 @@ def ivf_topk(
     scored = (
         qprobed.join(cbinned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col("__qv"), F.col("__cv"), int(pivots.shape[1])), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
