@@ -858,13 +858,29 @@ def star_connected_components(
     )
     prev = _star_edge_fingerprint(edges)
     converged = False
-    for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _star_edge_fingerprint(edges)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    # Scale-adaptive round sizing (r8, guide §2.2/§6): each round runs
+    # ~6 shuffle stages over the CURRENT edge set, whose live size we
+    # get for free from the fingerprint. Sizing the round's shuffle
+    # partitions from that count (~2M 16-byte edge rows per partition,
+    # i.e. ~64 MB pre-shuffle) instead of the session-wide constant
+    # collapses the per-stage scheduling floor when the graph has
+    # contracted to thousands of edges, and GROWS the partition count
+    # past the session default on a genuinely huge graph. Restored in
+    # the finally block; fixpoint logic is unchanged.
+    spark = pairs.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    try:
+        for _ in range(max_iterations):
+            spark.conf.set(key, str(max(1, min((prev[0] + 1) // 2_000_000 + 1, 200_000))))
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            cur = _star_edge_fingerprint(edges)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    finally:
+        spark.conf.set(key, orig)
     if not converged:
         # Exhausted the round budget (or, astronomically unlikely, the
         # xor fingerprint collided and we kept iterating past the true
