@@ -179,8 +179,37 @@ def run_synth(n_convs: int) -> None:
     print(json.dumps({"mode": "synth", "n_convs": n_convs, "stages": best}))
 
 
+def run_all(sf_dir: str, repeats: int = 2) -> None:
+    """Time EVERY declared query once|twice at ``sf_dir`` (coverage sweep
+    for the optimization round; .count() methodology, min-of-repeats)."""
+    import __spark_entry__ as entrymod
+
+    spark = _session("tsf-bench-all")
+    queries = entrymod.queries()
+    _warm(spark, queries)
+    per: dict[str, float] = {}
+    for name in queries:
+        best = None
+        try:
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                spark.sparkContext.setJobDescription(f"all:{name}")
+                t0 = time.time()
+                queries[name](spark, sf_dir).count()
+                wall = time.time() - t0
+                best = wall if best is None or wall < best else best
+            per[name] = round(best, 3)
+        except Exception as exc:  # keep sweeping; record the failure
+            per[name] = f"ERR: {exc}"[:120]
+    print(json.dumps({"mode": "all", "sf_dir": sf_dir, "queries": per}))
+
+
 if __name__ == "__main__":
-    if "--tiers" in sys.argv:
+    if "--all" in sys.argv:
+        i = sys.argv.index("--all")
+        sfd = sys.argv[i + 1] if len(sys.argv) > i + 1 else SF_DIR
+        run_all(sfd)
+    elif "--tiers" in sys.argv:
         i = sys.argv.index("--tiers")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 30_000
         run_tiers(n)
