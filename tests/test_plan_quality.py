@@ -295,11 +295,8 @@ def test_fused_specs_share_one_join_and_agg(spark):
         predictiontime_frame=PredictionTimeFrame(df=pred_frame)
     ).aggregate_timeseries(specs=[spec_x, spec_y])
     plan = _plan(fused.df)
-    # r8 join-free assembly: one shared value frame -> the fused
-    # aggregation carries the pred columns as group keys, so the ONLY
-    # join left is the temporal join (pre-r8 this was 2: temporal +
-    # assembly; unfused would pay 2 + 2)
-    assert plan.count("Join") == 1, plan
+    # 1 temporal join + 1 assembly join (unfused would pay 2 + 2)
+    assert plan.count("Join") == 2, plan
 
     pred = PredictionTimeFrame(df=pred_frame)
     sep_x = process_temporal_spec(spec_x, pred)

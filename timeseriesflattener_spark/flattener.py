@@ -244,28 +244,6 @@ class Flattener:
     #: Costs one extra aggregation job — opt-in.
     validate_unique_prediction_times: bool = False
 
-    def _can_skip_assembly_join(self, specs: Sequence[ValueSpecification]) -> bool:
-        """True when the fused temporal processor alone can produce the
-        final frame (see the r8 join-free fast path): every spec is
-        temporal, they all share ONE value frame, and no value-side
-        column that survives into the join (value ts / value cols /
-        order col) collides with a prediction-frame column name."""
-        if not specs or not all(
-            isinstance(s, (PredictorSpec, OutcomeSpec, BooleanOutcomeSpec)) for s in specs
-        ):
-            return False
-        if len({_frame_key(s) for s in specs}) != 1:  # type: ignore[arg-type]
-            return False
-        vf = specs[0].value_frame  # type: ignore[union-attr]
-        carried = {vf.value_timestamp_col_name, vf.order_col_name}
-        for s in specs:
-            carried.update(s.value_frame.value_col_names)  # type: ignore[union-attr]
-        carried.discard(None)
-        pred_cols = set(self.predictiontime_frame.df.columns)
-        if carried & pred_cols or "__pred_micros" in pred_cols:
-            return False
-        return True
-
     def aggregate_timeseries(
         self, specs: Sequence[ValueSpecification], step_size: dt.timedelta | None = None
     ) -> AggregatedFrame:
@@ -287,24 +265,24 @@ class Flattener:
                 )
 
         if step_size is None:
-            if self._can_skip_assembly_join(specs):
-                # Join-free fast path (r8): one temporal frame covers all
-                # specs, so the fused left-join + aggregation ALREADY has
-                # one output row per prediction row — carry the pred
-                # columns through as group keys instead of re-joining the
-                # features back onto the pred frame (plan diff per
-                # flatten query: assembly SortMergeJoin + uuid Exchange +
-                # a second scan/distinct of the pred lineage removed).
-                out = process_temporal_specs_fused(
-                    list(specs), pred, carry_pred_frame=True  # type: ignore[arg-type]
-                )
-            else:
-                feature_dfs = _build_feature_dfs(specs, pred)
-                out = reduce(
-                    lambda acc, f: acc.join(f, on=pred.prediction_time_uuid_col_name, how="left"),
-                    feature_dfs,
-                    pred.df,
-                )
+            # (r8 measured note: a join-free fast path — single shared
+            # value frame => carry pred columns through the fused
+            # aggregation as group keys and skip this assembly join —
+            # was built, A/B-measured, and REVERTED: grouping the hot
+            # fan-out aggregation by the full pred column set lost 50%
+            # on the 96-feature featwidth leg (1.9s vs 1.3s), and even
+            # the narrow (entity, ts) key variant with a post-agg uuid
+            # reprojection stayed behind (1.54s vs 1.04s; headline
+            # flattens were a wash within noise). The assembly join is
+            # cheap — the features side reuses its aggregation
+            # partitioning, so it only adds a sort over ~|pred| rows —
+            # while any group-key widening taxes every fan-out row.)
+            feature_dfs = _build_feature_dfs(specs, pred)
+            out = reduce(
+                lambda acc, f: acc.join(f, on=pred.prediction_time_uuid_col_name, how="left"),
+                feature_dfs,
+                pred.df,
+            )
         else:
             out = self._aggregate_stepped(specs, step_size)
         # spec-order column contract regardless of fusion grouping

@@ -391,31 +391,50 @@ def int_embedding(vec: Column, scale: int = 10_000) -> Column:
     )
 
 
-def _int_dist_sq(int_vec: Column, centroid: list[int]) -> Column:
-    """Exact squared L2 distance between an int-grid vector column and a
-    literal int-grid centroid — pure BIGINT (dim * (2*scale)^2 bounds the
-    sum far below 2^63 for any sane scale/dim)."""
-    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+def _int_vec_lit(vec: list[int]) -> Column:
+    """One parsed array<long> literal (a single py4j round trip instead
+    of one per element — same build-cost lesson as ``_matrix_lit``)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vec) + ")")
+
+
+def _int_matrix_lit(mat: list[list[int]]) -> Column:
+    """One parsed array<array<long>> literal (see ``_int_vec_lit``)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in row) + ")" for row in mat
+    )
+    return F.expr(f"array({rows})")
+
+
+def _int_dist_sq_col(int_vec: Column, centroid: Column) -> Column:
+    """Exact squared L2 distance between two int-grid array columns —
+    pure BIGINT (dim * (2*scale)^2 bounds the sum far below 2^63 for any
+    sane scale/dim)."""
     return F.aggregate(
-        F.zip_with(int_vec, c, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(int_vec, centroid, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
+def _int_dist_sq(int_vec: Column, centroid: list[int]) -> Column:
+    return _int_dist_sq_col(int_vec, _int_vec_lit(centroid))
+
+
 def _assign_struct(int_vec: Column, centroids: list[list[int]]) -> Column:
     """struct(dist_sq, cluster) of the nearest centroid — array_min over
     per-centroid structs orders by distance then cluster id, so ties
-    break to the smallest cluster deterministically."""
+    break to the smallest cluster deterministically. The centroid table
+    rides in as ONE matrix literal and the per-centroid structs come
+    from a single indexed transform (r8: the per-element-literal shape
+    cost k x dim py4j calls per plan build; arithmetic is unchanged,
+    exact BIGINT)."""
     return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _int_dist_sq(int_vec, c).alias("d"),
-                    F.lit(j).cast("long").alias("j"),
-                )
-                for j, c in enumerate(centroids)
-            ]
+        F.transform(
+            _int_matrix_lit(centroids),
+            lambda c, i: F.struct(
+                _int_dist_sq_col(int_vec, c).alias("d"),
+                i.cast("long").alias("j"),
+            ),
         )
     )
 
@@ -470,33 +489,45 @@ def _fit_on(q: DataFrame, k: int, n_iter: int) -> list[list[int]]:
         raise ValueError(f"k must be >= 1, got {k!r}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter!r}")
-    first = q.select("__q").first()
-    if first is None:
-        raise ValueError("kmeans_fit: empty input")
-    dim = len(first[0])
+    # one job covers the empty check, dim probe, and init (r8: this was
+    # a separate first() job plus the init collect)
     init = sorted(q.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"])
+    if not init:
+        raise ValueError("kmeans_fit: empty input")
     if len(init) < k:
         raise ValueError(f"kmeans_fit: k={k} but only {len(init)} vectors")
+    dim = len(init[0]["__q"])
     centroids = [list(r["__q"]) for r in init]
-    for _ in range(n_iter):
-        a = _assign_struct(F.col("__q"), centroids)
-        sums = (
-            q.select(a["j"].alias("__c"), "__q")
-            .groupBy("__c")
-            .agg(
-                F.count("*").alias("__n"),
-                *[
-                    F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
-                    for i in range(dim)
-                ],
+    # the update aggregate's post-combine shuffle carries at most
+    # k x map-partitions tiny rows — size its reduce side from k, not
+    # the session-wide constant (r8, same rationale as the star-CC
+    # rounds; restored in finally)
+    spark = q.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, str(max(1, min(k, 200))))
+        for _ in range(n_iter):
+            a = _assign_struct(F.col("__q"), centroids)
+            sums = (
+                q.select(a["j"].alias("__c"), "__q")
+                .groupBy("__c")
+                .agg(
+                    F.count("*").alias("__n"),
+                    *[
+                        F.sum(F.element_at("__q", i + 1)).alias(f"__s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
-        nxt = [list(c) for c in centroids]  # empty clusters carry over
-        for r in sums:
-            j, n = int(r["__c"]), int(r["__n"])
-            nxt[j] = [(2 * int(r[f"__s{i}"]) + n) // (2 * n) for i in range(dim)]
-        centroids = nxt
+            nxt = [list(c) for c in centroids]  # empty clusters carry over
+            for r in sums:
+                j, n = int(r["__c"]), int(r["__n"])
+                nxt[j] = [(2 * int(r[f"__s{i}"]) + n) // (2 * n) for i in range(dim)]
+            centroids = nxt
+    finally:
+        spark.conf.set(conf_key, orig)
     return centroids
 
 
@@ -548,17 +579,25 @@ def semantic_dedup(
     assigned = q.select(
         F.col("__id").alias(id_col), "__q", a["j"].alias("cluster")
     )
-    reps = {
-        int(r["cluster"]): (int(r["rep_id"]), list(r["__q"]))
-        for r in assigned.groupBy("cluster")
-        .agg(F.min_by(F.struct(id_col, "__q"), F.col(id_col)).alias("__rep"))
-        .select(
-            "cluster",
-            F.col("__rep")[id_col].alias("rep_id"),
-            F.col("__rep.__q").alias("__q"),
-        )
-        .collect()
-    }
+    spark = df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(conf_key)
+    try:
+        # k-group aggregate: size the reduce side from k (see _fit_on)
+        spark.conf.set(conf_key, str(max(1, min(k, 200))))
+        reps = {
+            int(r["cluster"]): (int(r["rep_id"]), list(r["__q"]))
+            for r in assigned.groupBy("cluster")
+            .agg(F.min_by(F.struct(id_col, "__q"), F.col(id_col)).alias("__rep"))
+            .select(
+                "cluster",
+                F.col("__rep")[id_col].alias("rep_id"),
+                F.col("__rep.__q").alias("__q"),
+            )
+            .collect()
+        }
+    finally:
+        spark.conf.set(conf_key, orig)
     rep_id = F.lit(None).cast("long")
     rep_d = F.lit(None).cast("long")
     for j in sorted(reps, reverse=True):

@@ -137,7 +137,6 @@ def process_temporal_specs_fused(
     specs: Sequence[TemporalSpec],
     predictiontime_frame: PredictionTimeFrame,
     push_range_into_join: bool = True,
-    carry_pred_frame: bool = False,
 ) -> DataFrame:
     """Flatten N temporal specs that share ONE value frame (same df
     object + id/ts/order column config) with a single range-constrained
@@ -155,27 +154,11 @@ def process_temporal_specs_fused(
     pred = predictiontime_frame
     vf = specs[0].value_frame
 
-    if carry_pred_frame:
-        # Join-free assembly (r8): carry EVERY prediction-frame column
-        # through the left join as additional group keys. The uuid is
-        # unique per prediction row (documented engine contract), so the
-        # groups — and therefore every aggregate — are identical to
-        # grouping by uuid alone; the caller can then skip the
-        # feature-to-pred assembly join (and with it one exchange, two
-        # sorts, and a second evaluation of the prediction-frame
-        # lineage). Callers must ensure no pred/value column name
-        # collision (Flattener checks before opting in).
-        pred_df = pred.df.select(
-            "*", micros(F.col(pred.timestamp_col_name)).alias("__pred_micros")
-        )
-        group_cols = [c for c in pred.df.columns]
-    else:
-        pred_df = pred.df.select(
-            F.col(pred.prediction_time_uuid_col_name),
-            F.col(pred.entity_id_col_name),
-            micros(F.col(pred.timestamp_col_name)).alias("__pred_micros"),
-        )
-        group_cols = [pred.prediction_time_uuid_col_name]
+    pred_df = pred.df.select(
+        F.col(pred.prediction_time_uuid_col_name),
+        F.col(pred.entity_id_col_name),
+        micros(F.col(pred.timestamp_col_name)).alias("__pred_micros"),
+    )
     value_cols = [vf.value_timestamp_col_name]
     for s in specs:
         for c in s.value_frame.value_col_names:
@@ -199,4 +182,4 @@ def process_temporal_specs_fused(
     joined = pred_df.join(value_df, on=join_cond, how="left").withColumn(TIMEDELTA_COL, td)
 
     exprs = [e for s in specs for e in build_agg_exprs(s, F.col(TIMEDELTA_COL))]
-    return joined.groupBy(*group_cols).agg(*exprs)
+    return joined.groupBy(pred.prediction_time_uuid_col_name).agg(*exprs)
