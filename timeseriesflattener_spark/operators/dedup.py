@@ -502,7 +502,15 @@ def minhash_lsh_candidates(
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc, band, bucket) — each signature row exploded to its LSH band
     buckets; the bucket is a hash of the band's signature slice, so the
-    join key space (band x 64-bit bucket) has no hot keys."""
+    join key space (band x 64-bit bucket) has no hot keys.
+
+    The bucket hashes the slice LONGS directly (r8: was
+    xxhash64(concat_ws(",", casts-to-string)) — 4 long->string renders +
+    a string concat per band per doc for no benefit). Any deterministic
+    slice hash yields the same downstream OUTPUT: equal slices always
+    collide under either hash, and the astronomically-unlikely extra
+    64-bit collision only adds a candidate pair that the exact-Jaccard
+    verification filters — candidates are never consumed unverified."""
     rows_per_band = num_hashes // bands
     return sig.select(
         "doc",
@@ -512,13 +520,10 @@ def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"s{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col(f"s{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
