@@ -81,6 +81,62 @@ def test_minhash_matches_exact_jaccard(spark, docs):
         assert recall >= 0.75, (recall, exact - lsh)
 
 
+def test_banded_bucket_hash_pairing_equivalence(spark, docs):
+    """r8 `_banded` pins the bucket to xxhash64 over the band's signature
+    LONGS (no string render/concat). The candidate-pair multiset —
+    including n_bands_shared — must equal the reference formulation
+    (bucket = xxhash64(concat_ws(",", casts)) + banded self-join, the
+    pre-r8 shape): equal slices collide under any deterministic hash and
+    candidates are only ever consumed through exact verification."""
+    sample = docs.limit(80)
+    dups = sample.limit(5).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    corpus = sample.unionByName(dups)
+    sig = D._signatures_from_exploded(
+        D._hashed_exploded(corpus, "text", "doc_id", 3, persist=False), 64
+    ).cache()
+    prod = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_shared"]
+        for r in D._candidates_from_signatures(sig, 64, 16).collect()
+    }
+    # reference: old string-keyed bucket + self-join pairing
+    rpb = 64 // 16
+    ref_banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"s{b * rpb + r}").cast("string")
+                                    for r in range(rpb)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = ref_banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = ref_banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    ref = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_shared"]
+        for r in a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands_shared"))
+        .collect()
+    }
+    sig.unpersist()
+    assert prod == ref
+    assert prod, "vacuous: the injected dups must produce candidates"
+
+
 def test_simhash_identical_docs_collide(spark, docs):
     dups = docs.limit(3).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
     corpus = docs.limit(50).unionByName(dups)
